@@ -1,0 +1,124 @@
+"""Topological predicates needed by the Sherbend constraint checks.
+
+The reference delegates these to GEOS via QGIS:
+ - ``relate`` DE-9IM pattern positions [0] (Interior/Interior) and [1]
+   (Interior/Boundary) for the simplicity constraint
+   (reduce_bend_algorithm.py:1399-1422),
+ - ``disjoint`` for the intersection constraint (:1424-1443),
+ - ``contains`` for the sidedness constraint (:1445-1465).
+
+We only need those boolean outcomes for (polyline, segment-or-point)
+and (ring-polygon, segment-or-point) pairs, so the full DE-9IM machine
+is not required (SURVEY.md §2.7 R4-R6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .primitives import (
+    collinear_overlap,
+    on_segment,
+    point_in_ring,
+    point_on_polyline,
+    segment_intersection_point,
+    segments_intersect,
+)
+
+
+def _pt_eq(a, b) -> bool:
+    return a[0] == b[0] and a[1] == b[1]
+
+
+def simplicity_violated(line_a: np.ndarray, seg_b: np.ndarray) -> bool:
+    """Replicates the accept/reject decision of
+    ReduceBend.validate_simplicity for one candidate segment:
+    DE-9IM pattern[0]=='0' (interiors meet in a point) or
+    pattern[1]=='0' (interior of A meets a boundary point of B).
+
+    ``line_a``: (m,2) replacement sub line (2 pts for a chord, 4 pts for
+    a smooth line).  ``seg_b``: (2,2) segment of the same source line.
+    Collinear 1-D overlaps give pattern[0]=='1' and do NOT violate.
+    """
+    a_start = line_a[0]
+    a_end = line_a[-1]
+    b0, b1 = seg_b[0], seg_b[1]
+
+    has_overlap = False
+    point_ii = False
+
+    for k in range(len(line_a) - 1):
+        s0, s1 = line_a[k], line_a[k + 1]
+        if collinear_overlap(s0, s1, b0, b1):
+            has_overlap = True
+            continue
+        p = segment_intersection_point(s0, s1, b0, b1)
+        if p is None:
+            continue
+        # p in interior(A)? interior excludes only the global endpoints
+        in_int_a = not (_pt_eq(p, a_start) or _pt_eq(p, a_end))
+        # p in interior(B)?
+        in_int_b = not (_pt_eq(p, b0) or _pt_eq(p, b1))
+        if in_int_a and in_int_b:
+            point_ii = True
+        # pattern[1]: interior(A) ∩ boundary(B) is a point
+        if in_int_a and not in_int_b:
+            return True
+
+    if point_ii and not has_overlap:
+        return True
+    # If a collinear overlap exists, dim(II)==1 so pattern[0]=='1':
+    # not a violation per the reference's test.
+    return False
+
+
+def disjoint_line_segment(line: np.ndarray, seg: np.ndarray) -> bool:
+    """GEOS disjoint(line, segment): no shared point at all."""
+    for k in range(len(line) - 1):
+        if segments_intersect(line[k], line[k + 1], seg[0], seg[1]):
+            return False
+    return True
+
+
+def disjoint_line_point(line: np.ndarray, pt) -> bool:
+    return not point_on_polyline(pt[0], pt[1], line)
+
+
+def ring_contains_segment(ring: np.ndarray, seg: np.ndarray) -> bool:
+    """GEOS contains(polygon(ring), segment): segment inside the closed
+    polygon, not entirely on its boundary, and not crossing outside."""
+    s0, s1 = seg[0], seg[1]
+    c0 = point_in_ring(s0[0], s0[1], ring)
+    c1 = point_in_ring(s1[0], s1[1], ring)
+    if c0 < 0 or c1 < 0:
+        return False
+    ringc = ring
+    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
+        ringc = np.vstack([ring, ring[:1]])
+    # any proper crossing with the boundary => not contained
+    for k in range(len(ringc) - 1):
+        r0, r1 = ringc[k], ringc[k + 1]
+        p = segment_intersection_point(s0, s1, r0, r1)
+        if p is None:
+            continue
+        # touching at a point is fine unless the segment passes outside;
+        # conservative exact handling: crossing strictly interior to the
+        # segment with both sides — test midpoint of each sub-piece.
+        if not (_pt_eq(p, (s0[0], s0[1])) or _pt_eq(p, (s1[0], s1[1]))):
+            # split and test both halves' midpoints
+            for q in ((0.5 * (s0[0] + p[0]), 0.5 * (s0[1] + p[1])),
+                      (0.5 * (p[0] + s1[0]), 0.5 * (p[1] + s1[1]))):
+                if point_in_ring(q[0], q[1], ring) < 0:
+                    return False
+    if c0 == 0 and c1 == 0:
+        # both endpoints on boundary: interior of segment must be inside
+        mid = (0.5 * (s0[0] + s1[0]), 0.5 * (s0[1] + s1[1]))
+        if point_in_ring(mid[0], mid[1], ring) <= 0:
+            return False
+    return True
+
+
+def ring_contains_point(ring: np.ndarray, pt) -> bool:
+    """GEOS contains(polygon, point): strictly inside (boundary is not
+    contained)."""
+    return point_in_ring(pt[0], pt[1], ring) > 0

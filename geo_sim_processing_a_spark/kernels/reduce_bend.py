@@ -1,0 +1,749 @@
+"""Sherbend (Wang–Müller) bend reduction — from-scratch NumPy kernel.
+
+Semantics replicate the reference algorithm
+(/root/reference/reduce_bend_algorithm.py) decision-for-decision so the
+32 golden unit tests produce identical vertex sequences, but the
+implementation is new: ragged NumPy coordinate arrays, vectorized angle
+/ area math, and tile-local segment sets instead of a mutable global
+QgsSpatialIndex (SURVEY.md §2.3-§2.4).
+
+Key replicated behaviors (file:line refer to the reference):
+ - epsilon rule                          reduce_bend_algorithm.py:1045-1088
+ - duplicate-node removal               :1630-1634
+ - co-linear vertex deletion (+ closed wrap case)  :1713-1752
+ - bend detection via orientation inflexions        :1334-1384
+ - closed-line pivot                                 :1299-1332
+ - greedy non-adjacent flagging sorted by adj_area   :1219-1273
+ - constraint order simplicity→alternates→intersection→sidedness :1793-1847
+ - the reference's use of the ORIGINAL bend's subline/polygon for the
+   intersection & sidedness checks even after an alternate bend was
+   substituted (local `bend` binding at :1817 is not refreshed)
+ - reversed bend processing within a line            :1893-1916
+ - fixpoint loop with min 2 passes                   :1664-1699
+ - smoothing geometry cases 1-3 with exact trig      :791-1006
+
+Intentional, documented divergences:
+ - a zero-area bend would raise ZeroDivisionError in the reference's
+   adjusted-area formula (:1202-1217); we define adj_area = 0.0 there.
+ - `_resolve_non_valid_polygon` (:844-879) uses GEOS polygonize; we
+   split the (only possible) bow-tie case directly, same accept/reject.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..geom.epsilon import Epsilon
+from ..geom import primitives as P
+from ..geom import relate as R
+
+KIND_POINT = 0
+KIND_LINE = 1
+KIND_POLYGON = 2
+
+CLOCK_WISE = 0
+ANTI_CLOCK_WISE = -1
+
+
+# ---------------------------------------------------------------------------
+# containers
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Feature:
+    """One input feature: kind + rings (polygon: exterior first, closed;
+    line: single entry; point: single (1,2) array). ``attrs`` is opaque
+    and passed through untouched (SURVEY.md §1.1)."""
+
+    kind: int
+    rings: list  # list[np.ndarray (n,2) float64]
+    attrs: object = None
+
+
+class _Geom:
+    """Mutable linestring under reduction (reference RbGeom, :685-739)."""
+
+    __slots__ = ("gid", "original_kind", "coords", "is_simplest", "need_pivot",
+                 "bends", "_seg_bbox")
+
+    def __init__(self, gid: int, original_kind: int, coords: np.ndarray, eps: Epsilon):
+        self.gid = gid
+        self.original_kind = original_kind
+        self.coords = np.asarray(coords, dtype=np.float64)
+        self.is_simplest = False
+        self.need_pivot = False
+        self.bends = []
+        self._seg_bbox = None
+        if original_kind == KIND_POINT:
+            self.is_simplest = True
+        elif original_kind == KIND_LINE:
+            if P.polyline_length(self.coords) >= eps.zero_relative:
+                if P.is_closed(self.coords):
+                    if abs(P.signed_area(self.coords)) > eps.zero_relative:
+                        self.need_pivot = True
+                    else:
+                        self.is_simplest = True
+                # open line: neither flag
+            else:
+                self.is_simplest = True
+        elif original_kind == KIND_POLYGON:
+            if P.ring_area(self.coords) > eps.zero_relative:
+                self.need_pivot = True
+            else:
+                self.is_simplest = True
+
+    def invalidate(self):
+        self._seg_bbox = None
+
+    def seg_bbox(self):
+        """(nseg,4) per-segment bbox array, cached until mutation."""
+        if self._seg_bbox is None:
+            c = self.coords
+            x0, y0 = c[:-1, 0], c[:-1, 1]
+            x1, y1 = c[1:, 0], c[1:, 1]
+            self._seg_bbox = np.column_stack([
+                np.minimum(x0, x1), np.minimum(y0, y1),
+                np.maximum(x0, x1), np.maximum(y0, y1)])
+        return self._seg_bbox
+
+
+class _Bend:
+    """Reference Bend (:742-781)."""
+
+    __slots__ = ("i", "j", "pts", "area", "perimeter", "adj_area", "to_reduce")
+
+    def __init__(self, i: int, j: int, pts: np.ndarray):
+        self.i = i
+        self.j = j
+        self.pts = pts
+        self.area = P.ring_area(pts)
+        self.perimeter = P.ring_perimeter(pts)
+        self.adj_area = calculate_adj_area(self.area, self.perimeter)
+        self.to_reduce = False
+
+    @property
+    def new_subline(self) -> np.ndarray:
+        return np.vstack([self.pts[:1], self.pts[-1:]])
+
+    @property
+    def old_subline(self) -> np.ndarray:
+        return self.pts
+
+
+@dataclass
+class _BendReduced:
+    """Reference BendReduced (:784-1006)."""
+
+    geom: _Geom
+    pt_start: np.ndarray
+    pt_end: np.ndarray
+    bend_ring: np.ndarray
+    i: int | None = None
+    j: int | None = None
+    is_line_smoothable: bool | None = None
+    smooth_line: np.ndarray | None = None
+    smooth_parts: list = field(default_factory=list)
+
+
+@dataclass
+class ReduceBendResult:
+    features: list
+    in_nbr_features: int = 0
+    out_nbr_features: int = 0
+    nbr_bend_reduced: list = field(default_factory=list)
+    nbr_bend_detected: list = field(default_factory=list)
+    nbr_hole_del: int = 0
+    nbr_pol_del: int = 0
+    nbr_pass: int = 0
+    nbr_line_smooth: int = 0
+
+
+# ---------------------------------------------------------------------------
+# scalar helpers (exact formula order matters)
+# ---------------------------------------------------------------------------
+
+def calculate_adj_area(area: float, perimeter: float) -> float:
+    """Reference :1202-1217. Divergence: zero-area bend => 0.0 (the
+    reference would raise ZeroDivisionError)."""
+    if area == 0.0 or perimeter == 0.0:
+        return 0.0
+    compactness_index = 4 * area * math.pi / perimeter ** 2
+    return area * (.75 / compactness_index)
+
+
+def calculate_min_adj_area(diameter_tol: float) -> float:
+    """Reference :1386-1397."""
+    return .75 * math.pi * (diameter_tol / 2.) ** 2
+
+
+def _remove_duplicate_nodes(coords: np.ndarray, epsilon: float) -> np.ndarray:
+    """QgsLineString::removeDuplicateNodes(epsilon): drop a vertex within
+    epsilon of the previously kept one; first and last are never removed."""
+    n = len(coords)
+    if n <= 2:
+        return coords
+    keep = [0]
+    e2 = epsilon * epsilon
+    for k in range(1, n - 1):
+        dx = coords[k, 0] - coords[keep[-1], 0]
+        dy = coords[k, 1] - coords[keep[-1], 1]
+        if dx * dx + dy * dy > e2:
+            keep.append(k)
+    keep.append(n - 1)
+    if len(keep) == n:
+        return coords
+    return coords[keep]
+
+
+# ---------------------------------------------------------------------------
+# the engine
+# ---------------------------------------------------------------------------
+
+class ReduceBend:
+    """One bend-reduction run over a co-located set of features (one
+    tile's features when called from Spark; the whole dataset in unit
+    tests — semantics identical since constraint checks only consult
+    bbox-overlapping segments, SURVEY.md §3.3)."""
+
+    def __init__(self, features: list, diameter_tol: float, smooth_line=False,
+                 flag_del_outer=False, flag_del_inner=False, epsilon: Epsilon | None = None):
+        self.features = [Feature(f.kind, [np.asarray(r, dtype=np.float64) for r in f.rings], f.attrs)
+                         for f in features]
+        self.diameter_tol = float(diameter_tol)
+        self.smooth_line = smooth_line
+        self.flag_del_outer = flag_del_outer
+        self.flag_del_inner = flag_del_inner
+        self.eps = epsilon or Epsilon.from_coords([r for f in features for r in f.rings])
+        self.res = ReduceBendResult(features=[])
+        self.geoms: list[_Geom] = []
+        self.feature_geoms: list[list[_Geom]] = []
+        self.bends_reduced: list[_BendReduced] = []
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def reduce(self) -> ReduceBendResult:
+        self.res.in_nbr_features = len(self.features)
+        if self.flag_del_outer or self.flag_del_inner:
+            self._del_outer_inner_ring()
+        self._create_geoms()
+        self._pre_reduction()
+        self._manage_reduce_bend()
+        if self.smooth_line:
+            self._manage_smooth_line()
+        self._rebuild_features()
+        self.res.out_nbr_features = len(self.res.features)
+        return self.res
+
+    def _del_outer_inner_ring(self):
+        """Reference :1638-1662 (pre-geom deletion pass)."""
+        min_adj_area = calculate_min_adj_area(self.diameter_tol)
+        for i in reversed(range(len(self.features))):
+            f = self.features[i]
+            if f.kind != KIND_POLYGON:
+                continue
+            for j in reversed(range(len(f.rings))):
+                ring = f.rings[j]
+                area = P.ring_area(ring)
+                perimeter = P.ring_perimeter(ring)
+                adj_area = calculate_adj_area(area, perimeter)
+                if j == 0:
+                    if self.flag_del_outer and adj_area < min_adj_area:
+                        del self.features[i]
+                        self.res.nbr_pol_del += 1
+                        break
+                else:
+                    if self.flag_del_inner and adj_area < min_adj_area:
+                        del f.rings[j]
+                        self.res.nbr_hole_del += 1
+
+    def _create_geoms(self):
+        gid = 0
+        for f in self.features:
+            geoms = []
+            for ring in f.rings:
+                gid += 1
+                geoms.append(_Geom(gid, f.kind, ring, self.eps))
+            self.feature_geoms.append(geoms)
+            self.geoms.extend(geoms)
+
+    def _pre_reduction(self):
+        """Duplicate-node removal (reference :1630-1634)."""
+        for g in self.geoms:
+            if g.original_kind != KIND_POINT and not g.is_simplest:
+                g.coords = _remove_duplicate_nodes(g.coords, self.eps.zero_relative)
+                g.invalidate()
+
+    # -- segment store queries ------------------------------------------------
+
+    def _grow(self, rect):
+        e = self.eps.zero_relative * 100.
+        return (rect[0] - e, rect[1] - e, rect[2] + e, rect[3] + e)
+
+    def _self_segments(self, geom: _Geom, rect, old_subline: np.ndarray,
+                       excl_lo: int, excl_hi: int) -> list:
+        """Own segments whose bbox intersects rect, excluding those
+        within the old subline (reference :506-534; index range
+        [excl_lo, excl_hi) plus exact geometric containment)."""
+        bb = geom.seg_bbox()
+        mask = (bb[:, 0] <= rect[2]) & (bb[:, 2] >= rect[0]) & \
+               (bb[:, 1] <= rect[3]) & (bb[:, 3] >= rect[1])
+        out = []
+        c = geom.coords
+        for k in np.flatnonzero(mask):
+            if excl_lo <= k < excl_hi:
+                continue
+            seg = c[k:k + 2]
+            if self._segment_within_polyline(seg, old_subline):
+                continue
+            out.append(seg)
+        return out
+
+    @staticmethod
+    def _segment_within_polyline(seg: np.ndarray, line: np.ndarray) -> bool:
+        mx = 0.5 * (seg[0, 0] + seg[1, 0])
+        my = 0.5 * (seg[0, 1] + seg[1, 1])
+        return (P.point_on_polyline(seg[0, 0], seg[0, 1], line)
+                and P.point_on_polyline(seg[1, 0], seg[1, 1], line)
+                and P.point_on_polyline(mx, my, line))
+
+    def _other_geoms_in_rect(self, geom: _Geom, rect):
+        """(segments, points) of all OTHER live geometries intersecting
+        rect (reference :506-534 splits the same way)."""
+        segs, pts = [], []
+        for g in self.geoms:
+            if g.gid == geom.gid:
+                continue
+            c = g.coords
+            if g.original_kind == KIND_POINT:
+                x, y = c[0, 0], c[0, 1]
+                if rect[0] <= x <= rect[2] and rect[1] <= y <= rect[3]:
+                    pts.append((x, y))
+                continue
+            bb = g.seg_bbox()
+            mask = (bb[:, 0] <= rect[2]) & (bb[:, 2] >= rect[0]) & \
+                   (bb[:, 1] <= rect[3]) & (bb[:, 3] >= rect[1])
+            for k in np.flatnonzero(mask):
+                segs.append(c[k:k + 2])
+        return segs, pts
+
+    # -- vertex mutation -------------------------------------------------------
+
+    def _delete_vertices(self, geom: _Geom, v_start: int, v_end: int):
+        """Reference RbCollection.delete_vertex (:571-615) minus the
+        index bookkeeping (tile-local arrays are authoritative)."""
+        closed = P.is_closed(geom.coords)
+        if closed and v_start == 0:
+            # circular-array case: drop leading verts, re-close on the
+            # new first vertex (reference :606-613)
+            c = np.delete(geom.coords, np.arange(v_start, v_end + 1), axis=0)
+            c = np.vstack([c[:-1], c[:1]])
+            geom.coords = c
+        else:
+            geom.coords = np.delete(geom.coords, np.arange(v_start, v_end + 1), axis=0)
+        geom.invalidate()
+
+    # -- co-linear deletion ------------------------------------------------------
+
+    def _delete_co_linear(self, geom: _Geom):
+        """Reference :1713-1752."""
+        eps = self.eps
+        coords = geom.coords
+        angles = P.vertex_angles(coords, P.is_closed(coords))
+        if P.is_closed(coords) and len(angles) >= 1:
+            angles = angles[1:]
+        to_del = [i + 1 for i, a in enumerate(angles)
+                  if abs(a - math.pi) <= eps.zero_angle or abs(a) <= eps.zero_angle]
+        for vid in reversed(to_del):
+            self._delete_vertices(geom, vid, vid)
+        if P.is_closed(geom.coords):
+            n = len(geom.coords)
+            if n >= 5:
+                c = geom.coords
+                tri = np.vstack([c[n - 2], c[0], c[1]])
+                a = P.vertex_angles(tri, False)
+                if len(a) and (abs(a[0] - math.pi) <= eps.zero_angle or abs(a[0]) <= eps.zero_angle):
+                    self._delete_vertices(geom, 0, 0)
+        if P.polyline_length(geom.coords) <= eps.zero_relative:
+            geom.is_simplest = True
+
+    # -- detection / pivot / flagging -----------------------------------------------
+
+    def _detect_bends(self, geom: _Geom) -> int:
+        """Reference :1334-1384."""
+        geom.bends = []
+        coords = geom.coords
+        closed = P.is_closed(coords)
+        angles = P.vertex_angles(coords, closed)
+        orientation = [CLOCK_WISE if a >= math.pi else ANTI_CLOCK_WISE for a in angles]
+        if closed:
+            if len(set(orientation)) == 1:
+                orientation = []
+            else:
+                del orientation[0]
+        if len(orientation) >= 1:
+            orientation.insert(0, ANTI_CLOCK_WISE if orientation[0] == CLOCK_WISE else CLOCK_WISE)
+            orientation.append(ANTI_CLOCK_WISE if orientation[-1] == CLOCK_WISE else CLOCK_WISE)
+        inflexion = [i for i in range(len(orientation) - 1) if orientation[i] != orientation[i + 1]]
+        if inflexion:
+            for k in range(len(inflexion) - 1):
+                i = inflexion[k]
+                j = inflexion[k + 1] + 1
+                geom.bends.append(_Bend(i, j, coords[i:j + 1].copy()))
+        else:
+            geom.is_simplest = True
+        return len(geom.bends)
+
+    def _pivot_closed_line(self, geom: _Geom):
+        """Reference :1299-1332."""
+        if not geom.need_pivot:
+            return
+        bend_location = None
+        bend_area = 0.0
+        min_adj = calculate_min_adj_area(self.diameter_tol)
+        for bend in geom.bends:
+            if bend.area > bend_area:
+                bend_location = bend
+                bend_area = bend.area
+            if bend.j - bend.i >= 4 and bend.area >= min_adj:
+                bend_location = bend
+                geom.need_pivot = False
+                break
+        if bend_location is not None:
+            pts = geom.coords
+            k = (bend_location.j + bend_location.i) // 2
+            geom.coords = np.vstack([pts[k:], pts[1:k + 1]])
+            geom.invalidate()
+
+    def _flag_bend_to_reduce(self, geom: _Geom):
+        """Reference :1219-1273."""
+        min_adj_area = calculate_min_adj_area(self.diameter_tol)
+        if P.is_closed(geom.coords) and len(geom.bends) >= 3:
+            del geom.bends[0]
+            del geom.bends[-1]
+        lst = [(b.adj_area, i) for i, b in enumerate(geom.bends) if b.area < min_adj_area]
+        lst.sort(key=lambda t: t[0])
+        start, end = 0, len(geom.bends) - 1
+        for adj_area, i in lst:
+            if adj_area <= min_adj_area:
+                if len(lst) == 1:
+                    geom.bends[i].to_reduce = True
+                else:
+                    if i == start:
+                        if not geom.bends[i + 1].to_reduce:
+                            geom.bends[i].to_reduce = True
+                    elif i == end:
+                        if not geom.bends[i - 1].to_reduce:
+                            geom.bends[i].to_reduce = True
+                    elif geom.bends[i - 1].to_reduce or geom.bends[i + 1].to_reduce:
+                        pass
+                    else:
+                        geom.bends[i].to_reduce = True
+            else:
+                break
+        if len(geom.bends) == 0:
+            geom.is_simplest = True
+
+    # -- constraints ------------------------------------------------------------
+
+    def _validate_simplicity(self, self_segs, new_subline) -> bool:
+        for seg in self_segs:
+            if R.simplicity_violated(new_subline, seg):
+                return False
+        return True
+
+    @staticmethod
+    def _validate_intersection(other_segs, other_pts, new_subline) -> bool:
+        for seg in other_segs:
+            if not R.disjoint_line_segment(new_subline, seg):
+                return False
+        for pt in other_pts:
+            if not R.disjoint_line_point(new_subline, pt):
+                return False
+        return True
+
+    @staticmethod
+    def _validate_sidedness(other_segs, other_pts, bend_ring) -> bool:
+        for seg in other_segs:
+            if R.ring_contains_segment(bend_ring, seg):
+                return False
+        for pt in other_pts:
+            if R.ring_contains_point(bend_ring, pt):
+                return False
+        return True
+
+    def _find_alternate_bends(self, geom: _Geom, ind: int) -> list:
+        """Reference :1467-1498."""
+        bend = geom.bends[ind]
+        alternates = []
+        j = bend.j
+        pts = geom.coords
+        while j - 1 >= 2:
+            i = bend.i
+            while j - i >= 2:
+                ab = _Bend(i, j, pts[i:j + 1].copy())
+                alternates.append(ab)
+                i += 1
+            j -= 1
+        alternates.sort(key=lambda b: b.area, reverse=True)
+        return alternates
+
+    def _validate_alternate_bend(self, geom: _Geom, alternates, ind) -> bool:
+        """Reference :1754-1791 (simplicity-only check per alternate)."""
+        for alt in alternates:
+            rect = self._grow(P.bbox(alt.pts))
+            self_segs = self._self_segments(geom, rect, alt.old_subline, alt.i, alt.j)
+            if self._validate_simplicity(self_segs, alt.new_subline):
+                geom.bends[ind] = alt
+                return True
+        return False
+
+    def _validate_constraints(self, geom: _Geom, ind: int) -> bool:
+        """Reference :1793-1847 — including keeping the ORIGINAL bend's
+        subline/polygon for checks 2 and 3 after an alternate swap."""
+        constraints_valid = True
+        bend = geom.bends[ind]
+        rect = self._grow(P.bbox(bend.pts))
+        self_segs = self._self_segments(geom, rect, bend.old_subline, bend.i, bend.j)
+        other_segs, other_pts = self._other_geoms_in_rect(geom, rect)
+
+        new_sub = bend.new_subline
+        if P.polyline_length(new_sub) >= self.eps.zero_relative:
+            constraints_valid = self._validate_simplicity(self_segs, new_sub)
+            if not constraints_valid:
+                alternates = self._find_alternate_bends(geom, ind)
+                constraints_valid = self._validate_alternate_bend(geom, alternates, ind)
+        # else: degenerate zero-length base — reference only logs (:1830-1836)
+
+        if constraints_valid:
+            constraints_valid = self._validate_intersection(other_segs, other_pts, new_sub)
+        if constraints_valid:
+            constraints_valid = self._validate_sidedness(other_segs, other_pts, bend.pts)
+        return constraints_valid
+
+    # -- reduction loop -------------------------------------------------------------
+
+    def _process_bends(self, geom: _Geom) -> int:
+        """Reference :1893-1916."""
+        nbr = 0
+        for ind in reversed(range(len(geom.bends))):
+            if geom.bends[ind].to_reduce:
+                if self._validate_constraints(geom, ind):
+                    bend = geom.bends[ind]
+                    if self.smooth_line:
+                        self.bends_reduced.append(_BendReduced(
+                            geom, geom.coords[bend.i].copy(), geom.coords[bend.j].copy(),
+                            bend.pts.copy()))
+                    self._delete_vertices(geom, bend.i + 1, bend.j - 1)
+                    nbr += 1
+        return nbr
+
+    def _manage_reduce_bend(self):
+        """Reference :1664-1699."""
+        min_nbr_pass = 2
+        while True:
+            nbr_bend_reduced = 0
+            nbr_bend_detected = 0
+            for geom in self.geoms:
+                if not geom.is_simplest:
+                    self._delete_co_linear(geom)
+                    nbr_bend_detected = self._detect_bends(geom)
+                    if geom.need_pivot:
+                        self._pivot_closed_line(geom)
+                        nbr_bend_detected = self._detect_bends(geom)
+                    self._flag_bend_to_reduce(geom)
+                    nbr_bend_reduced += self._process_bends(geom)
+            self.res.nbr_bend_reduced.append(nbr_bend_reduced)
+            self.res.nbr_bend_detected.append(nbr_bend_detected)
+            if self.res.nbr_pass > min_nbr_pass and nbr_bend_reduced == 0:
+                break
+            self.res.nbr_pass += 1
+
+    # -- smoothing --------------------------------------------------------------------
+
+    @staticmethod
+    def _calculate_smooth_angle(angle_i, angle_j, smooth_case):
+        """Reference BendReduced._calculate_angle (:791-819)."""
+        if angle_i > math.pi:
+            angle_i = (2 * math.pi) - angle_i
+        if angle_j > math.pi:
+            angle_j = (2 * math.pi) - angle_j
+        angle_smooth = max(angle_i, angle_j)
+        angle_smooth = math.pi - angle_smooth
+        if smooth_case == 1:
+            angle_smooth /= 1.5
+            if math.degrees(angle_smooth) > 30.:
+                angle_smooth = math.radians(30.)
+        else:  # cases 2 and 3
+            if smooth_case == 2:
+                angle_smooth /= 2.5
+                if math.degrees(angle_smooth) > 20.:
+                    angle_smooth = math.radians(20.)
+            else:
+                angle_smooth /= 3
+                if math.degrees(angle_smooth) > 20.:
+                    angle_smooth = math.radians(20.)
+        return angle_smooth
+
+    def _calculate_smooth_line(self, br: _BendReduced):
+        """Reference :900-976 — translate to bend.i, rotate onto x-axis,
+        place 2 points at 1/3 and 2/3 of the base, rotate/translate back."""
+        cx, cy = P.ring_centroid(br.bend_ring)
+        g = br.geom.coords
+        sub = np.vstack([g[br.i - 1], g[br.i], g[br.j], g[br.j + 1]])
+        tx, ty = sub[1, 0], sub[1, 1]
+        sub_t = sub - np.array([tx, ty])
+        cen_t = np.array([[cx - tx, cy - ty]])
+
+        x_axis_length = math.hypot(sub_t[2, 0] - sub_t[1, 0], sub_t[2, 1] - sub_t[1, 1])
+        angle_x_axis = P.angle_between_three_points(
+            x_axis_length, 0., sub_t[1, 0], sub_t[1, 1], sub_t[2, 0], sub_t[2, 1])
+        angle_deg = math.degrees(float(angle_x_axis))
+        sub_r = P.rotate_cw(sub_t, -angle_deg)
+        cen_r = P.rotate_cw(cen_t, -angle_deg)
+
+        base_length = sub_r[2, 0]
+        p0_x = base_length * (1. / 3.)
+        p1_x = base_length * (2. / 3.)
+
+        if sub_r[0, 1] * sub_r[3, 1] > 0:
+            if sub_r[0, 1] * cen_r[0, 1] < 0:
+                smooth_case = 1
+            else:
+                smooth_case = 2
+        else:
+            smooth_case = 3
+
+        angle_i = float(P.angle_between_three_points(
+            sub_r[0, 0], sub_r[0, 1], sub_r[1, 0], sub_r[1, 1], sub_r[2, 0], sub_r[2, 1]))
+        angle_j = float(P.angle_between_three_points(
+            sub_r[1, 0], sub_r[1, 1], sub_r[2, 0], sub_r[2, 1], sub_r[3, 0], sub_r[3, 1]))
+        angle_smooth = self._calculate_smooth_angle(angle_i, angle_j, smooth_case)
+
+        p0_y = math.tan(angle_smooth) * p0_x
+        if smooth_case in (1, 2):
+            if sub_r[0, 1] > 0.:
+                p0_y *= -1
+            s0 = (p0_x, p0_y)
+            s1 = (p1_x, p0_y)
+        else:
+            if sub_r[0, 1] > 0.:
+                p0_y *= -1
+            s0 = (p0_x, p0_y)
+            p0_y *= -1
+            s1 = (p1_x, p0_y)
+
+        smooth = np.array([[sub_r[1, 0], sub_r[1, 1]], [s0[0], s0[1]],
+                           [s1[0], s1[1]], [sub_r[2, 0], sub_r[2, 1]]])
+        smooth = P.rotate_cw(smooth, angle_deg)
+        smooth = smooth + np.array([tx, ty])
+        br.smooth_line = smooth
+
+    def _resolve_non_valid_polygon(self, br: _BendReduced):
+        """Reference :844-879: close the smooth line; if the ring
+        self-intersects, split into valid parts (the only geometry a
+        4-point smooth line can produce is a bow-tie across the base);
+        reject smoothing if a part is degenerate."""
+        ring = np.vstack([br.smooth_line, br.smooth_line[:1]])
+        # check ring simplicity: only non-adjacent segment pairs can cross
+        sl = br.smooth_line
+        closure = (sl[3], sl[0])
+        mid = (sl[1], sl[2])
+        cross = P.segment_intersection_point(closure[0], closure[1], mid[0], mid[1])
+        crosses = cross is not None and not (
+            (cross[0] == sl[0][0] and cross[1] == sl[0][1]) or
+            (cross[0] == sl[3][0] and cross[1] == sl[3][1]))
+        if not crosses:
+            br.smooth_parts = [ring]
+            return
+        x = np.array(cross)
+        part1 = np.vstack([sl[0], sl[1], x, sl[0]])
+        part2 = np.vstack([x, sl[2], sl[3], x])
+        parts = []
+        for part in (part1, part2):
+            if P.ring_area(part) > self.eps.zero_relative:
+                parts.append(part)
+            else:
+                br.is_line_smoothable = False
+                br.smooth_parts = []
+                return
+        br.smooth_parts = parts
+
+    def _set_smooth_values(self, br: _BendReduced):
+        """Reference set_values (:978-1006)."""
+        base_len = math.hypot(br.pt_end[0] - br.pt_start[0], br.pt_end[1] - br.pt_start[1])
+        if base_len > self.diameter_tol * (2. / 3.):
+            br.i = self._extract_vertex_ind(br.geom, br.pt_start)
+            br.j = self._extract_vertex_ind(br.geom, br.pt_end)
+            if br.i is not None and br.j is not None:
+                if br.i + 1 == br.j:
+                    if br.i >= 1 and br.j <= len(br.geom.coords) - 2:
+                        br.is_line_smoothable = True
+                    else:
+                        br.is_line_smoothable = False
+                else:
+                    br.is_line_smoothable = False
+            else:
+                br.is_line_smoothable = False
+        if br.is_line_smoothable:
+            self._calculate_smooth_line(br)
+            self._resolve_non_valid_polygon(br)
+
+    def _extract_vertex_ind(self, geom: _Geom, pt) -> int | None:
+        """Reference :881-898 (closestVertex + distance gate)."""
+        d2 = (geom.coords[:, 0] - pt[0]) ** 2 + (geom.coords[:, 1] - pt[1]) ** 2
+        vid = int(np.argmin(d2))
+        if math.sqrt(d2[vid]) < self.eps.zero_relative:
+            return vid
+        return None
+
+    def _validate_constraints_smooth(self, br: _BendReduced) -> bool:
+        """Reference :1849-1891."""
+        if br.smooth_parts:
+            allpts = np.vstack(br.smooth_parts)
+        else:
+            allpts = br.smooth_line
+        rect = self._grow(P.bbox(allpts))
+        old_subline = np.vstack([br.pt_start[None, :], br.pt_end[None, :]])
+        self_segs = self._self_segments(br.geom, rect, old_subline, br.i, br.j)
+        other_segs, other_pts = self._other_geoms_in_rect(br.geom, rect)
+
+        if not self._validate_simplicity(self_segs, br.smooth_line):
+            return False
+        if not self._validate_intersection(other_segs, other_pts, br.smooth_line):
+            return False
+        for part in br.smooth_parts:
+            if not self._validate_sidedness(other_segs, other_pts, part):
+                return False
+        return True
+
+    def _manage_smooth_line(self):
+        """Reference :1918-1937."""
+        for br in self.bends_reduced:
+            self._set_smooth_values(br)
+            if br.is_line_smoothable:
+                if self._validate_constraints_smooth(br):
+                    g = br.geom
+                    g.coords = np.vstack([g.coords[:br.i + 1],
+                                          br.smooth_line[1:3],
+                                          g.coords[br.j:]])
+                    g.invalidate()
+                    self.res.nbr_line_smooth += 1
+
+    # -- output ---------------------------------------------------------------------
+
+    def _rebuild_features(self):
+        out = []
+        for f, geoms in zip(self.features, self.feature_geoms):
+            out.append(Feature(f.kind, [g.coords for g in geoms], f.attrs))
+        self.res.features = out
+
+
+def reduce_bends(features, diameter_tol, smooth_line=False, flag_del_outer=False,
+                 flag_del_inner=False, epsilon: Epsilon | None = None) -> ReduceBendResult:
+    """Facade mirroring ReduceBend.reduce (reference :1164-1184)."""
+    rb = ReduceBend(features, diameter_tol, smooth_line, flag_del_outer,
+                    flag_del_inner, epsilon)
+    return rb.reduce()
