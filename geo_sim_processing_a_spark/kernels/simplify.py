@@ -1,0 +1,191 @@
+"""Topology-preserving simplification kernels: Douglas-Peucker,
+Visvalingam-Whyatt, and the invalid-polygon repair pass.
+
+The reference delegates the DP kernel to QGIS's
+QgsTopologyPreservingSimplifier (simplify_algorithm.py:209-213) and has
+no unit tests for it; FIXTURES.md §G3 pins our behavior:
+
+ 1. iterative (stack-based) Douglas-Peucker per ring / line, vectorized
+    point-to-chord distances;
+ 2. rings keep >= 4 points (closed) / lines >= 2; a simplified ring
+    that self-intersects falls back to the unsimplified ring (the
+    "topology-preserving" contract within one feature);
+ 3. invalid-polygon repair: interior rings that escape their exterior
+    after simplification are deleted and counted.  NOTE the reference's
+    own repair branch raises TypeError as written
+    (``sort(key=polygon_area())``, simplify_algorithm.py:223,:265-266);
+    we implement the documented intent — sort rings by ascending area,
+    largest is the outer ring (FIXTURES.md §G3 records the divergence).
+
+Visvalingam-Whyatt is not in the reference; BASELINE.json's north_star
+names it.  Vertices are removed in ascending effective-area order until
+every remaining vertex's triangle area >= area_tol.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geom import primitives as P
+
+
+# ---------------------------------------------------------------------------
+# Douglas-Peucker
+# ---------------------------------------------------------------------------
+
+def _dp_mask(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Boolean keep-mask, iterative stack DP, vectorized distance."""
+    n = len(coords)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    x, y = coords[:, 0], coords[:, 1]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        d2 = P.point_segment_dist2(x[i + 1:j], y[i + 1:j], x[i], y[i], x[j], y[j])
+        k = int(np.argmax(d2))
+        if d2[k] > tolerance * tolerance:
+            k = i + 1 + k
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def _ring_self_intersects(ring: np.ndarray) -> bool:
+    """Any proper crossing between non-adjacent ring segments (quadratic
+    sweep — rings are small post-simplification)."""
+    r = ring
+    if r[0, 0] != r[-1, 0] or r[0, 1] != r[-1, 1]:
+        r = np.vstack([r, r[:1]])
+    m = len(r) - 1
+    for i in range(m):
+        for j in range(i + 2, m):
+            if i == 0 and j == m - 1:
+                continue
+            p = P.segment_intersection_point(r[i], r[i + 1], r[j], r[j + 1])
+            if p is not None:
+                # shared endpoint of adjacent-through-closure segments is fine
+                if (p[0] == r[i, 0] and p[1] == r[i, 1]) or \
+                        (p[0] == r[i + 1, 0] and p[1] == r[i + 1, 1]):
+                    continue
+                return True
+            if P.collinear_overlap(r[i], r[i + 1], r[j], r[j + 1]):
+                return True
+    return False
+
+
+def douglas_peucker_line(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    coords = np.asarray(coords, dtype=np.float64)
+    if len(coords) <= 2:
+        return coords
+    return coords[_dp_mask(coords, tolerance)]
+
+
+def douglas_peucker_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """DP on a closed ring: anchor at vertex 0 and the farthest vertex
+    from it, simplify both halves; falls back to the input ring if the
+    result is degenerate or self-intersecting."""
+    ring = np.asarray(ring, dtype=np.float64)
+    closed = ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]
+    r = ring[:-1] if closed else ring
+    n = len(r)
+    if n <= 3:
+        return ring
+    d2 = (r[:, 0] - r[0, 0]) ** 2 + (r[:, 1] - r[0, 1]) ** 2
+    piv = int(np.argmax(d2))
+    if piv == 0:
+        return ring
+    half1 = douglas_peucker_line(r[: piv + 1], tolerance)
+    half2 = douglas_peucker_line(np.vstack([r[piv:], r[:1]]), tolerance)
+    out = np.vstack([half1[:-1], half2])
+    if len(out) < 4 or P.ring_area(out) == 0.0 or _ring_self_intersects(out):
+        return ring
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Visvalingam-Whyatt
+# ---------------------------------------------------------------------------
+
+def _triangle_areas(coords: np.ndarray) -> np.ndarray:
+    a, b, c = coords[:-2], coords[1:-1], coords[2:]
+    return 0.5 * np.abs((b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+                        - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0]))
+
+
+def visvalingam_whyatt_line(coords: np.ndarray, area_tol: float) -> np.ndarray:
+    """Drop the minimum-effective-area vertex until all interior
+    vertices have triangle area >= area_tol (ties: lowest index)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    pts = coords.copy()
+    while len(pts) > 2:
+        areas = _triangle_areas(pts)
+        k = int(np.argmin(areas))
+        if areas[k] >= area_tol:
+            break
+        pts = np.delete(pts, k + 1, axis=0)
+    return pts
+
+
+def visvalingam_whyatt_ring(ring: np.ndarray, area_tol: float) -> np.ndarray:
+    ring = np.asarray(ring, dtype=np.float64)
+    closed = ring[0, 0] == ring[-1, 0] and ring[0, 1] == ring[-1, 1]
+    pts = ring[:-1] if closed else ring.copy()
+    while len(pts) > 3:
+        ext = np.vstack([pts[-1:], pts, pts[:1]])
+        areas = _triangle_areas(ext)
+        k = int(np.argmin(areas))
+        if areas[k] >= area_tol:
+            break
+        pts = np.delete(pts, k, axis=0)
+    out = np.vstack([pts, pts[:1]])
+    if _ring_self_intersects(out) or P.ring_area(out) == 0.0:
+        return ring
+    return out
+
+
+# ---------------------------------------------------------------------------
+# invalid-polygon repair (simplify_algorithm.py:218-246, fixed intent)
+# ---------------------------------------------------------------------------
+
+def repair_polygon(rings: list) -> tuple[list, int]:
+    """Re-assemble a possibly-invalid simplified polygon: the largest
+    ring becomes the exterior; interior rings are kept only if their
+    representative vertex lies strictly inside the exterior. Returns
+    (rings, nbr_holes_deleted)."""
+    if len(rings) <= 1:
+        return rings, 0
+    order = sorted(range(len(rings)), key=lambda i: P.ring_area(rings[i]))
+    outer = rings[order[-1]]
+    kept = [outer]
+    deleted = 0
+    for i in reversed(order[:-1]):
+        ring = rings[i]
+        inside = all(P.point_in_ring(x, y, outer) > 0 for x, y in ring[:-1]) \
+            if len(ring) > 1 else False
+        if inside:
+            kept.append(ring)
+        else:
+            deleted += 1
+    return kept, deleted
+
+
+def simplify_feature(rings: list, kind: int, tolerance: float,
+                     method: str = "dp") -> tuple[list, int]:
+    """Simplify one feature (kind per kernels.reduce_bend constants).
+    Returns (rings, nbr_holes_deleted)."""
+    if kind == 0:  # point
+        return rings, 0
+    if method == "vw":
+        area_tol = tolerance * tolerance
+        if kind == 1:
+            return [visvalingam_whyatt_line(rings[0], area_tol)], 0
+        simp = [visvalingam_whyatt_ring(r, area_tol) for r in rings]
+    else:
+        if kind == 1:
+            return [douglas_peucker_line(rings[0], tolerance)], 0
+        simp = [douglas_peucker_ring(r, tolerance) for r in rings]
+    return repair_polygon(simp)
