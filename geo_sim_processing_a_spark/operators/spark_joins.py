@@ -1,0 +1,120 @@
+"""DataFrame-level spatial joins (SURVEY.md X8/X9) — filter-refine:
+coarse Catalyst hash-join on cell, exact NumPy refine per group.
+
+X8 broadcast point-in-polygon join:
+    polygons -> cover cells (tiny dim side) -> broadcast
+    points   -> cell                       -> equi-join -> PIP refine
+X9 cell-local kNN:
+    candidates replicated to their cell's ring-1 neighborhood via
+    explode; queries keep their own cell; groupBy(cell) brute-force
+    refine (exact within cell+ring1 — callers pick the resolution so
+    the k-th neighbor distance < one cell size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells as C
+from .spatial_join import knn_brute, pip_refine
+
+
+def encode_cell_udf(res: int):
+    @F.pandas_udf("long")
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(C.encode(lon.to_numpy(), lat.to_numpy(), res))
+    return _enc
+
+
+def pip_join(points: DataFrame, polys: DataFrame, res: int = 8) -> DataFrame:
+    """points(pid, lon, lat) x polys(poly_id, xs, ys) ->
+    (pid, poly_id, lon, lat).  Polygon side broadcast."""
+    enc = encode_cell_udf(res)
+    pts = points.withColumn("cell", enc("lon", "lat"))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            ring = np.column_stack([np.asarray(x, float), np.asarray(y, float)])
+            out.append([int(c) for c in C.cover_polygon(ring, res)])
+        return pd.Series(out)
+
+    pol_cells = polys.withColumn("cell", F.explode(cover_udf("xs", "ys")))
+
+    joined = pts.join(F.broadcast(pol_cells), on="cell", how="inner")
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for (poly_id,), grp in pdf.groupby(["poly_id"], sort=True):
+            ring = np.column_stack([np.asarray(grp["xs"].iloc[0], float),
+                                    np.asarray(grp["ys"].iloc[0], float)])
+            px = grp["lon"].to_numpy()
+            py = grp["lat"].to_numpy()
+            inside = pip_refine(px, py, ring)
+            keep.append(grp.loc[inside, ["pid", "poly_id", "lon", "lat"]])
+        if keep:
+            return pd.concat(keep, ignore_index=True)
+        return pd.DataFrame({"pid": [], "poly_id": [], "lon": [], "lat": []})
+
+    return (joined.groupBy("cell")
+            .applyInPandas(refine, "pid long, poly_id long, lon double, lat double")
+            .dropDuplicates(["pid", "poly_id"]))
+
+
+def knn_join(points: DataFrame, k: int, res: int = 6) -> DataFrame:
+    """Self-kNN of points(pid, lon, lat): for each point the k nearest
+    OTHER points within its cell + ring-1 neighbors.  Exact in that
+    neighborhood; ties by (dist2, pid).  Returns
+    (pid, neighbor_id, dist2, rank)."""
+    enc = encode_cell_udf(res)
+    pts = points.withColumn("cell", enc("lon", "lat"))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def nbrs_udf(cell: pd.Series) -> pd.Series:
+        c = cell.to_numpy()
+        nb = C.neighbors(c)
+        out = []
+        for i in range(len(c)):
+            s = {int(c[i])}
+            s.update(int(v) for v in nb[i])
+            out.append(sorted(s))
+        return pd.Series(out)
+
+    cands = (pts.withColumn("home", F.col("cell"))
+             .withColumn("cell", F.explode(nbrs_udf("cell")))
+             .select(F.col("pid").alias("cid"), F.col("lon").alias("clon"),
+                     F.col("lat").alias("clat"), "cell"))
+    queries = pts.select("pid", "lon", "lat", "cell")
+    joined = queries.join(cands, on="cell", how="inner")
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf.drop_duplicates("pid")
+        c = pdf.drop_duplicates("cid")
+        cid = c["cid"].to_numpy()
+        order, d2 = knn_brute(q["lon"].to_numpy(), q["lat"].to_numpy(),
+                              c["clon"].to_numpy(), c["clat"].to_numpy(),
+                              cid, k + 1)
+        rows = {"pid": [], "neighbor_id": [], "dist2": [], "rank": []}
+        qid = q["pid"].to_numpy()
+        for i in range(len(qid)):
+            rank = 0
+            for j in range(order.shape[1]):
+                nid = cid[order[i, j]]
+                if nid == qid[i]:
+                    continue
+                rank += 1
+                if rank > k:
+                    break
+                rows["pid"].append(int(qid[i]))
+                rows["neighbor_id"].append(int(nid))
+                rows["dist2"].append(float(d2[i, j]))
+                rows["rank"].append(rank)
+        return pd.DataFrame(rows)
+
+    return (joined.groupBy("cell")
+            .applyInPandas(refine, "pid long, neighbor_id long, dist2 double, rank int"))

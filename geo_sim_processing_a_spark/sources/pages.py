@@ -1,0 +1,166 @@
+"""Deterministic synthetic web-pages table + text extraction + geocoder.
+
+Schema per BASELINE.json input_hint:
+    url:string, warc_ts:timestamp, html:binary, text:string, lang:string
+
+Everything derives from ``h = xxhash64(doc_index)`` (Spark-compatible,
+functions/hashing.py) so the SAME rows can be produced JVM-side or
+Python-side — the per-row invariant "byte-identical extracted text per
+url" is testable end-to-end (FIXTURES.md §T1, §G5.6).
+
+Iceberg note: the sandbox has no Iceberg runtime jar and no network, so
+the engine reads/writes parquet; the resume/lineage semantics Iceberg
+would give us are provided by sources/manifest.py instead (documented
+fallback per SURVEY.md §7 M6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.hashing import xxhash64_long
+
+LANGS = np.array(["en", "fr", "de", "es", "pt", "zh"])
+
+_VOCAB = np.array([
+    "the", "of", "and", "to", "in", "is", "for", "with", "on", "that",
+    "data", "map", "river", "road", "city", "terrain", "line", "bend",
+    "tile", "cell", "page", "crawl", "web", "text", "lang", "model",
+    "spark", "query", "join", "index", "scale", "shuffle", "stream",
+    "simplify", "skeleton", "polygon", "vertex", "angle", "area",
+    "distance", "north", "south", "east", "west", "alpha", "beta",
+    "gamma", "delta", "omega", "sigma", "kappa", "lambda", "micro",
+    "nano", "pico", "mega", "giga", "tera", "peta", "exa", "zetta",
+    "quad", "hexa", "octo",
+])
+
+EPOCH_2025 = np.datetime64("2025-01-01T00:00:00")
+
+
+def _texts_for_hashes(h: np.ndarray) -> np.ndarray:
+    """Deterministic token sequences, 50-2000 chars, from h alone."""
+    n_chars = (50 + (h % np.uint64(1951))).astype(np.int64)
+    out = np.empty(len(h), dtype=object)
+    vocab = _VOCAB
+    nv = len(vocab)
+    for i in range(len(h)):
+        x = int(h[i])
+        target = int(n_chars[i])
+        words = []
+        total = -1  # first word adds no leading space
+        while total < target:
+            # splitmix64 step (public-domain PRNG), pure int math
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            w = vocab[z % nv]
+            words.append(w)
+            total += len(w) + 1
+        out[i] = " ".join(words)[:target]
+    return out
+
+
+def generate_pages_pdf(ids: np.ndarray) -> pd.DataFrame:
+    """Generate the pages rows for the given doc indices (vectorized
+    except the bounded text loop)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    h = xxhash64_long(ids)
+    site = (h % np.uint64(10_000)).astype(np.int64)
+    url = np.array([f"https://site{s}.example/p/{i}" for s, i in zip(site, ids)],
+                   dtype=object)
+    warc_ts = EPOCH_2025 + (h % np.uint64(31_536_000)).astype("timedelta64[s]")
+    text = _texts_for_hashes(h)
+    lang = LANGS[(h % np.uint64(6)).astype(np.int64)]
+    html = np.array([
+        (f"<html><head><title>site{s}</title></head><body><p>{t}</p></body></html>"
+         ).encode("utf-8")
+        for s, t in zip(site, text)], dtype=object)
+    return pd.DataFrame({
+        "url": url,
+        "warc_ts": pd.Series(warc_ts),
+        "html": html,
+        "text": text,
+        "lang": lang,
+    })
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """P9 — deterministic text extraction, byte-identical per url.
+    Pulls the first <p>..</p> payload; falls back to tag stripping."""
+    s = html.decode("utf-8", errors="replace")
+    start = s.find("<p>")
+    if start != -1:
+        end = s.find("</p>", start)
+        if end != -1:
+            return s[start + 3:end]
+    out = []
+    in_tag = False
+    for ch in s:
+        if ch == "<":
+            in_tag = True
+        elif ch == ">":
+            in_tag = False
+        elif not in_tag:
+            out.append(ch)
+    return "".join(out)
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_bytes)
+
+
+# ---------------------------------------------------------------------------
+# P10 — deterministic geocoder (FIXTURES.md §T1 derived columns)
+# ---------------------------------------------------------------------------
+
+def geocode_hashes(h: np.ndarray):
+    """h -> (lon, lat, has_footprint, side) per FIXTURES.md T1:
+    lon=pmod(h,360000)/1000-180, lat=pmod(h>>20,170000)/1000-85; a
+    footprint square of side 0.01+pmod(h,100)/1e4 exists where
+    pmod(h,7)==0.  Defined on SIGNED h with pmod semantics (arithmetic
+    shift) so the identical expression is valid Spark SQL / DuckDB SQL:
+        pmod(xxhash64(doc_id), 360000)/1000 - 180  etc.
+    """
+    h = np.asarray(h, dtype=np.int64)
+    lon = np.mod(h, 360_000).astype(np.float64) / 1000.0 - 180.0
+    lat = np.mod(h >> 20, 170_000).astype(np.float64) / 1000.0 - 85.0
+    has_fp = np.mod(h, 7) == 0
+    side = 0.01 + np.mod(h, 100).astype(np.float64) / 1e4
+    return lon, lat, has_fp, side
+
+
+def footprint_square(lon: float, lat: float, side: float) -> np.ndarray:
+    half = side / 2.0
+    return np.array([
+        (lon - half, lat - half), (lon + half, lat - half),
+        (lon + half, lat + half), (lon - half, lat + half),
+        (lon - half, lat - half)], dtype=np.float64)
+
+
+def trace_polyline(h: int, lon: float, lat: float, n_min: int = 16,
+                   n_max: int = 48) -> np.ndarray:
+    """Deterministic wiggly polyline ("GPS trace") around the page's
+    point — the Sherbend workload of the pipeline.  Bounded vertex
+    count; pure integer PRNG; scale ~ the footprint scale."""
+    x = int(h) & 0xFFFFFFFFFFFFFFFF
+    n = n_min + (x % (n_max - n_min))
+    xs = np.empty(n)
+    ys = np.empty(n)
+    step = 0.002
+    cx, cy = lon, lat
+    for k in range(n):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        dx = ((z & 0xFF) - 127.5) / 127.5
+        dy = (((z >> 8) & 0xFF) - 127.5) / 127.5
+        cx += step * (1.0 + 0.5 * dx)
+        cy += step * dy
+        xs[k] = cx
+        ys[k] = cy
+    return np.column_stack([xs, ys])
