@@ -144,28 +144,31 @@ def cover_bbox(xmin, ymin, xmax, ymax, res: int) -> np.ndarray:
 
 
 def cover_polygon(ring: np.ndarray, res: int) -> np.ndarray:
-    """Cells at ``res`` intersecting the polygon ring (SURVEY.md X7):
-    bbox raster scan + cell-center PIP, unioned with a supercover walk
-    of every edge so thin polygons never drop cells."""
+    """Cells at ``res`` intersecting the polygon ring (SURVEY.md X7).
+    Exact: a candidate cell (from the bbox grid) is kept iff its center
+    is inside the polygon, or any polygon edge clips the cell box
+    (vectorized Liang-Barsky over all candidate cells per edge)."""
     from ..geom import primitives as P
 
     xmin, ymin, xmax, ymax = P.bbox(ring)
     cells = cover_bbox(xmin, ymin, xmax, ymax, res)
     lon0, lat0, lon1, lat1 = cell_bounds(cells)
     cx, cy = 0.5 * (lon0 + lon1), 0.5 * (lat0 + lat1)
-    inside = P.points_in_ring(cx, cy, ring)
-    keep = set(cells[inside].tolist())
-    # supercover the edges
-    n = np.int64(1) << np.int64(res)
-    step_lon, step_lat = 360.0 / float(n), 180.0 / float(n)
+    keep = P.points_in_ring(cx, cy, ring).copy()
+
     closed = np.vstack([ring, ring[:1]]) if (ring[0] != ring[-1]).any() else ring
     for k in range(len(closed) - 1):
-        x0, y0 = closed[k]
-        x1, y1 = closed[k + 1]
-        steps = int(max(abs(x1 - x0) / step_lon, abs(y1 - y0) / step_lat) * 2) + 2
-        ts = np.linspace(0.0, 1.0, steps)
-        ex = x0 + ts * (x1 - x0)
-        ey = y0 + ts * (y1 - y0)
-        for c in encode(ex, ey, res).tolist():
-            keep.add(c)
-    return np.array(sorted(keep), dtype=np.int64)
+        x0, y0 = float(closed[k, 0]), float(closed[k, 1])
+        dx, dy = float(closed[k + 1, 0]) - x0, float(closed[k + 1, 1]) - y0
+        # Liang-Barsky clip of segment against each cell box
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t0x = np.where(dx != 0, (lon0 - x0) / dx, np.where((lon0 <= x0) & (x0 <= lon1), -np.inf, np.inf))
+            t1x = np.where(dx != 0, (lon1 - x0) / dx, np.where((lon0 <= x0) & (x0 <= lon1), np.inf, -np.inf))
+            t0y = np.where(dy != 0, (lat0 - y0) / dy, np.where((lat0 <= y0) & (y0 <= lat1), -np.inf, np.inf))
+            t1y = np.where(dy != 0, (lat1 - y0) / dy, np.where((lat0 <= y0) & (y0 <= lat1), np.inf, -np.inf))
+        tx_lo, tx_hi = np.minimum(t0x, t1x), np.maximum(t0x, t1x)
+        ty_lo, ty_hi = np.minimum(t0y, t1y), np.maximum(t0y, t1y)
+        t_enter = np.maximum(np.maximum(tx_lo, ty_lo), 0.0)
+        t_exit = np.minimum(np.minimum(tx_hi, ty_hi), 1.0)
+        keep |= t_enter <= t_exit
+    return np.sort(cells[keep])
