@@ -1,0 +1,185 @@
+"""Deduplication operators (task brief): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Shapes chosen for 100 TB scale:
+ - exact dedup is one hash-aggregate (partial+final, no UDF);
+ - MinHash signatures are computed in ONE Arrow batch kernel per
+   partition (vectorized over the doc x permutation matrix), then LSH
+   banding turns near-dup search into an equi-join on (band, hash) —
+   the classic shuffle-friendly shape (candidates only, verified
+   exactly afterwards);
+ - SimHash uses 4x16-bit band buckets for Hamming<=3 candidates;
+ - embedding near-dup reuses the LSH-bucketed cosine join in
+   similarity.py.
+
+Determinism: all hash seeds are fixed constants; permutations come
+from splitmix64, not RNG state.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: canonical (min) id + dup count."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count("*").alias("n_dups"))
+            .select("text_md5", "canonical_id", "n_dups"))
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < n:
+        toks = toks + [""] * (n - len(toks))
+    return np.array(sorted({zlib.crc32(" ".join(toks[i:i + n]).encode("utf-8"))
+                            for i in range(max(1, len(toks) - n + 1))}),
+                    dtype=np.uint64)
+
+
+def _perm_params(n_hashes: int):
+    """Deterministic (a, b) permutation params via splitmix64."""
+    a = np.empty(n_hashes, dtype=np.uint64)
+    b = np.empty(n_hashes, dtype=np.uint64)
+    x = 0x9E3779B97F4A7C15
+    for i in range(n_hashes):
+        for tgt in (a, b):
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            tgt[i] = (z ^ (z >> 31)) % MERSENNE
+    a[a == 0] = 1
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 32,
+                       shingle: int = 3) -> DataFrame:
+    a, b = _perm_params(n_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                sh = _shingle_hashes(t or "", shingle)
+                # (n_shingles, n_hashes) permuted values, min over rows
+                vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE)
+                out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = 32,
+                      bands: int = 8, shingle: int = 3,
+                      threshold: float = 0.7) -> DataFrame:
+    """Candidate pairs via banding, then EXACT Jaccard verification on
+    the shingle sets — returns (id_a, id_b, jaccard) with id_a < id_b,
+    jaccard >= threshold."""
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle)
+
+    band_cols = [F.struct(F.lit(bi).alias("band"),
+                          F.xxhash64(F.concat_ws(
+                              ",", *[F.element_at("sig", bi * rows_per_band + r + 1)
+                                     for r in range(rows_per_band)])).alias("bh"))
+                 for bi in range(bands)]
+    buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+               .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")))
+    cand = (buckets.alias("l").join(buckets.alias("r"), ["band", "bh"])
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+            .distinct())
+
+    texts = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    pairs = (cand.join(texts.withColumnRenamed("doc_id", "id_a")
+                       .withColumnRenamed("text", "text_a"), "id_a")
+             .join(texts.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("text", "text_b"), "id_b"))
+
+    @F.pandas_udf("double")
+    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta))
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa = set(_shingle_hashes(x or "", shingle).tolist())
+            sb = set(_shingle_hashes(y or "", shingle).tolist())
+            inter = len(sa & sb)
+            union = len(sa | sb) or 1
+            out[i] = inter / union
+        return pd.Series(out)
+
+    return (pairs.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle: int = 3,
+                        threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidates (alias of the verified
+    MinHash path with enough bands to make recall ~1 at the
+    threshold)."""
+    return minhash_lsh_pairs(docs, id_col, text_col, n_hashes=64, bands=32,
+                             shingle=shingle, threshold=threshold)
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash of token crc32-seeded splitmix hashes."""
+    @F.pandas_udf("long")
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                out[i] = 0
+                continue
+            hs = np.array([zlib.crc32(w.encode("utf-8")) for w in toks], dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                z = (hs + np.uint64(0x9E3779B97F4A7C15))
+                z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                z = z ^ (z >> np.uint64(31))
+            bits = ((z[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+            votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for bpos in np.flatnonzero(votes > 0):
+                sig |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit band join (guarantees recall
+    for Hamming<=3), exact Hamming verify via bit_count."""
+    sigs = simhash_signatures(docs, id_col, text_col)
+    band_cols = [F.struct(F.lit(b).alias("band"),
+                          F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+                 for b in range(4)]
+    buckets = (sigs.select("doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb"))
+               .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+                       F.col("bb.bh").alias("bh")))
+    return (buckets.alias("l").join(buckets.alias("r"), ["band", "bh"])
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"),
+                    F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())

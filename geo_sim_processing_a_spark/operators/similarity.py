@@ -1,0 +1,101 @@
+"""Similarity search over an embedding column (task brief):
+ - brute-force cosine top-k (the exactness baseline; JVM-side
+   aggregate expressions, no Python in the hot path),
+ - random-hyperplane LSH-bucketed variant (the 100 TB scale path:
+   candidates via equi-join on bucket signature, exact re-rank inside
+   buckets only).
+
+Embeddings are array<float>; math is done in double for stable results
+(and rounded in oracle-compared outputs)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def with_cosine(df: DataFrame, left: str, right: str, out: str = "cos") -> DataFrame:
+    return df.withColumn(out, _dot(F.col(left), F.col(right))
+                         / (_norm(F.col(left)) * _norm(F.col(right))))
+
+
+def brute_topk(vectors: DataFrame, queries: DataFrame, k: int,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Exact cosine top-k of each query against all vectors.  The query
+    side is broadcast (small); ranking is a window per query; ties by
+    vec_id.  All JVM-side."""
+    joined = vectors.crossJoin(F.broadcast(queries))
+    scored = joined.withColumn(
+        "cos", _dot(F.col(vec_col), F.col(qvec_col))
+        / (_norm(F.col(vec_col)) * _norm(F.col(qvec_col))))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col(qid_col).alias("qid"), F.col(id_col).alias("vec_id"),
+                    F.round("cos", 6).alias("cos"), "rank"))
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes (splitmix64 -> uniform)."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    x = 0x51A2B3C4D5E6F708
+    for i in range(n_planes):
+        for j in range(dim):
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            out[i, j] = (z / 2**64) * 2.0 - 1.0
+    return out
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 12):
+    planes = _hyperplanes(dim, n_planes)
+
+    @F.pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return bucket
+
+
+def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 10) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by hyperplane sign
+    signature, exact cosine within buckets (plus 1-bit-flip neighbor
+    buckets for recall), threshold filter.  Returns (id_a, id_b, cos)."""
+    bucket = lsh_bucket_udf(dim, n_planes)
+    b = vectors.withColumn("bucket", bucket(F.col(vec_col)))
+    # probe buckets: own + each 1-bit flip (multi-probe LSH)
+    probes = F.array(F.col("bucket"),
+                     *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                    F.explode(probes).alias("bucket"))
+    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    cand = (left.join(right, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb").distinct())
+    scored = cand.withColumn("cos", _dot(F.col("va"), F.col("vb"))
+                             / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    return (scored.where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

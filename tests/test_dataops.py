@@ -1,0 +1,112 @@
+"""Training-data operators over the driver's documents/embeddings
+tables: dedup family, text analysis, similarity search, multimodal
+plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_sim_processing_a_spark.operators import dedup as D
+from geo_sim_processing_a_spark.operators import similarity as S
+from geo_sim_processing_a_spark.operators import text as TX
+from geo_sim_processing_a_spark.operators.multimodal import (
+    extract_media_features, fake_decode_features)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs)
+    n_docs = docs.count()
+    assert out.count() == docs.select("text").distinct().count()
+    assert out.agg(F.sum("n_dups")).collect()[0][0] == n_docs
+
+
+def test_minhash_detects_planted_dups(spark, docs):
+    # plant near-duplicates: copy of doc text with one word changed
+    base = docs.limit(20).select("doc_id", "text").collect()
+    planted = [(int(r["doc_id"]) + 1_000_000, r["text"] + " extra") for r in base]
+    aug = docs.select("doc_id", "text").union(
+        spark.createDataFrame(planted, "doc_id long, text string"))
+    pairs = D.minhash_lsh_pairs(aug, threshold=0.6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    hits = sum(1 for r in base
+               if (int(r["doc_id"]), int(r["doc_id"]) + 1_000_000) in found)
+    assert hits >= 16  # high recall on trivially-near dups
+
+
+def test_simhash_pairs_on_dups(spark, docs):
+    base = docs.limit(10).select("doc_id", "text").collect()
+    planted = [(int(r["doc_id"]) + 1_000_000, r["text"]) for r in base]
+    aug = docs.select("doc_id", "text").union(
+        spark.createDataFrame(planted, "doc_id long, text string"))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_pairs(aug).collect()}
+    for r in base:
+        key = (int(r["doc_id"]), int(r["doc_id"]) + 1_000_000)
+        assert pairs.get(key) == 0  # identical text -> hamming 0
+
+
+def test_text_features(spark, docs):
+    out = TX.with_text_features(docs)
+    rows = out.select("doc_id", "text", "lang_pred", "n_tokens", "quality", "fp").collect()
+    for r in rows[:50]:
+        assert r["n_tokens"] == len(r["text"].split())
+        assert 0.0 <= r["quality"] <= 1.0
+        assert len(r["fp"]) == 32
+
+
+def test_brute_topk_matches_numpy(spark, emb):
+    vecs = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in vecs])
+    mat = np.array([r["embedding"] for r in vecs], dtype=np.float64)
+    queries = spark.createDataFrame(
+        [(int(ids[i]), [float(x) for x in mat[i]]) for i in range(3)],
+        "qid long, qvec array<double>")
+    out = S.brute_topk(emb, queries, k=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    norms = np.linalg.norm(mat, axis=1)
+    for qi in range(3):
+        cos = (mat @ mat[qi]) / (norms * norms[qi])
+        order = np.lexsort((ids, -np.round(cos, 12)))[:5]
+        exp = [(r + 1, int(ids[order[r]])) for r in range(5)]
+        assert sorted(got[int(ids[qi])]) == exp
+
+
+def test_lsh_near_dup_finds_self_dups(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    # plant exact duplicate vectors
+    dup = emb.limit(5).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    aug = emb.select("vec_id", "embedding").union(dup)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             S.lsh_self_near_dup(aug, dim, threshold=0.999).collect()}
+    base_ids = [r["vec_id"] for r in emb.limit(5).collect()]
+    for b in base_ids:
+        assert (b, b + 100000) in pairs
+
+
+def test_multimodal_plumbing(spark):
+    from geo_sim_processing_a_spark.sources.spark_pages import build_pages
+    pages = build_pages(spark, 50, partitions=2)
+    feats = extract_media_features(pages).collect()
+    assert len(feats) == 50
+    for r in feats[:5]:
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-3
+    # deterministic
+    one = fake_decode_features(b"hello world")
+    assert np.array_equal(one, fake_decode_features(b"hello world"))
