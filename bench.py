@@ -1,0 +1,91 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "tiles_plus_geoms_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...}
+
+The headline metric matches BASELINE.json: (tiles + simplified
+geometries) / second of the flagship geo pipeline (geocode -> tile ->
+salt -> per-tile Sherbend).  Relational/dedup/similarity query
+timings ride along in "queries".
+
+Env knobs: SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_PAGES
+(default 40000), SPARK_GRAFT_SF_DIR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+
+    from pyspark.sql import functions as F
+
+    from geo_sim_processing_a_spark.plans.session import get_spark
+    from geo_sim_processing_a_spark.plans import driver_queries as Q
+    from geo_sim_processing_a_spark.plans.pipeline import (
+        pages_to_geoms, simplify_tiles)
+    from geo_sim_processing_a_spark.operators.tiling import (
+        salt_by_cell, with_cell_cover)
+    from geo_sim_processing_a_spark.sources.spark_pages import build_pages
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        return out
+
+    # ---- headline: flagship geo pipeline over synthetic pages ----
+    def geo_pipeline():
+        pages = build_pages(spark, n_pages, partitions=cpus)
+        covered = with_cell_cover(pages_to_geoms(pages.dropDuplicates(["url"])), res=6)
+        salted = salt_by_cell(covered, target_rows_per_task=20_000)
+        out = simplify_tiles(salted, diameter_tol=0.004, kernel="sherbend")
+        return out.agg(F.count("*").alias("geoms"),
+                       F.countDistinct("cell").alias("tiles"),
+                       F.sum("n_in").alias("v_in"),
+                       F.sum("n_out").alias("v_out")).collect()[0]
+
+    head = run("geo_pipeline_sherbend", geo_pipeline)
+    tiles_plus_geoms = int(head["tiles"]) + int(head["geoms"])
+    throughput = tiles_plus_geoms / timings["geo_pipeline_sherbend"]
+
+    # ---- ride-along operator timings at the sf dir ----
+    def count_of(qfn):
+        return lambda: qfn(spark, sf_dir).count()
+
+    for name in ["q01_pricing_summary", "q03_order_revenue", "q05_nation_volume",
+                 "q_window_top_orders", "q_events_sessions", "q_dedup_exact",
+                 "q_text_features", "q_cell_encode", "q_pip_join",
+                 "q_embedding_topk", "q_minhash_near_dup"]:
+        run(name, count_of(Q.all_queries()[name]))
+
+    spark.stop()
+
+    print(json.dumps({
+        "metric": "tiles_plus_geoms_per_sec",
+        "value": round(throughput, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "detail": {"tiles": int(head["tiles"]), "geoms": int(head["geoms"]),
+                   "v_in": int(head["v_in"]), "v_out": int(head["v_out"]),
+                   "cpus": cpus, "n_pages": n_pages},
+    }))
+
+
+if __name__ == "__main__":
+    main()

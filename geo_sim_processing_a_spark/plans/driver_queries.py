@@ -1,0 +1,664 @@
+"""The driver-contract query battery (__spark_entry__.py).
+
+Each entry: a Spark DataFrame builder (spark, sf_dir) -> DataFrame and,
+where ANSI-SQL-expressible, a DuckDB oracle string over the same
+parquet views.  Column names/aliases match EXACTLY between the two
+(the driver hash-compares values after sorting columns by name).
+
+Float discipline for hash-compared queries: every float output column
+is rounded to 6 decimals on BOTH sides with identical expression
+order, and all tie-breaks are by an id column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational / aggregate / window (SURVEY.md §2.7-2.8 engine surface)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count("*").alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q03_order_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (c.where(F.col("c_mktsegment") == "BUILDING")
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderkey")
+            .limit(20))
+
+
+SQL_Q03 = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def q05_nation_volume(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.join(s, l.l_suppkey == s.s_suppkey)
+            .join(n, s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items"))
+            .orderBy("r_name", "n_name"))
+
+
+SQL_Q05 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_window_top_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", F.round("o_totalprice", 6).alias("price"), "rnk"))
+
+
+SQL_WINDOW_TOP = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS price, rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+WHERE rnk <= 3
+"""
+
+
+def q_supplier_rank(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (l.join(s, l.l_suppkey == s.s_suppkey)
+           .groupBy("s_nationkey", "s_suppkey")
+           .agg(F.round(F.sum("l_extendedprice"), 6).alias("revenue")))
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("revenue"), "s_suppkey")
+    return (rev.withColumn("rnk", F.dense_rank().over(w))
+            .where(F.col("rnk") <= 2)
+            .select("s_nationkey", "s_suppkey", "revenue", "rnk"))
+
+
+SQL_SUPPLIER_RANK = """
+SELECT s_nationkey, s_suppkey, revenue, rnk
+FROM (SELECT s_nationkey, s_suppkey, revenue,
+             dense_rank() OVER (PARTITION BY s_nationkey
+                                ORDER BY revenue DESC, s_suppkey) AS rnk
+      FROM (SELECT s_nationkey, s_suppkey,
+                   round(sum(l_extendedprice), 6) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey, s_suppkey) r) t
+WHERE rnk <= 2
+"""
+
+
+def q_events_by_type_day(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .orderBy("event_type", "day"))
+
+
+SQL_EVENTS_DAY = """
+SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+ORDER BY event_type, day
+"""
+
+
+def q_events_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+    return (e.withColumn("new_session",
+                         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+SQL_EVENTS_SESSIONS = """
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM (SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events) t
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_lang_dist(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang", "source")
+            .agg(F.count("*").alias("n"), F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+            .orderBy("lang", "source"))
+
+
+SQL_LANG_DIST = """
+SELECT lang, source, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / text analysis (operators/dedup.py, operators/text.py)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from ..operators.dedup import exact_dedup
+    return (exact_dedup(_t(spark, sf_dir, "documents"))
+            .orderBy("text_md5"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text) ORDER BY text_md5
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from ..operators.text import fingerprint
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_features(spark, sf_dir):
+    from ..operators.text import lang_id, quality_score, token_count
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (d.select("doc_id",
+                     lang_id(c).alias("lang_pred"),
+                     token_count(c).alias("n_tokens"),
+                     quality_score(c).alias("quality"))
+            .orderBy("doc_id"))
+
+
+def _sql_marker_hits(words):
+    terms = []
+    for w in words:
+        hay = f" {w} "
+        terms.append(
+            f"CAST(floor((length(padded) - length(replace(padded, '{hay}', ' ')))"
+            f" / length('{hay}')) AS INT)")
+    return " + ".join(terms)
+
+
+def _sql_text_features():
+    from ..operators.text import LANG_MARKERS
+    score_cols = ",\n       ".join(
+        f"({_sql_marker_hits(ws)}) AS score_{lang}"
+        for lang, ws in sorted(LANG_MARKERS.items()))
+    langs = sorted(LANG_MARKERS)
+    # argmax with strict > in sorted-language order (same as Spark fold)
+    case = "CASE"
+    best_expr = "0"
+    pick = "'und'"
+    for lang in langs:
+        pick = (f"CASE WHEN score_{lang} > greatest({best_expr}) "
+                f"THEN '{lang}' ELSE ({pick}) END")
+        best_expr = best_expr + f", score_{lang}"
+    _ = case
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, concat(' ', lower(text), ' ') AS padded FROM documents
+), scored AS (
+  SELECT doc_id, text,
+       {score_cols}
+  FROM base
+), tok AS (
+  SELECT doc_id, text,
+         {_SQL_PICK_PLACEHOLDER} AS lang_pred,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+           / greatest(length(text), 1) AS punct,
+         length(regexp_replace(text, '\\s', '', 'g'))
+           / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS wl
+  FROM scored
+)
+SELECT doc_id, lang_pred, n_tokens,
+       round(least(length(text)/500.0, 1.0) * 0.5
+             + (1.0 - least(punct * 4.0, 1.0)) * 0.25
+             + (CASE WHEN wl >= 3.0 AND wl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.25,
+             6) AS quality
+FROM tok
+ORDER BY doc_id
+""".replace("{_SQL_PICK_PLACEHOLDER}", pick)
+
+
+_SQL_PICK_PLACEHOLDER = "{_SQL_PICK_PLACEHOLDER}"
+SQL_TEXT_FEATURES = None  # resolved lazily (needs LANG_MARKERS); see oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# cell encode / stats (operators/cells.py; morton unrolled in SQL)
+# ---------------------------------------------------------------------------
+
+CELL_RES = 12
+
+_PTS_CUST = """
+  SELECT c_custkey AS pid,
+         (c_custkey * 7919 % 360000) / 1000.0 - 180 AS lon,
+         (c_custkey * 104729 % 170000) / 1000.0 - 85 AS lat
+  FROM customer
+"""
+
+
+def _points_from_customer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 7919 % 360000) / 1000.0 - 180).alias("lon"),
+        ((F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85).alias("lat"))
+
+
+def q_cell_encode(spark, sf_dir):
+    from ..operators.spark_joins import encode_cell_udf
+    pts = _points_from_customer(spark, sf_dir)
+    enc = encode_cell_udf(CELL_RES)
+    return pts.select("pid", enc("lon", "lat").alias("cell")).orderBy("pid")
+
+
+def _sql_morton_cell(res: int) -> str:
+    n = 1 << res
+    return f"""
+WITH pts AS ({_PTS_CUST}),
+g AS (
+  SELECT pid,
+    least(greatest(CAST(floor(((lon + 180) / 360.0) * {n}) AS BIGINT), 0), {n - 1}) AS ix,
+    least(greatest(CAST(floor(((lat + 90) / 180.0) * {n}) AS BIGINT), 0), {n - 1}) AS iy
+  FROM pts
+),
+s1 AS (SELECT pid, (ix | (ix << 16)) & 281470681808895 AS x,
+                   (iy | (iy << 16)) & 281470681808895 AS y FROM g),
+s2 AS (SELECT pid, (x | (x << 8)) & 71777214294589695 AS x,
+                   (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+s3 AS (SELECT pid, (x | (x << 4)) & 1085102592571150095 AS x,
+                   (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+s4 AS (SELECT pid, (x | (x << 2)) & 3689348814741910323 AS x,
+                   (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+s5 AS (SELECT pid, (x | (x << 1)) & 6148914691236517205 AS x,
+                   (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+SELECT pid, (((x | (y << 1)) << 5) | {res}) AS cell FROM s5
+"""
+
+
+SQL_CELL_ENCODE = _sql_morton_cell(CELL_RES) + " ORDER BY pid"
+
+
+def q_cell_stats(spark, sf_dir):
+    return (q_cell_encode(spark, sf_dir)
+            .groupBy("cell").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "cell").limit(50))
+
+
+SQL_CELL_STATS = (
+    "WITH cells AS (" + _sql_morton_cell(CELL_RES) + ")\n"
+    "SELECT cell, count(*) AS n FROM cells GROUP BY cell "
+    "ORDER BY n DESC, cell LIMIT 50")
+
+
+# ---------------------------------------------------------------------------
+# PIP join / kNN (generic kernels vs SQL oracles on boundary-safe data)
+# ---------------------------------------------------------------------------
+
+_PTS_ORDERS = """
+  SELECT o_orderkey AS pid,
+         (o_orderkey * 7919 % 20000) / 1000.0 - 10 + 0.0005 AS lon,
+         (o_orderkey * 104729 % 20000) / 1000.0 - 10 + 0.0005 AS lat
+  FROM orders
+"""
+
+_BOXES_NATION = """
+  SELECT n_nationkey AS poly_id,
+         (n_nationkey * 2311 % 18000) / 1000.0 - 9 AS cx,
+         (n_nationkey * 1523 % 18000) / 1000.0 - 9 AS cy,
+         0.5 + (n_nationkey % 7) / 10.0 AS w,
+         0.5 + (n_nationkey % 5) / 10.0 AS h
+  FROM nation
+"""
+
+
+def _points_from_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("pid"),
+        ((F.col("o_orderkey") * 7919 % 20000) / 1000.0 - 10 + 0.0005).alias("lon"),
+        ((F.col("o_orderkey") * 104729 % 20000) / 1000.0 - 10 + 0.0005).alias("lat"))
+
+
+def _boxes_from_nation(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    b = n.select(
+        F.col("n_nationkey").cast("long").alias("poly_id"),
+        ((F.col("n_nationkey") * 2311 % 18000) / 1000.0 - 9).alias("cx"),
+        ((F.col("n_nationkey") * 1523 % 18000) / 1000.0 - 9).alias("cy"),
+        (0.5 + (F.col("n_nationkey") % 7) / 10.0).alias("w"),
+        (0.5 + (F.col("n_nationkey") % 5) / 10.0).alias("h"))
+    return b.select(
+        "poly_id",
+        F.array(F.col("cx") - F.col("w"), F.col("cx") + F.col("w"),
+                F.col("cx") + F.col("w"), F.col("cx") - F.col("w"),
+                F.col("cx") - F.col("w")).alias("xs"),
+        F.array(F.col("cy") - F.col("h"), F.col("cy") - F.col("h"),
+                F.col("cy") + F.col("h"), F.col("cy") + F.col("h"),
+                F.col("cy") - F.col("h")).alias("ys"))
+
+
+def q_pip_join(spark, sf_dir):
+    from ..operators.spark_joins import pip_join
+    pts = _points_from_orders(spark, sf_dir)
+    boxes = _boxes_from_nation(spark, sf_dir)
+    return (pip_join(pts, boxes, res=8)
+            .select("pid", "poly_id").orderBy("pid", "poly_id"))
+
+
+SQL_PIP_JOIN = f"""
+WITH pts AS ({_PTS_ORDERS}), boxes AS ({_BOXES_NATION})
+SELECT pid, poly_id
+FROM pts, boxes
+WHERE lon > cx - w AND lon < cx + w AND lat > cy - h AND lat < cy + h
+ORDER BY pid, poly_id
+"""
+
+
+def q_knn(spark, sf_dir):
+    from ..operators.spark_joins import knn_join
+    pts = _points_from_orders(spark, sf_dir).where(F.col("pid") % 8 == 0)
+    return (knn_join(pts, k=5, res=2)
+            .select("pid", "neighbor_id", "rank").orderBy("pid", "rank"))
+
+
+SQL_KNN = f"""
+WITH pts AS (SELECT * FROM ({_PTS_ORDERS}) WHERE pid % 8 = 0)
+SELECT pid, neighbor_id, rank FROM (
+  SELECT a.pid, b.pid AS neighbor_id,
+         row_number() OVER (PARTITION BY a.pid ORDER BY
+            (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat), b.pid) AS rank
+  FROM pts a JOIN pts b ON a.pid <> b.pid) t
+WHERE rank <= 5
+ORDER BY pid, rank
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    from ..operators.similarity import brute_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.where(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")))
+    return (brute_topk(emb, queries, k=5)
+            .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0)
+SELECT qid, vec_id, cos, rank FROM (
+  SELECT q.qid, v.vec_id,
+         round(list_dot_product(v.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos,
+         row_number() OVER (PARTITION BY q.qid ORDER BY
+            list_dot_product(v.embedding::DOUBLE[], q.qvec)
+               / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))) DESC, v.vec_id) AS rank
+  FROM embeddings v, q) t
+WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# geometry-kernel queries (non-SQL-expressible -> driver rows-only check)
+# ---------------------------------------------------------------------------
+
+def _pages_from_documents(spark, sf_dir, limit=None):
+    """Deterministic pages derived from the documents table's doc_ids."""
+    from ..sources.pages import generate_pages_pdf
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    if limit:
+        d = d.where(F.col("doc_id") < limit)
+
+    def gen(batches):
+        for pdf in batches:
+            yield generate_pages_pdf(pdf["doc_id"].to_numpy())
+
+    from ..sources.spark_pages import PAGES_SCHEMA
+    return d.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def q_reduce_bend_tiles(spark, sf_dir):
+    """Flagship: per-tile Sherbend over geocoded page geometries."""
+    from .pipeline import pages_to_geoms, simplify_tiles
+    from ..operators.tiling import salt_by_cell, with_cell_cover
+    pages = _pages_from_documents(spark, sf_dir)
+    covered = with_cell_cover(pages_to_geoms(pages), res=6)
+    salted = salt_by_cell(covered, target_rows_per_task=5000)
+    out = simplify_tiles(salted, diameter_tol=0.004, kernel="sherbend")
+    return (out.select("cell", "url", "kind", "n_in", "n_out")
+            .orderBy("cell", "url", "kind"))
+
+
+def q_dp_simplify(spark, sf_dir):
+    from .pipeline import pages_to_geoms, simplify_tiles
+    from ..operators.tiling import with_cell_cover
+    pages = _pages_from_documents(spark, sf_dir)
+    covered = with_cell_cover(pages_to_geoms(pages), res=6)
+    out = simplify_tiles(covered, diameter_tol=0.001, kernel="dp")
+    return (out.select("cell", "url", "kind", "n_in", "n_out")
+            .orderBy("cell", "url", "kind"))
+
+
+def q_vw_simplify(spark, sf_dir):
+    from .pipeline import pages_to_geoms, simplify_tiles
+    from ..operators.tiling import with_cell_cover
+    pages = _pages_from_documents(spark, sf_dir)
+    covered = with_cell_cover(pages_to_geoms(pages), res=6)
+    out = simplify_tiles(covered, diameter_tol=0.001, kernel="vw")
+    return (out.select("cell", "url", "kind", "n_in", "n_out")
+            .orderBy("cell", "url", "kind"))
+
+
+def q_chordal_axis(spark, sf_dir):
+    """Skeletons of the footprint polygons (tessellate + chordal axis
+    with corrections) — per-polygon kernel via applyInPandas."""
+    import numpy as np
+    import pandas as pd
+    from .pipeline import pages_to_geoms
+    from ..kernels.chordal_axis import chordal_axis_skeleton
+
+    pages = _pages_from_documents(spark, sf_dir)
+    polys = pages_to_geoms(pages).where(F.col("kind") == 2)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"url": [], "n_lines": [], "n_triangles": [], "skeleton_len": []}
+        for r in pdf.itertuples(index=False):
+            ring = np.column_stack([np.asarray(r.xs), np.asarray(r.ys)])
+            lines, stats = chordal_axis_skeleton([ring], correction=True)
+            total = float(sum(np.hypot(np.diff(l[:, 0]), np.diff(l[:, 1])).sum()
+                              for l in lines))
+            out["url"].append(r.url)
+            out["n_lines"].append(len(lines))
+            out["n_triangles"].append(stats["nbr_triangles"])
+            out["skeleton_len"].append(round(total, 6))
+        return pd.DataFrame(out)
+
+    return (polys.withColumn("grp", F.pmod(F.xxhash64("url"), F.lit(64)))
+            .groupBy("grp")
+            .applyInPandas(kernel, "url string, n_lines int, n_triangles int, skeleton_len double")
+            .orderBy("url"))
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_pairs
+    d = _t(spark, sf_dir, "documents")
+    return (minhash_lsh_pairs(d, threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    from ..operators.dedup import simhash_pairs
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from ..operators.similarity import lsh_self_near_dup
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return (lsh_self_near_dup(emb.select("vec_id", "embedding"), dim, threshold=0.9)
+            .orderBy("id_a", "id_b"))
+
+
+def q_raster_tiles(spark, sf_dir):
+    from .pipeline import pages_to_geoms
+    from ..operators.tiling import raster_tile_assign
+    pages = _pages_from_documents(spark, sf_dir)
+    geoms = pages_to_geoms(pages).where(F.col("kind") == 2)
+    out = raster_tile_assign(geoms, res=6)
+    return (out.select("cell", "url",
+                       F.size(F.filter("occupancy", lambda x: x)).alias("n_occupied"))
+            .orderBy("cell", "url"))
+
+
+def q_media_features(spark, sf_dir):
+    from ..operators.multimodal import extract_media_features
+    pages = _pages_from_documents(spark, sf_dir)
+    out = extract_media_features(pages)
+    return (out.select("url", "media_type", "n_bytes",
+                       F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"))
+            .orderBy("url"))
+
+
+def q_text_extract_parity(spark, sf_dir):
+    from .pipeline import extracted_text_parity
+    pages = _pages_from_documents(spark, sf_dir)
+    return (extracted_text_parity(pages)
+            .groupBy("ok").agg(F.count("*").alias("n")).orderBy("ok"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def all_queries():
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_order_revenue": q03_order_revenue,
+        "q05_nation_volume": q05_nation_volume,
+        "q_window_top_orders": q_window_top_orders,
+        "q_supplier_rank": q_supplier_rank,
+        "q_events_by_type_day": q_events_by_type_day,
+        "q_events_sessions": q_events_sessions,
+        "q_lang_dist": q_lang_dist,
+        "q_dedup_exact": q_dedup_exact,
+        "q_fingerprint": q_fingerprint,
+        "q_text_features": q_text_features,
+        "q_cell_encode": q_cell_encode,
+        "q_cell_stats": q_cell_stats,
+        "q_pip_join": q_pip_join,
+        "q_knn": q_knn,
+        "q_embedding_topk": q_embedding_topk,
+        # rows-only (non-SQL-expressible kernels)
+        "q_reduce_bend_tiles": q_reduce_bend_tiles,
+        "q_dp_simplify": q_dp_simplify,
+        "q_vw_simplify": q_vw_simplify,
+        "q_chordal_axis": q_chordal_axis,
+        "q_minhash_near_dup": q_minhash_near_dup,
+        "q_simhash_near_dup": q_simhash_near_dup,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_raster_tiles": q_raster_tiles,
+        "q_media_features": q_media_features,
+        "q_text_extract_parity": q_text_extract_parity,
+    }
+
+
+def all_oracles():
+    return {
+        "q01_pricing_summary": SQL_Q01,
+        "q03_order_revenue": SQL_Q03,
+        "q05_nation_volume": SQL_Q05,
+        "q_window_top_orders": SQL_WINDOW_TOP,
+        "q_supplier_rank": SQL_SUPPLIER_RANK,
+        "q_events_by_type_day": SQL_EVENTS_DAY,
+        "q_events_sessions": SQL_EVENTS_SESSIONS,
+        "q_lang_dist": SQL_LANG_DIST,
+        "q_dedup_exact": SQL_DEDUP_EXACT,
+        "q_fingerprint": SQL_FINGERPRINT,
+        "q_text_features": _sql_text_features(),
+        "q_cell_encode": SQL_CELL_ENCODE,
+        "q_cell_stats": SQL_CELL_STATS,
+        "q_pip_join": SQL_PIP_JOIN,
+        "q_knn": SQL_KNN,
+        "q_embedding_topk": SQL_EMBEDDING_TOPK,
+    }
