@@ -67,7 +67,7 @@ class _Geom:
     """Mutable linestring under reduction (reference RbGeom, :685-739)."""
 
     __slots__ = ("gid", "original_kind", "coords", "is_simplest", "need_pivot",
-                 "bends", "_seg_bbox")
+                 "bends", "_seg_bbox", "_bbox")
 
     def __init__(self, gid: int, original_kind: int, coords: np.ndarray, eps: Epsilon):
         self.gid = gid
@@ -77,6 +77,7 @@ class _Geom:
         self.need_pivot = False
         self.bends = []
         self._seg_bbox = None
+        self._bbox = None
         if original_kind == KIND_POINT:
             self.is_simplest = True
         elif original_kind == KIND_LINE:
@@ -97,6 +98,16 @@ class _Geom:
 
     def invalidate(self):
         self._seg_bbox = None
+        self._bbox = None
+
+    def bbox(self):
+        """Whole-geometry bbox, cached — the coarse prefilter standing
+        in for the reference's R-tree (reduce_bend_algorithm.py:481-534):
+        a geometry whose bbox misses the query rect has no segment in it."""
+        if self._bbox is None:
+            c = self.coords
+            self._bbox = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+        return self._bbox
 
     def seg_bbox(self):
         """(nseg,4) per-segment bbox array, cached until mutation."""
@@ -119,8 +130,18 @@ class _Bend:
         self.i = i
         self.j = j
         self.pts = pts
-        self.area = P.ring_area(pts)
-        self.perimeter = P.ring_perimeter(pts)
+        # fused area+perimeter (bit-identical to ring_area/ring_perimeter,
+        # one shifted-array pass instead of three)
+        x, y = pts[:, 0], pts[:, 1]
+        x2 = np.empty_like(x)
+        x2[:-1] = x[1:]
+        x2[-1] = x[0]
+        y2 = np.empty_like(y)
+        y2[:-1] = y[1:]
+        y2[-1] = y[0]
+        self.area = abs(0.5 * float(np.dot(x, y2) - np.dot(x2, y)))
+        dx, dy = x2 - x, y2 - y
+        self.perimeter = float(np.sqrt(dx * dx + dy * dy).sum())
         self.adj_area = calculate_adj_area(self.area, self.perimeter)
         self.to_reduce = False
 
@@ -221,6 +242,12 @@ class ReduceBend:
         self.geoms: list[_Geom] = []
         self.feature_geoms: list[list[_Geom]] = []
         self.bends_reduced: list[_BendReduced] = []
+        # vectorized candidate search: one (G,4) bbox matrix + kind
+        # array, rows updated in place on mutation (the engine's
+        # replacement for the reference's R-tree coarse filter)
+        self._bbox_arr: np.ndarray | None = None
+        self._kind_arr: np.ndarray | None = None
+        self._gid_row: dict[int, int] = {}
 
     # -- lifecycle ----------------------------------------------------------
 
@@ -282,6 +309,21 @@ class ReduceBend:
         e = self.eps.zero_relative * 100.
         return (rect[0] - e, rect[1] - e, rect[2] + e, rect[3] + e)
 
+    def _build_bbox_index(self):
+        g = len(self.geoms)
+        self._bbox_arr = np.empty((g, 4), dtype=np.float64)
+        self._kind_arr = np.empty(g, dtype=np.int8)
+        self._gid_row = {}
+        for i, geom in enumerate(self.geoms):
+            self._bbox_arr[i] = geom.bbox()
+            self._kind_arr[i] = geom.original_kind
+            self._gid_row[geom.gid] = i
+
+    def _touch_geom(self, geom: _Geom):
+        geom.invalidate()
+        if self._bbox_arr is not None:
+            self._bbox_arr[self._gid_row[geom.gid]] = geom.bbox()
+
     def _self_segments(self, geom: _Geom, rect, old_subline: np.ndarray,
                        excl_lo: int, excl_hi: int) -> list:
         """Own segments whose bbox intersects rect, excluding those
@@ -313,9 +355,15 @@ class ReduceBend:
         """(segments, points) of all OTHER live geometries intersecting
         rect (reference :506-534 splits the same way)."""
         segs, pts = [], []
-        for g in self.geoms:
-            if g.gid == geom.gid:
-                continue
+        if self._bbox_arr is None:
+            self._build_bbox_index()
+        bb_all = self._bbox_arr
+        hit = ((bb_all[:, 0] <= rect[2]) & (bb_all[:, 2] >= rect[0])
+               & (bb_all[:, 1] <= rect[3]) & (bb_all[:, 3] >= rect[1]))
+        self_row = self._gid_row[geom.gid]
+        hit[self_row] = False
+        for row in np.flatnonzero(hit):
+            g = self.geoms[row]
             c = g.coords
             if g.original_kind == KIND_POINT:
                 x, y = c[0, 0], c[0, 1]
@@ -343,7 +391,7 @@ class ReduceBend:
             geom.coords = c
         else:
             geom.coords = np.delete(geom.coords, np.arange(v_start, v_end + 1), axis=0)
-        geom.invalidate()
+        self._touch_geom(geom)
 
     # -- co-linear deletion ------------------------------------------------------
 
@@ -415,7 +463,7 @@ class ReduceBend:
             pts = geom.coords
             k = (bend_location.j + bend_location.i) // 2
             geom.coords = np.vstack([pts[k:], pts[1:k + 1]])
-            geom.invalidate()
+            self._touch_geom(geom)
 
     def _flag_bend_to_reduce(self, geom: _Geom):
         """Reference :1219-1273."""
@@ -729,7 +777,7 @@ class ReduceBend:
                     g.coords = np.vstack([g.coords[:br.i + 1],
                                           br.smooth_line[1:3],
                                           g.coords[br.j:]])
-                    g.invalidate()
+                    self._touch_geom(g)
                     self.res.nbr_line_smooth += 1
 
     # -- output ---------------------------------------------------------------------

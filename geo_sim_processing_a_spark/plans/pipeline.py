@@ -157,17 +157,40 @@ def _dp_kernel(pdf: pd.DataFrame, tolerance: float, method: str) -> pd.DataFrame
 
 
 def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
-                   kernel: str = "sherbend", smooth: bool = False) -> DataFrame:
-    """groupBy(cell, salt).applyInPandas over halo-complete tiles."""
+                   kernel: str = "sherbend", smooth: bool = False,
+                   n_buckets: int | None = None) -> DataFrame:
+    """Per-tile kernels over halo-complete tiles.
+
+    Tiles are BUCKETED before applyInPandas: one Spark group holds many
+    (cell, salt) tiles and the kernel iterates them locally — per-group
+    Arrow/worker overhead is paid per bucket, not per tile (at res 6+
+    most tiles hold a handful of geometries; per-tile groups measured
+    ~5 ms of pure overhead each).  Tile semantics are unchanged: each
+    (cell, salt) subgroup is still processed independently."""
     if kernel == "sherbend":
-        def fn(pdf):
+        def tile_fn(pdf):
             return _reduce_bend_kernel(pdf, diameter_tol, smooth)
     else:
-        def fn(pdf):
+        def tile_fn(pdf):
             return _dp_kernel(pdf, diameter_tol, kernel)
 
-    key = ["cell", "salt"] if "salt" in geoms_with_cells.columns else ["cell"]
-    return geoms_with_cells.groupBy(*key).applyInPandas(fn, KERNEL_OUT_SCHEMA)
+    has_salt = "salt" in geoms_with_cells.columns
+    key = ["cell", "salt"] if has_salt else ["cell"]
+
+    def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [tile_fn(grp) for _, grp in pdf.groupby(key, sort=True)]
+        if not outs:
+            return _kernel_out_pdf({k: [] for k in
+                                    ("cell", "url", "kind", "xs", "ys", "n_in", "n_out")})
+        return pd.concat(outs, ignore_index=True)
+
+    spark = geoms_with_cells.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
+    salt_col = F.col("salt") if has_salt else F.lit(0)
+    bucketed = geoms_with_cells.withColumn(
+        "grp", F.pmod(F.xxhash64(F.col("cell"), salt_col), F.lit(n_buckets)))
+    return bucketed.groupBy("grp").applyInPandas(bucket_fn, KERNEL_OUT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
