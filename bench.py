@@ -52,12 +52,15 @@ def main():
     def geo_pipeline():
         pages = build_pages(spark, n_pages, partitions=cpus)
         covered = with_cell_cover(pages_to_geoms(pages.dropDuplicates(["url"])), res=6)
+        covered = covered.persist()  # reused by salting's count pass
         salted = salt_by_cell(covered, target_rows_per_task=20_000)
         out = simplify_tiles(salted, diameter_tol=0.004, kernel="sherbend")
-        return out.agg(F.count("*").alias("geoms"),
-                       F.countDistinct("cell").alias("tiles"),
-                       F.sum("n_in").alias("v_in"),
-                       F.sum("n_out").alias("v_out")).collect()[0]
+        row = out.agg(F.count("*").alias("geoms"),
+                      F.countDistinct("cell").alias("tiles"),
+                      F.sum("n_in").alias("v_in"),
+                      F.sum("n_out").alias("v_out")).collect()[0]
+        covered.unpersist()
+        return row
 
     head = run("geo_pipeline_sherbend", geo_pipeline)
     tiles_plus_geoms = int(head["tiles"]) + int(head["geoms"])

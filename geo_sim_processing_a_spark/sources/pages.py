@@ -39,27 +39,39 @@ EPOCH_2025 = np.datetime64("2025-01-01T00:00:00")
 
 
 def _texts_for_hashes(h: np.ndarray) -> np.ndarray:
-    """Deterministic token sequences, 50-2000 chars, from h alone."""
+    """Deterministic token sequences, 50-2000 chars, from h alone.
+    Vectorized: the splitmix64 word chain is advanced for ALL rows at
+    once; per row we join exactly the words the sequential generator
+    would have taken (same chain, same output)."""
+    h = np.asarray(h, dtype=np.uint64)
+    n = len(h)
     n_chars = (50 + (h % np.uint64(1951))).astype(np.int64)
-    out = np.empty(len(h), dtype=object)
     vocab = _VOCAB
-    nv = len(vocab)
-    for i in range(len(h)):
-        x = int(h[i])
-        target = int(n_chars[i])
-        words = []
-        total = -1  # first word adds no leading space
-        while total < target:
-            # splitmix64 step (public-domain PRNG), pure int math
-            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-            z = x
-            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            z = z ^ (z >> 31)
-            w = vocab[z % nv]
-            words.append(w)
-            total += len(w) + 1
-        out[i] = " ".join(words)[:target]
+    nv = np.uint64(len(vocab))
+    wlens = np.array([len(w) for w in vocab], dtype=np.int64)
+    # worst case: all words are the shortest (len 2) -> ceil(2000/3)+1
+    W = 668
+    idx = np.empty((n, W), dtype=np.int64)
+    x = h.copy()
+    C = np.uint64(0x9E3779B97F4A7C15)
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+    with np.errstate(over="ignore"):
+        for k in range(W):
+            x = x + C
+            z = x.copy()
+            z = (z ^ (z >> np.uint64(30))) * M1
+            z = (z ^ (z >> np.uint64(27))) * M2
+            z = z ^ (z >> np.uint64(31))
+            idx[:, k] = (z % nv).astype(np.int64)
+    cum = np.cumsum(wlens[idx] + 1, axis=1) - 1  # total chars after k+1 words
+    # sequential rule: add words while total < target (total starts at -1)
+    nw = (cum < n_chars[:, None]).sum(axis=1) + 1
+    out = np.empty(n, dtype=object)
+    vl = vocab.tolist()
+    for i in range(n):
+        words = [vl[j] for j in idx[i, :nw[i]]]
+        out[i] = " ".join(words)[:n_chars[i]]
     return out
 
 
