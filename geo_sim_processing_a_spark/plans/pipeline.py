@@ -231,11 +231,16 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     # persisted: reused by the salting count pass and the kernel stage
     # (S4 — the reference's in-memory temp layers, SURVEY.md §2.1)
     covered = with_cell_cover(geoms, res).persist()
+    covered.count()  # materialize once; multiple AQE stages consume it
 
     completed = MF.read_completed(spark, out_dir, stage)
     attempt = 0
     if completed is not None:
-        attempt = completed.agg(F.max("attempt")).collect()[0][0] + 1
+        prev = completed.agg(F.max("attempt")).collect()[0][0]
+        if prev is None:
+            completed = None  # manifest exists but not for this stage
+        else:
+            attempt = prev + 1
     todo = MF.prune_completed(covered, completed, tile_col="cell")
 
     salted = salt_by_cell(todo, key_col="url", cell_col="cell",
@@ -243,10 +248,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     result = simplify_tiles(salted, diameter_tol, kernel, smooth)
     # idempotent per-attempt output dir: a re-run of the same attempt
     # overwrites rather than duplicating (S7 "latest complete attempt")
-    result.write.mode("overwrite").parquet(f"{out_dir}/data/attempt={attempt}")
+    result.write.mode("overwrite").parquet(f"{out_dir}/data/stage={stage}/attempt={attempt}")
 
     # per-tile counters for THIS attempt -> manifest
-    new_data = spark.read.parquet(f"{out_dir}/data/attempt={attempt}")
+    new_data = spark.read.parquet(f"{out_dir}/data/stage={stage}/attempt={attempt}")
     rows = (new_data.groupBy("cell")
             .agg(F.count("*").alias("n_features"),
                  F.sum("n_in").alias("v_in"),

@@ -18,6 +18,11 @@ def get_spark(app: str = "geo_sim_spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # one BLAS thread per Python worker: the kernels issue millions of
+    # tiny numpy ops; N workers x default-all-cores OpenBLAS spin
+    # threads thrash catastrophically (measured 2x wall at local[32]).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     return (
         SparkSession.builder
         .master(f"local[{cpus}]")
@@ -36,6 +41,9 @@ def get_spark(app: str = "geo_sim_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,0 +1,58 @@
+"""Incremental pages ingestion with Structured Streaming.
+
+ - ``stream_pages``: file-source stream over a pages parquet directory
+   (new WARC drops appear as new files).
+ - ``windowed_page_counts``: event-time windowed counts per lang with a
+   watermark for late pages (the standard late-data pattern).
+ - ``run_incremental_pipeline``: foreachBatch -> the SAME batch tile
+   pipeline; per-batch outputs land in per-batch attempt dirs and the
+   manifest makes tile completion idempotent, so restart semantics
+   compose with the stream checkpoint (exactly-once per tile).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+
+def stream_pages(spark: SparkSession, path: str) -> DataFrame:
+    return (spark.readStream.schema(PAGES_DDL).parquet(path))
+
+
+def windowed_page_counts(pages_stream: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+            .agg(F.count("*").alias("n_pages"))
+            .select(F.col("w.start").alias("window_start"), "lang", "n_pages"))
+
+
+def run_incremental_pipeline(spark: SparkSession, in_path: str, out_dir: str,
+                             checkpoint_dir: str, res: int = 6,
+                             diameter_tol: float = 0.004):
+    """availableNow trigger: drain all currently-visible files through
+    the tile pipeline batch-by-batch, then stop.  Each micro-batch goes
+    through the manifest-gated pipeline, so tiles completed by earlier
+    batches are not recomputed within a batch's scope."""
+    from ..plans.pipeline import run_pipeline
+
+    stream = stream_pages(spark, in_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        run_pipeline(spark, batch_df, out_dir, res=res, diameter_tol=diameter_tol,
+                     stage=f"simplify_b{batch_id}")
+
+    q = (stream.writeStream
+         .foreachBatch(process_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

@@ -1,0 +1,47 @@
+"""Structured Streaming ingestion: windowed counts with watermark and
+the incremental foreachBatch tile pipeline (exactly-once per tile via
+the manifest)."""
+
+from pyspark.sql import functions as F
+
+from geo_sim_processing_a_spark.sources.spark_pages import build_pages
+from geo_sim_processing_a_spark.streaming.ingest import (
+    run_incremental_pipeline, stream_pages, windowed_page_counts)
+
+
+def test_windowed_counts_availablenow(spark, tmp_path):
+    src = str(tmp_path / "pages_in")
+    build_pages(spark, 200, partitions=2).write.parquet(src)
+    out = windowed_page_counts(stream_pages(spark, src))
+    q = (out.writeStream.format("memory").queryName("wc")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("select sum(n_pages) as total from wc").collect()
+    # append mode only emits windows the watermark has passed; with one
+    # batch nothing may finalize — assert the query ran and the
+    # complete-mode variant accounts for every page
+    q2 = (windowed_page_counts(stream_pages(spark, src))
+          .writeStream.format("memory").queryName("wc2")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination()
+    total = spark.sql("select sum(n_pages) as t from wc2").collect()[0]["t"]
+    assert total == 200
+
+
+def test_incremental_pipeline(spark, tmp_path):
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    build_pages(spark, 120, partitions=2).write.parquet(src)
+    run_incremental_pipeline(spark, src, out, ckpt)
+    data = spark.read.option("basePath", f"{out}/data").parquet(f"{out}/data")
+    assert data.count() > 0
+    mf = spark.read.parquet(f"{out}/_manifest")
+    assert mf.count() > 0
+    # second drop of files -> only new batch processed, old untouched
+    build_pages(spark, 240, partitions=2).where(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") >= 120
+    ).write.mode("append").parquet(src)
+    run_incremental_pipeline(spark, src, out, ckpt)
+    data2 = spark.read.option("basePath", f"{out}/data").parquet(f"{out}/data")
+    assert data2.count() > data.count()
