@@ -33,9 +33,8 @@ def main():
     from geo_sim_processing_a_spark.plans.session import get_spark
     from geo_sim_processing_a_spark.plans import driver_queries as Q
     from geo_sim_processing_a_spark.plans.pipeline import (
-        pages_to_geoms, simplify_tiles)
-    from geo_sim_processing_a_spark.operators.tiling import (
-        salt_by_cell, with_cell_cover)
+        pages_to_covered_geoms, simplify_tiles)
+    from geo_sim_processing_a_spark.operators.tiling import salt_by_cell
     from geo_sim_processing_a_spark.sources.spark_pages import build_pages
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
@@ -51,7 +50,7 @@ def main():
     # ---- headline: flagship geo pipeline over synthetic pages ----
     def geo_pipeline():
         pages = build_pages(spark, n_pages, partitions=cpus)
-        covered = with_cell_cover(pages_to_geoms(pages.dropDuplicates(["url"])), res=6)
+        covered = pages_to_covered_geoms(pages.dropDuplicates(["url"]), res=6)
         # persist AND materialize: the salting count pass and the kernel
         # stage both consume `covered`; with AQE the two query stages can
         # run concurrently and would otherwise both compute the uncached

@@ -34,33 +34,64 @@ def cover_cells_arrays(xs: np.ndarray, ys: np.ndarray, res: int) -> np.ndarray:
                         float(np.max(xs)), float(np.max(ys)), res)
 
 
+def _cover_batch(pdf: pd.DataFrame, res: int) -> pd.DataFrame:
+    """Vectorized halo cover of one Arrow batch: per-geometry bbox via
+    ``np.minimum.reduceat`` over the concatenated coordinates, cover
+    grid enumerated with repeat/arange arithmetic, owner cell from the
+    first vertex — zero per-row Python."""
+    n = len(pdf)
+    if n == 0:
+        out = pdf.copy()
+        out["cell"] = pd.Series([], dtype="int64")
+        out["is_owner"] = pd.Series([], dtype="bool")
+        return out
+    xs_list = pdf["xs"].tolist()
+    ys_list = pdf["ys"].tolist()
+    lens = np.fromiter((len(v) for v in xs_list), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    fx = np.concatenate([np.asarray(v, dtype=np.float64) for v in xs_list])
+    fy = np.concatenate([np.asarray(v, dtype=np.float64) for v in ys_list])
+    minx = np.minimum.reduceat(fx, starts)
+    maxx = np.maximum.reduceat(fx, starts)
+    miny = np.minimum.reduceat(fy, starts)
+    maxy = np.maximum.reduceat(fy, starts)
+
+    ix0, iy0 = C.lonlat_to_ixiy(minx, miny, res)
+    ix1, iy1 = C.lonlat_to_ixiy(maxx, maxy, res)
+    w = ix1 - ix0 + 1
+    h = iy1 - iy0 + 1
+    counts = w * h
+    total = int(counts.sum())
+    row_idx = np.repeat(np.arange(n), counts)
+    cum = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=cum[1:])
+    k = np.arange(total, dtype=np.int64) - cum[row_idx]
+    wr = w[row_idx]
+    ix = ix0[row_idx] + (k % wr)
+    iy = iy0[row_idx] + (k // wr)
+    cells = C.encode_ixiy(ix, iy, res)
+    owner = C.encode(fx[starts], fy[starts], res)
+    is_owner = cells == owner[row_idx]
+
+    out = pdf.iloc[row_idx].reset_index(drop=True)
+    out["cell"] = cells
+    out["is_owner"] = is_owner
+    return out
+
+
 def with_cell_cover(geoms: DataFrame, res: int) -> DataFrame:
-    """geoms(url, kind, xs, ys, ...) -> exploded (cell, is_owner, ...).
+    """geoms(url, kind, xs, ys, ...) -> exploded (cell, is_owner, ...):
+    every geometry is duplicated into each covered cell (halo), with
+    exactly one owner copy (owner = cell of the first vertex)."""
+    out_fields = geoms.schema.simpleString()[len("struct<"):-1].replace(":", " ")
+    out_schema = out_fields + ", cell long, is_owner boolean"
 
-    The cover + owner computation runs in one Arrow batch UDF (no
-    per-row Python beyond the tiny per-geometry cover list)."""
-    out_schema = T.ArrayType(T.StructType([
-        T.StructField("cell", T.LongType()),
-        T.StructField("is_owner", T.BooleanType()),
-    ]))
+    def run(batches):
+        for pdf in batches:
+            yield _cover_batch(pdf, res)
 
-    @F.pandas_udf(out_schema)
-    def cover_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(xs, ys):
-            x = np.asarray(x, dtype=np.float64)
-            y = np.asarray(y, dtype=np.float64)
-            cov = cover_cells_arrays(x, y, res)
-            owner = int(C.encode(x[:1], y[:1], res)[0])
-            out.append([{"cell": int(c), "is_owner": bool(c == owner)} for c in cov])
-        return pd.Series(out)
-
-    exploded = (geoms
-                .withColumn("_cov", F.explode(cover_udf("xs", "ys")))
-                .withColumn("cell", F.col("_cov.cell"))
-                .withColumn("is_owner", F.col("_cov.is_owner"))
-                .drop("_cov"))
-    return exploded
+    return geoms.mapInPandas(run, out_schema)
 
 
 def salt_by_cell(df: DataFrame, key_col: str = "url", cell_col: str = "cell",
@@ -93,8 +124,9 @@ def salt_by_cell(df: DataFrame, key_col: str = "url", cell_col: str = "cell",
                               F.col("is_owner") & (F.col("salt") == F.col("home_salt"))))
     else:
         salted = base.withColumn("salt", F.col("home_salt"))
-    salted = salted.drop("n_salt", "home_salt")
-    return salted.repartition(F.col(cell_col), F.col("salt"))
+    # no repartition here: the kernel stage owns the single
+    # (cell, salt) shuffle (plans/pipeline.simplify_tiles)
+    return salted.drop("n_salt", "home_salt")
 
 
 def raster_tile_assign(geoms: DataFrame, res: int, sub_res: int = 4) -> DataFrame:

@@ -499,10 +499,10 @@ def _pages_from_documents(spark, sf_dir, limit=None):
 
 def q_reduce_bend_tiles(spark, sf_dir):
     """Flagship: per-tile Sherbend over geocoded page geometries."""
-    from .pipeline import pages_to_geoms, simplify_tiles
-    from ..operators.tiling import salt_by_cell, with_cell_cover
+    from .pipeline import pages_to_covered_geoms, simplify_tiles
+    from ..operators.tiling import salt_by_cell
     pages = _pages_from_documents(spark, sf_dir)
-    covered = with_cell_cover(pages_to_geoms(pages), res=6)
+    covered = pages_to_covered_geoms(pages, res=6)
     salted = salt_by_cell(covered, target_rows_per_task=5000)
     out = simplify_tiles(salted, diameter_tol=0.004, kernel="sherbend")
     return (out.select("cell", "url", "kind", "n_in", "n_out")
@@ -510,20 +510,18 @@ def q_reduce_bend_tiles(spark, sf_dir):
 
 
 def q_dp_simplify(spark, sf_dir):
-    from .pipeline import pages_to_geoms, simplify_tiles
-    from ..operators.tiling import with_cell_cover
+    from .pipeline import pages_to_covered_geoms, simplify_tiles
     pages = _pages_from_documents(spark, sf_dir)
-    covered = with_cell_cover(pages_to_geoms(pages), res=6)
+    covered = pages_to_covered_geoms(pages, res=6)
     out = simplify_tiles(covered, diameter_tol=0.001, kernel="dp")
     return (out.select("cell", "url", "kind", "n_in", "n_out")
             .orderBy("cell", "url", "kind"))
 
 
 def q_vw_simplify(spark, sf_dir):
-    from .pipeline import pages_to_geoms, simplify_tiles
-    from ..operators.tiling import with_cell_cover
+    from .pipeline import pages_to_covered_geoms, simplify_tiles
     pages = _pages_from_documents(spark, sf_dir)
-    covered = with_cell_cover(pages_to_geoms(pages), res=6)
+    covered = pages_to_covered_geoms(pages, res=6)
     out = simplify_tiles(covered, diameter_tol=0.001, kernel="vw")
     return (out.select("cell", "url", "kind", "n_in", "n_out")
             .orderBy("cell", "url", "kind"))

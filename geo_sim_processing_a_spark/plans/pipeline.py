@@ -91,6 +91,43 @@ def pages_to_geoms(pages: DataFrame) -> DataFrame:
     return with_h.mapInPandas(gen, GEOM_SCHEMA)
 
 
+def pages_to_covered_geoms(pages: DataFrame, res: int) -> DataFrame:
+    """Fused P10 + X7: geometry synthesis AND halo cell cover in ONE
+    Arrow stage.  Chaining two mapInPandas stages inside one task runs
+    two Python workers per core (measured 3-10x wall regression at
+    local[32] from the oversubscription); fusing keeps exactly one
+    Python worker per task and halves the Arrow transport."""
+    from ..operators.tiling import _cover_batch
+
+    with_h = (pages
+              .withColumn("doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
+              .withColumn("h", F.xxhash64("doc_id")))
+
+    def gen(batches):
+        for pdf in batches:
+            h = pdf["h"].to_numpy()
+            lon, lat, has_fp, side = geocode_hashes(h)
+            urls = pdf["url"].to_numpy()
+            rows = {"url": [], "h": [], "kind": [], "xs": [], "ys": []}
+
+            def emit(u, hv, kind, coords):
+                rows["url"].append(u)
+                rows["h"].append(int(hv))
+                rows["kind"].append(kind)
+                rows["xs"].append(coords[:, 0])
+                rows["ys"].append(coords[:, 1])
+
+            for i in range(len(h)):
+                emit(urls[i], h[i], 0, np.array([[lon[i], lat[i]]]))
+                if has_fp[i]:
+                    emit(urls[i], h[i], 2, footprint_square(lon[i], lat[i], side[i]))
+                if h[i] % 3 == 0:
+                    emit(urls[i], h[i], 1, trace_polyline(h[i], lon[i], lat[i]))
+            yield _cover_batch(pd.DataFrame(rows), res)
+
+    return with_h.mapInPandas(gen, GEOM_SCHEMA + ", cell long, is_owner boolean")
+
+
 # ---------------------------------------------------------------------------
 # KERNEL: per-tile simplification
 # ---------------------------------------------------------------------------
@@ -208,11 +245,27 @@ def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
     has_salt = "salt" in geoms_with_cells.columns
     spark = geoms_with_cells.sparkSession
     if n_buckets is None:
+        # several waves of tasks: per-tile kernel cost is heterogeneous,
+        # so more-tasks-than-cores evens out stragglers (measured ~40%
+        # idle core-time with 1 task per core)
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
-    salt_col = F.col("salt") if has_salt else F.lit(0)
-    bucketed = geoms_with_cells.withColumn(
-        "grp", F.pmod(F.xxhash64(F.col("cell"), salt_col), F.lit(n_buckets)))
-    return bucketed.groupBy("grp").applyInPandas(bucket_fn, KERNEL_OUT_SCHEMA)
+
+    # ONE shuffle: hash-partition by (cell, salt) — every tile lands
+    # wholly in one partition — then run the kernel with mapInPandas
+    # over whole partitions.  (groupBy().applyInPandas would add a
+    # second shuffle after the salting repartition.)
+    keys = [F.col("cell"), F.col("salt")] if has_salt else [F.col("cell")]
+    parted = geoms_with_cells.repartition(n_buckets, *keys)
+
+    def run(batches):
+        # a tile must not straddle Arrow batches: gather the partition.
+        # Partition size is bounded by salting's target_rows_per_task.
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        yield bucket_fn(pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0])
+
+    return parted.mapInPandas(run, KERNEL_OUT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -227,10 +280,9 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     """End-to-end run; resumable via the manifest in out_dir.
     Returns counters."""
     deduped = pages.dropDuplicates(["url"])
-    geoms = pages_to_geoms(deduped)
     # persisted: reused by the salting count pass and the kernel stage
     # (S4 — the reference's in-memory temp layers, SURVEY.md §2.1)
-    covered = with_cell_cover(geoms, res).persist()
+    covered = pages_to_covered_geoms(deduped, res).persist()
     covered.count()  # materialize once; multiple AQE stages consume it
 
     completed = MF.read_completed(spark, out_dir, stage)

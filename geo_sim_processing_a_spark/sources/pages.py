@@ -45,33 +45,42 @@ def _texts_for_hashes(h: np.ndarray) -> np.ndarray:
     would have taken (same chain, same output)."""
     h = np.asarray(h, dtype=np.uint64)
     n = len(h)
-    n_chars = (50 + (h % np.uint64(1951))).astype(np.int64)
+    out = np.empty(n, dtype=object)
     vocab = _VOCAB
     nv = np.uint64(len(vocab))
     wlens = np.array([len(w) for w in vocab], dtype=np.int64)
-    # worst case: all words are the shortest (len 2) -> ceil(2000/3)+1
-    W = 668
-    idx = np.empty((n, W), dtype=np.int64)
-    x = h.copy()
+    vl = vocab.tolist()
     C = np.uint64(0x9E3779B97F4A7C15)
     M1 = np.uint64(0xBF58476D1CE4E5B9)
     M2 = np.uint64(0x94D049BB133111EB)
-    with np.errstate(over="ignore"):
-        for k in range(W):
-            x = x + C
-            z = x.copy()
-            z = (z ^ (z >> np.uint64(30))) * M1
-            z = (z ^ (z >> np.uint64(27))) * M2
-            z = z ^ (z >> np.uint64(31))
-            idx[:, k] = (z % nv).astype(np.int64)
-    cum = np.cumsum(wlens[idx] + 1, axis=1) - 1  # total chars after k+1 words
-    # sequential rule: add words while total < target (total starts at -1)
-    nw = (cum < n_chars[:, None]).sum(axis=1) + 1
-    out = np.empty(n, dtype=object)
-    vl = vocab.tolist()
-    for i in range(n):
-        words = [vl[j] for j in idx[i, :nw[i]]]
-        out[i] = " ".join(words)[:n_chars[i]]
+    # Chunked: a full-batch (n, 668) scratch matrix costs ~160 MB of
+    # short-lived pages per worker; at 32 concurrent workers the
+    # resulting page-fault storm spends 3x more CPU in the kernel than
+    # in userspace (measured).  Small chunks stay in the allocator.
+    CHUNK = 512
+    for lo in range(0, n, CHUNK):
+        hc = h[lo:lo + CHUNK]
+        m = len(hc)
+        n_chars = (50 + (hc % np.uint64(1951))).astype(np.int64)
+        # exact worst-case word count for this chunk (shortest word = 2
+        # chars + 1 space; sequential rule stops once total >= target)
+        W = int(np.max(n_chars)) // 3 + 2
+        idx = np.empty((m, W), dtype=np.int64)
+        x = hc.copy()
+        with np.errstate(over="ignore"):
+            for k in range(W):
+                x = x + C
+                z = x.copy()
+                z = (z ^ (z >> np.uint64(30))) * M1
+                z = (z ^ (z >> np.uint64(27))) * M2
+                z = z ^ (z >> np.uint64(31))
+                idx[:, k] = (z % nv).astype(np.int64)
+        cum = np.cumsum(wlens[idx] + 1, axis=1) - 1  # chars after k+1 words
+        # sequential rule: add words while total < target (total starts -1)
+        nw = (cum < n_chars[:, None]).sum(axis=1) + 1
+        for i in range(m):
+            words = [vl[j] for j in idx[i, :nw[i]]]
+            out[lo + i] = " ".join(words)[:n_chars[i]]
     return out
 
 

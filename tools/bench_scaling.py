@@ -25,8 +25,8 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import functions as F
 from geo_sim_processing_a_spark.plans.session import get_spark
-from geo_sim_processing_a_spark.plans.pipeline import pages_to_geoms, simplify_tiles
-from geo_sim_processing_a_spark.operators.tiling import salt_by_cell, with_cell_cover
+from geo_sim_processing_a_spark.plans.pipeline import pages_to_covered_geoms, simplify_tiles
+from geo_sim_processing_a_spark.operators.tiling import salt_by_cell
 from geo_sim_processing_a_spark.sources.spark_pages import build_pages
 
 cpus = {cpus}
@@ -40,7 +40,7 @@ spark.range(0, cpus, 1, cpus).mapInPandas(lambda it: it, "id long").count()
 build_pages(spark, 64, partitions=cpus).count()
 t0 = time.perf_counter()
 pages = build_pages(spark, n_pages, partitions=cpus)
-covered = with_cell_cover(pages_to_geoms(pages.dropDuplicates(["url"])), res=6).persist()
+covered = pages_to_covered_geoms(pages.dropDuplicates(["url"]), res=6).persist()
 covered.count()  # materialize once for the concurrent AQE consumers
 salted = salt_by_cell(covered, target_rows_per_task=20_000)
 out = simplify_tiles(salted, diameter_tol=0.004, kernel="sherbend")
