@@ -57,7 +57,13 @@ print("RESULT " + json.dumps({{"cpus": cpus, "sec": round(dt, 2),
 
 def run_at(cpus: int, n_pages: int) -> dict:
     code = RUN_SNIPPET.format(repo=REPO, cpus=cpus, n_pages=n_pages)
-    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+    # taskset pins the WHOLE process tree (JVM GC/shuffle/Arrow threads
+    # and Python workers) to exactly `cpus` cores: local[N] alone only
+    # bounds task slots, letting the low-parallelism run borrow extra
+    # cores for JVM services, which understates true scaling.  This is
+    # the faithful stand-in for an N-core executor fleet.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", code]
+    proc = subprocess.run(cmd, capture_output=True,
                           text=True, cwd=REPO, timeout=3600)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
