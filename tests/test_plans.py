@@ -1,0 +1,85 @@
+"""Physical-plan quality gates (SURVEY.md §4.2): predicate pushdown and
+column pruning reach the parquet scans, small dimensions broadcast,
+whole-stage codegen covers the relational queries, and the kernel
+stage has exactly one shuffle."""
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted") if False else \
+        df._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def test_filter_pushdown_to_parquet(spark):
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = l.where(F.col("l_shipdate") <= "1995-01-01").select("l_quantity", "l_shipdate")
+    plan = plan_of(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: scan reads only the two referenced columns
+    assert "ReadSchema: struct<l_quantity:double,l_shipdate:timestamp" in plan
+
+
+def test_broadcast_join_in_q05(spark):
+    from geo_sim_processing_a_spark.plans.driver_queries import q05_nation_volume
+    plan = plan_of(q05_nation_volume(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pip_join_broadcasts_polygons(spark):
+    from geo_sim_processing_a_spark.plans.driver_queries import (
+        _boxes_from_nation, _points_from_orders)
+    from geo_sim_processing_a_spark.operators.spark_joins import pip_join
+    df = pip_join(_points_from_orders(spark, SF_DIR), _boxes_from_nation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_whole_stage_codegen_on_relational(spark):
+    from geo_sim_processing_a_spark.plans.driver_queries import q01_pricing_summary
+    df = q01_pricing_summary(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan (incl. codegen nodes) on execution
+    plan = plan_of(df)
+    # codegen stages appear as "*(n)" markers in the executed plan
+    assert "*(" in plan and "HashAggregate" in plan
+
+
+def test_kernel_stage_single_shuffle(spark):
+    """The simplify_tiles plan downstream of the covered geoms must
+    contain exactly ONE exchange (the (cell,salt) repartition)."""
+    from geo_sim_processing_a_spark.plans.pipeline import (
+        pages_to_covered_geoms, simplify_tiles)
+    from geo_sim_processing_a_spark.sources.spark_pages import build_pages
+    pages = build_pages(spark, 100, partitions=2)
+    covered = pages_to_covered_geoms(pages, res=6)
+    out = simplify_tiles(covered, 0.004, "sherbend")
+    plan = plan_of(out)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, plan
+
+
+def test_salting_splits_hot_cells(spark):
+    """G5.4 second half: with a hot cell and a small target, no
+    (cell,salt) kernel group exceeds ~2x target rows of OWNED work."""
+    import numpy as np
+    from geo_sim_processing_a_spark.operators.tiling import salt_by_cell
+    # 2000 points all in one cell
+    rows = [(f"u{i}", 0, [0.5 + (i % 97) * 1e-6], [0.5 + (i % 89) * 1e-6], 123, True)
+            for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "url string, kind tinyint, xs array<double>, ys array<double>, "
+              "cell long, is_owner boolean")
+    salted = salt_by_cell(df, target_rows_per_task=100)
+    counts = (salted.where("is_owner").groupBy("cell", "salt").count().collect())
+    assert len(counts) >= 10  # hot cell split across many salts
+    for r in counts:
+        assert r["count"] <= 200, r  # no owner group above 2x target
