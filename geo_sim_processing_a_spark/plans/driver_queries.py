@@ -539,21 +539,33 @@ def q_chordal_axis(spark, sf_dir):
     polys = pages_to_geoms(pages).where(F.col("kind") == 2)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = {"url": [], "n_lines": [], "n_triangles": [], "skeleton_len": []}
+        out = {"url": [], "n_lines": [], "n_triangles": [], "skeleton_len": [],
+               "error": []}
         for r in pdf.itertuples(index=False):
             ring = np.column_stack([np.asarray(r.xs), np.asarray(r.ys)])
-            lines, stats = chordal_axis_skeleton([ring], correction=True)
-            total = float(sum(np.hypot(np.diff(l[:, 0]), np.diff(l[:, 1])).sum()
-                              for l in lines))
-            out["url"].append(r.url)
-            out["n_lines"].append(len(lines))
-            out["n_triangles"].append(stats["nbr_triangles"])
-            out["skeleton_len"].append(round(total, 6))
+            # per-feature crash containment (reference isolates each
+            # tessellation the same way, chordal_axis_algorithm.py:546-560)
+            try:
+                lines, stats = chordal_axis_skeleton([ring], correction=True)
+                total = float(sum(np.hypot(np.diff(l[:, 0]), np.diff(l[:, 1])).sum()
+                                  for l in lines))
+                out["url"].append(r.url)
+                out["n_lines"].append(len(lines))
+                out["n_triangles"].append(stats["nbr_triangles"])
+                out["skeleton_len"].append(round(total, 6))
+                out["error"].append(None)
+            except Exception as e:  # noqa: BLE001 — quarantine, don't kill the task
+                out["url"].append(r.url)
+                out["n_lines"].append(0)
+                out["n_triangles"].append(0)
+                out["skeleton_len"].append(0.0)
+                out["error"].append(f"{type(e).__name__}: {e}")
         return pd.DataFrame(out)
 
     return (polys.withColumn("grp", F.pmod(F.xxhash64("url"), F.lit(64)))
             .groupBy("grp")
-            .applyInPandas(kernel, "url string, n_lines int, n_triangles int, skeleton_len double")
+            .applyInPandas(kernel, "url string, n_lines int, n_triangles int, "
+                                   "skeleton_len double, error string")
             .orderBy("url"))
 
 

@@ -161,6 +161,41 @@ def footprint_square(lon: float, lat: float, side: float) -> np.ndarray:
         (lon - half, lat - half)], dtype=np.float64)
 
 
+def trace_polylines_batch(h: np.ndarray, lon: np.ndarray, lat: np.ndarray,
+                          n_min: int = 16, n_max: int = 48) -> list:
+    """Vectorized batch variant of trace_polyline: the splitmix chain
+    advances for all rows at once; per-row output is bit-identical to
+    the scalar generator (cumsum matches the sequential accumulation
+    because the start coordinate is the first summand)."""
+    h = np.asarray(h, dtype=np.int64).astype(np.uint64)
+    m = len(h)
+    if m == 0:
+        return []
+    n = (n_min + (h % np.uint64(n_max - n_min))).astype(np.int64)
+    W = int(n.max())
+    C = np.uint64(0x9E3779B97F4A7C15)
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+    dx = np.empty((m, W), dtype=np.float64)
+    dy = np.empty((m, W), dtype=np.float64)
+    x = h.copy()
+    with np.errstate(over="ignore"):
+        for k in range(W):
+            x = x + C
+            z = x.copy()
+            z = (z ^ (z >> np.uint64(30))) * M1
+            z = (z ^ (z >> np.uint64(27))) * M2
+            z = z ^ (z >> np.uint64(31))
+            dx[:, k] = ((z & np.uint64(0xFF)).astype(np.float64) - 127.5) / 127.5
+            dy[:, k] = (((z >> np.uint64(8)) & np.uint64(0xFF)).astype(np.float64) - 127.5) / 127.5
+    step = 0.002
+    deltas_x = step * (1.0 + 0.5 * dx)
+    deltas_y = step * dy
+    cumx = np.cumsum(np.column_stack([np.asarray(lon, dtype=np.float64), deltas_x]), axis=1)[:, 1:]
+    cumy = np.cumsum(np.column_stack([np.asarray(lat, dtype=np.float64), deltas_y]), axis=1)[:, 1:]
+    return [np.column_stack([cumx[i, :n[i]], cumy[i, :n[i]]]) for i in range(m)]
+
+
 def trace_polyline(h: int, lon: float, lat: float, n_min: int = 16,
                    n_max: int = 48) -> np.ndarray:
     """Deterministic wiggly polyline ("GPS trace") around the page's
