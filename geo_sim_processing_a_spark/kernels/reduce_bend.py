@@ -334,11 +334,17 @@ class ReduceBend:
                (bb[:, 1] <= rect[3]) & (bb[:, 3] >= rect[1])
         out = []
         c = geom.coords
+        # bbox of the old subline: a segment not inside it cannot be
+        # `within` the subline — skips the exact containment test
+        sx0, sy0 = old_subline[:, 0].min(), old_subline[:, 1].min()
+        sx1, sy1 = old_subline[:, 0].max(), old_subline[:, 1].max()
         for k in np.flatnonzero(mask):
             if excl_lo <= k < excl_hi:
                 continue
             seg = c[k:k + 2]
-            if self._segment_within_polyline(seg, old_subline):
+            if (sx0 <= seg[0, 0] <= sx1 and sy0 <= seg[0, 1] <= sy1
+                    and sx0 <= seg[1, 0] <= sx1 and sy0 <= seg[1, 1] <= sy1
+                    and self._segment_within_polyline(seg, old_subline)):
                 continue
             out.append(seg)
         return out
