@@ -30,7 +30,7 @@ from ..sources.pages import (extract_text_series, footprint_square,
 GEOM_SCHEMA = ("url string, h long, kind tinyint, xs array<double>, ys array<double>")
 KERNEL_OUT_SCHEMA = ("cell long, url string, kind tinyint, "
                      "xs array<double>, ys array<double>, "
-                     "n_in int, n_out int")
+                     "n_in int, n_out int, n_pass int, n_bend_reduced int")
 
 # Epsilon for the geo pipeline is fixed from the global lon/lat domain
 # (one R1-style agg would give the same value for any full-domain run;
@@ -142,6 +142,7 @@ def _reduce_bend_tile(cell, urls, kinds, xs, ys, owners,
         coords = np.column_stack([np.asarray(xs[i]), np.asarray(ys[i])])
         feats.append(RBK.Feature(int(kinds[i]), [coords]))
     res = RBK.reduce_bends(feats, diameter_tol, smooth_line=smooth, epsilon=WORLD_EPS)
+    n_reduced = int(sum(res.nbr_bend_reduced))
     for i, (fin, fout) in enumerate(zip(feats, res.features)):
         if not owners[i]:
             continue
@@ -152,6 +153,8 @@ def _reduce_bend_tile(cell, urls, kinds, xs, ys, owners,
         out["ys"].append(fout.rings[0][:, 1].tolist())
         out["n_in"].append(int(sum(len(r) for r in fin.rings)))
         out["n_out"].append(int(sum(len(r) for r in fout.rings)))
+        out["n_pass"].append(res.nbr_pass)
+        out["n_bend_reduced"].append(n_reduced)
 
 
 def _dp_tile(cell, urls, kinds, xs, ys, owners,
@@ -184,6 +187,8 @@ def _kernel_out_pdf(out: dict) -> pd.DataFrame:
         "ys": pd.Series(out["ys"], dtype="object"),
         "n_in": pd.Series(out["n_in"], dtype="int32"),
         "n_out": pd.Series(out["n_out"], dtype="int32"),
+        "n_pass": pd.Series(out["n_pass"], dtype="int32"),
+        "n_bend_reduced": pd.Series(out["n_bend_reduced"], dtype="int32"),
     })
 
 
@@ -192,7 +197,8 @@ def _run_bucket(pdf: pd.DataFrame, tile_fn) -> pd.DataFrame:
     Pandas work happens ONCE per bucket (sort + column extraction);
     tiles are numpy slices — per-tile overhead measured ~6 ms when
     done with per-tile DataFrames, ~0.1 ms this way."""
-    out = {"cell": [], "url": [], "kind": [], "xs": [], "ys": [], "n_in": [], "n_out": []}
+    out = {"cell": [], "url": [], "kind": [], "xs": [], "ys": [], "n_in": [],
+           "n_out": [], "n_pass": [], "n_bend_reduced": []}
     if len(pdf) == 0:
         return _kernel_out_pdf(out)
     has_salt = "salt" in pdf.columns
@@ -307,10 +313,14 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     rows = (new_data.groupBy("cell")
             .agg(F.count("*").alias("n_features"),
                  F.sum("n_in").alias("v_in"),
-                 F.sum("n_out").alias("v_out"))).collect()
+                 F.sum("n_out").alias("v_out"),
+                 F.max("n_pass").alias("n_pass"),
+                 F.max("n_bend_reduced").alias("n_bend_reduced"))).collect()
     mrows = MF.manifest_rows_for_partition(
         stage, [(r["cell"], r["n_features"],
-                 {"v_in": int(r["v_in"]), "v_out": int(r["v_out"])}) for r in rows],
+                 {"v_in": int(r["v_in"]), "v_out": int(r["v_out"]),
+                  "n_pass": int(r["n_pass"]), "n_bend_reduced": int(r["n_bend_reduced"])})
+                for r in rows],
         attempt=attempt)
     if mrows:
         MF.append_manifest(spark.createDataFrame(mrows, MF.MANIFEST_SCHEMA), out_dir)
