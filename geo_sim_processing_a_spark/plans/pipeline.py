@@ -133,15 +133,19 @@ def pages_to_covered_geoms(pages: DataFrame, res: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _reduce_bend_tile(cell, urls, kinds, xs, ys, owners,
-                      diameter_tol: float, smooth: bool, out: dict) -> None:
+                      diameter_tol: float, smooth: bool, out: dict,
+                      epsilon=WORLD_EPS) -> None:
     """One (cell, salt) tile over pre-extracted column slices: run
     Sherbend over owned + halo features, append owned results to
-    ``out``.  Caller guarantees deterministic (url, kind) order."""
+    ``out``.  Caller guarantees deterministic (url, kind) order.
+    ``epsilon=None`` derives the reference's data-dependent epsilon
+    from the tile's own bbox (used by the golden-parity Spark tests);
+    the pipeline pins WORLD_EPS so all tiles share one epsilon."""
     feats = []
     for i in range(len(urls)):
         coords = np.column_stack([np.asarray(xs[i]), np.asarray(ys[i])])
         feats.append(RBK.Feature(int(kinds[i]), [coords]))
-    res = RBK.reduce_bends(feats, diameter_tol, smooth_line=smooth, epsilon=WORLD_EPS)
+    res = RBK.reduce_bends(feats, diameter_tol, smooth_line=smooth, epsilon=epsilon)
     n_reduced = int(sum(res.nbr_bend_reduced))
     for i, (fin, fout) in enumerate(zip(feats, res.features)):
         if not owners[i]:
@@ -221,9 +225,11 @@ def _run_bucket(pdf: pd.DataFrame, tile_fn) -> pd.DataFrame:
     return _kernel_out_pdf(out)
 
 
-def _reduce_bend_kernel(pdf: pd.DataFrame, diameter_tol: float, smooth: bool) -> pd.DataFrame:
+def _reduce_bend_kernel(pdf: pd.DataFrame, diameter_tol: float, smooth: bool,
+                        epsilon=WORLD_EPS) -> pd.DataFrame:
     return _run_bucket(pdf, lambda c, u, k, x, y, o, out:
-                       _reduce_bend_tile(c, u, k, x, y, o, diameter_tol, smooth, out))
+                       _reduce_bend_tile(c, u, k, x, y, o, diameter_tol, smooth, out,
+                                         epsilon=epsilon))
 
 
 def _dp_kernel(pdf: pd.DataFrame, tolerance: float, method: str) -> pd.DataFrame:
@@ -233,7 +239,7 @@ def _dp_kernel(pdf: pd.DataFrame, tolerance: float, method: str) -> pd.DataFrame
 
 def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
                    kernel: str = "sherbend", smooth: bool = False,
-                   n_buckets: int | None = None) -> DataFrame:
+                   n_buckets: int | None = None, epsilon=WORLD_EPS) -> DataFrame:
     """Per-tile kernels over halo-complete tiles.
 
     Tiles are BUCKETED before applyInPandas: one Spark group holds many
@@ -243,7 +249,7 @@ def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
     processed independently, owners only are emitted."""
     if kernel == "sherbend":
         def bucket_fn(pdf):
-            return _reduce_bend_kernel(pdf, diameter_tol, smooth)
+            return _reduce_bend_kernel(pdf, diameter_tol, smooth, epsilon=epsilon)
     else:
         def bucket_fn(pdf):
             return _dp_kernel(pdf, diameter_tol, kernel)
