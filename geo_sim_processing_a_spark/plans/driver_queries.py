@@ -110,7 +110,8 @@ def q_window_top_orders(spark, sf_dir):
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (o.withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= 3)
-            .select("o_custkey", "o_orderkey", F.round("o_totalprice", 6).alias("price"), "rnk"))
+            .select("o_custkey", "o_orderkey", F.round("o_totalprice", 6).alias("price"),
+                    F.col("rnk").cast("long").alias("rnk")))
 
 
 SQL_WINDOW_TOP = """
@@ -132,11 +133,12 @@ def q_supplier_rank(spark, sf_dir):
     w = Window.partitionBy("s_nationkey").orderBy(F.desc("revenue"), "s_suppkey")
     return (rev.withColumn("rnk", F.dense_rank().over(w))
             .where(F.col("rnk") <= 2)
-            .select("s_nationkey", "s_suppkey", "revenue", "rnk"))
+            .select(F.col("s_nationkey").cast("long").alias("s_nationkey"),
+                    "s_suppkey", "revenue", F.col("rnk").cast("long").alias("rnk")))
 
 
 SQL_SUPPLIER_RANK = """
-SELECT s_nationkey, s_suppkey, revenue, rnk
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, revenue, rnk
 FROM (SELECT s_nationkey, s_suppkey, revenue,
              dense_rank() OVER (PARTITION BY s_nationkey
                                 ORDER BY revenue DESC, s_suppkey) AS rnk
@@ -172,13 +174,13 @@ def q_events_sessions(spark, sf_dir):
     return (e.withColumn("new_session",
                          F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
             .groupBy("user_id")
-            .agg(F.sum("new_session").alias("n_sessions"),
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
                  F.count("*").alias("n_events"))
             .orderBy("user_id"))
 
 
 SQL_EVENTS_SESSIONS = """
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (SELECT user_id,
              CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
@@ -237,7 +239,7 @@ def q_text_features(spark, sf_dir):
     c = F.col("text")
     return (d.select("doc_id",
                      lang_id(c).alias("lang_pred"),
-                     token_count(c).alias("n_tokens"),
+                     token_count(c).cast("long").alias("n_tokens"),
                      quality_score(c).alias("quality"))
             .orderBy("doc_id"))
 
@@ -378,7 +380,7 @@ _PTS_ORDERS = """
 """
 
 _BOXES_NATION = """
-  SELECT n_nationkey AS poly_id,
+  SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
          (n_nationkey * 2311 % 18000) / 1000.0 - 9 AS cx,
          (n_nationkey * 1523 % 18000) / 1000.0 - 9 AS cy,
          0.5 + (n_nationkey % 7) / 10.0 AS w,
@@ -434,7 +436,8 @@ def q_knn(spark, sf_dir):
     from ..operators.spark_joins import knn_join
     pts = _points_from_orders(spark, sf_dir).where(F.col("pid") % 8 == 0)
     return (knn_join(pts, k=5, res=2)
-            .select("pid", "neighbor_id", "rank").orderBy("pid", "rank"))
+            .select("pid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+            .orderBy("pid", "rank"))
 
 
 SQL_KNN = f"""
@@ -455,7 +458,8 @@ def q_embedding_topk(spark, sf_dir):
     queries = (emb.where(F.col("vec_id") % 100 == 0)
                .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")))
     return (brute_topk(emb, queries, k=5)
-            .select("qid", "vec_id", "cos", "rank").orderBy("qid", "rank"))
+            .select("qid", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+            .orderBy("qid", "rank"))
 
 
 SQL_EMBEDDING_TOPK = """
