@@ -458,14 +458,16 @@ def q_embedding_topk(spark, sf_dir):
     queries = (emb.where(F.col("vec_id") % 100 == 0)
                .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")))
     return (brute_topk(emb, queries, k=5)
-            .select("qid", "vec_id", "cos", F.col("rank").cast("long").alias("rank"))
+            .select("qid", "vec_id",
+                    (F.col("cos") + F.lit(0.0)).alias("cos"),  # normalize -0.0
+                    F.col("rank").cast("long").alias("rank"))
             .orderBy("qid", "rank"))
 
 
 SQL_EMBEDDING_TOPK = """
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
            FROM embeddings WHERE vec_id % 100 = 0)
-SELECT qid, vec_id, cos, rank FROM (
+SELECT qid, vec_id, cos + 0.0 AS cos, rank FROM (
   SELECT q.qid, v.vec_id,
          round(list_dot_product(v.embedding::DOUBLE[], q.qvec)
                / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
