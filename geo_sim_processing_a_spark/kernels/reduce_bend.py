@@ -124,14 +124,15 @@ class _Geom:
 class _Bend:
     """Reference Bend (:742-781)."""
 
-    __slots__ = ("i", "j", "pts", "area", "perimeter", "adj_area", "to_reduce")
+    __slots__ = ("i", "j", "pts", "area", "_perimeter", "_adj_area", "to_reduce")
 
     def __init__(self, i: int, j: int, pts: np.ndarray):
         self.i = i
         self.j = j
         self.pts = pts
-        # fused area+perimeter (bit-identical to ring_area/ring_perimeter,
-        # one shifted-array pass instead of three)
+        # area eagerly (every bend is filtered/pivot-compared on area);
+        # perimeter/adj_area lazily (only candidate bends need them).
+        # Arithmetic bit-identical to ring_area/ring_perimeter.
         x, y = pts[:, 0], pts[:, 1]
         x2 = np.empty_like(x)
         x2[:-1] = x[1:]
@@ -140,10 +141,30 @@ class _Bend:
         y2[:-1] = y[1:]
         y2[-1] = y[0]
         self.area = abs(0.5 * float(np.dot(x, y2) - np.dot(x2, y)))
-        dx, dy = x2 - x, y2 - y
-        self.perimeter = float(np.sqrt(dx * dx + dy * dy).sum())
-        self.adj_area = calculate_adj_area(self.area, self.perimeter)
+        self._perimeter = None
+        self._adj_area = None
         self.to_reduce = False
+
+    @property
+    def perimeter(self) -> float:
+        if self._perimeter is None:
+            pts = self.pts
+            x, y = pts[:, 0], pts[:, 1]
+            x2 = np.empty_like(x)
+            x2[:-1] = x[1:]
+            x2[-1] = x[0]
+            y2 = np.empty_like(y)
+            y2[:-1] = y[1:]
+            y2[-1] = y[0]
+            dx, dy = x2 - x, y2 - y
+            self._perimeter = float(np.sqrt(dx * dx + dy * dy).sum())
+        return self._perimeter
+
+    @property
+    def adj_area(self) -> float:
+        if self._adj_area is None:
+            self._adj_area = calculate_adj_area(self.area, self.perimeter)
+        return self._adj_area
 
     @property
     def new_subline(self) -> np.ndarray:
@@ -388,15 +409,16 @@ class ReduceBend:
     def _delete_vertices(self, geom: _Geom, v_start: int, v_end: int):
         """Reference RbCollection.delete_vertex (:571-615) minus the
         index bookkeeping (tile-local arrays are authoritative)."""
-        closed = P.is_closed(geom.coords)
+        c = geom.coords
+        closed = P.is_closed(c)
         if closed and v_start == 0:
-            # circular-array case: drop leading verts, re-close on the
-            # new first vertex (reference :606-613)
-            c = np.delete(geom.coords, np.arange(v_start, v_end + 1), axis=0)
-            c = np.vstack([c[:-1], c[:1]])
-            geom.coords = c
+            # circular-array case: drop leading verts (incl. the stale
+            # duplicate closing vertex), re-close on the new first
+            # vertex (reference :606-613)
+            tail = c[v_end + 1:]
+            geom.coords = np.concatenate((tail[:-1], tail[:1]))
         else:
-            geom.coords = np.delete(geom.coords, np.arange(v_start, v_end + 1), axis=0)
+            geom.coords = np.concatenate((c[:v_start], c[v_end + 1:]))
         self._touch_geom(geom)
 
     # -- co-linear deletion ------------------------------------------------------
@@ -564,7 +586,11 @@ class ReduceBend:
         other_segs, other_pts = self._other_geoms_in_rect(geom, rect)
 
         new_sub = bend.new_subline
-        if P.polyline_length(new_sub) >= self.eps.zero_relative:
+        # 2-point length via the same sqrt(dx*dx+dy*dy) float ops,
+        # without the array machinery
+        _dx = new_sub[1, 0] - new_sub[0, 0]
+        _dy = new_sub[1, 1] - new_sub[0, 1]
+        if math.sqrt(_dx * _dx + _dy * _dy) >= self.eps.zero_relative:
             constraints_valid = self._validate_simplicity(self_segs, new_sub)
             if not constraints_valid:
                 alternates = self._find_alternate_bends(geom, ind)
