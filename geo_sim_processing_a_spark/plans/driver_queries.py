@@ -656,6 +656,7 @@ def all_queries():
         "q_raster_tiles": q_raster_tiles,
         "q_media_features": q_media_features,
         "q_text_extract_parity": q_text_extract_parity,
+        "q_asof_events": q_asof_events,
     }
 
 
@@ -677,4 +678,43 @@ def all_oracles():
         "q_pip_join": SQL_PIP_JOIN,
         "q_knn": SQL_KNN,
         "q_embedding_topk": SQL_EMBEDDING_TOPK,
+        "q_asof_events": SQL_ASOF_EVENTS,
     }
+
+
+# ---------------------------------------------------------------------------
+# as-of join (temporal alignment; union-sort implementation vs DuckDB
+# ASOF JOIN oracle)
+# ---------------------------------------------------------------------------
+
+def q_asof_events(spark, sf_dir):
+    """For each sampled event, the latest STRICTLY-PRIOR event of the
+    same user (union-sort as-of join, operators/asof.py)."""
+    from ..operators.asof import as_of_join
+    from pyspark.sql.window import Window
+    e = _t(spark, sf_dir, "events")
+    left = e.where(F.col("event_id") % 10 == 0)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (e.withColumn("_rn", F.row_number().over(w))
+             .where("_rn = 1").drop("_rn"))
+    out = as_of_join(left, right, on="user_id", left_time="ts",
+                     right_time="ts", value_cols=["event_id", "value"],
+                     strict=True)
+    return (out.select("event_id", "user_id",
+                       F.col("asof_event_id"),
+                       F.col("asof_value"))
+            .orderBy("event_id"))
+
+
+SQL_ASOF_EVENTS = """
+WITH l AS (SELECT * FROM events WHERE event_id % 10 = 0),
+r AS (SELECT * FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) t WHERE rn = 1)
+SELECT l.event_id, l.user_id,
+       r.event_id AS asof_event_id, r.value AS asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts
+ORDER BY l.event_id
+"""
