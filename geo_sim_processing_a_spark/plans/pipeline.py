@@ -312,7 +312,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     result = simplify_tiles(salted, diameter_tol, kernel, smooth)
     # idempotent per-attempt output dir: a re-run of the same attempt
     # overwrites rather than duplicating (S7 "latest complete attempt")
-    result.write.mode("overwrite").parquet(f"{out_dir}/data/stage={stage}/attempt={attempt}")
+    # within-partition sort by cell: parquet row groups become
+    # cell-clustered so downstream per-tile reads touch fewer pages
+    # (no extra shuffle — sort is partition-local)
+    (result.sortWithinPartitions("cell")
+     .write.mode("overwrite").parquet(f"{out_dir}/data/stage={stage}/attempt={attempt}"))
 
     # per-tile counters for THIS attempt -> manifest
     new_data = spark.read.parquet(f"{out_dir}/data/stage={stage}/attempt={attempt}")

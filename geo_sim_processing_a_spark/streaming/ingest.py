@@ -32,6 +32,19 @@ def windowed_page_counts(pages_stream: DataFrame, window: str = "1 hour",
             .select(F.col("w.start").alias("window_start"), "lang", "n_pages"))
 
 
+def sessionized_page_counts(pages_stream: DataFrame, gap: str = "30 minutes",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Event-time session windows per lang: sessions close after
+    ``gap`` of silence (F.session_window — the streaming analogue of
+    the batch lag-based sessionization in q_events_sessions)."""
+    return (pages_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.session_window("warc_ts", gap).alias("w"), "lang")
+            .agg(F.count("*").alias("n_pages"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), "lang", "n_pages"))
+
+
 def run_incremental_pipeline(spark: SparkSession, in_path: str, out_dir: str,
                              checkpoint_dir: str, res: int = 6,
                              diameter_tol: float = 0.004):

@@ -45,3 +45,18 @@ def test_incremental_pipeline(spark, tmp_path):
     run_incremental_pipeline(spark, src, out, ckpt)
     data2 = spark.read.option("basePath", f"{out}/data").parquet(f"{out}/data")
     assert data2.count() > data.count()
+
+
+def test_sessionized_counts(spark, tmp_path):
+    from geo_sim_processing_a_spark.streaming.ingest import (
+        sessionized_page_counts, stream_pages)
+    src = str(tmp_path / "pages_sess")
+    build_pages(spark, 150, partitions=2).write.parquet(src)
+    q = (sessionized_page_counts(stream_pages(spark, src), gap="6 hours")
+         .writeStream.format("memory").queryName("sess")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("select * from sess").collect()
+    assert sum(r["n_pages"] for r in rows) == 150
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
