@@ -38,6 +38,11 @@ def main():
     from geo_sim_processing_a_spark.sources.spark_pages import build_pages
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    # steady-state: warm the Python worker pool + JVM codegen before
+    # the timed windows (cold-interpreter cost is a per-fleet constant,
+    # not throughput; same policy as tools/bench_scaling.py)
+    spark.range(0, cpus, 1, cpus).mapInPandas(lambda it: it, "id long").count()
+    build_pages(spark, 64, partitions=cpus).count()
     timings: dict[str, float] = {}
 
     def run(name, fn):

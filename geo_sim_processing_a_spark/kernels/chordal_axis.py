@@ -242,7 +242,17 @@ class Branch:
         self.triangle_in_branch = []
         self.length = 0.
         max_length = current_triangle.width * 3.
+        visited = {current_triangle.tid}
         while True:
+            if next_triangle.tid in visited and \
+                    next_triangle.type in (SLEEVE, TERMINAL):
+                # cycle guard: a pure-sleeve ring around a hole (bridge
+                # edges can give zero-length centre lines, defeating the
+                # max_length stop) would walk forever.  A revisited
+                # JUNCTION still takes the normal append-then-break path
+                # below, matching the reference's walk (:1460-1469).
+                break
+            visited.add(next_triangle.tid)
             self.triangle_in_branch.append(next_triangle)
             if next_triangle.type in (SLEEVE, TERMINAL):
                 self.length += P.polyline_length(next_triangle.centre_line[0])
@@ -344,9 +354,12 @@ class ChordalAxis:
     def correct_skeleton(self):
         """Reference :840-930 (prune → T → X, same iteration scheme)."""
         nbr_iteration = 0
+        max_sweeps = len(self.cluster) + 2  # defensive cap (hole graphs)
         while True:
             nbr_pruned = 0
             nbr_iteration += 1
+            if nbr_iteration > max_sweeps:
+                break
             i = 0
             while i < len(self.cluster):  # Python-for-over-mutating-list
                 t = self.cluster[i]
