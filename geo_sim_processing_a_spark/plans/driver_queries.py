@@ -261,14 +261,12 @@ def _sql_text_features():
         for lang, ws in sorted(LANG_MARKERS.items()))
     langs = sorted(LANG_MARKERS)
     # argmax with strict > in sorted-language order (same as Spark fold)
-    case = "CASE"
     best_expr = "0"
     pick = "'und'"
     for lang in langs:
         pick = (f"CASE WHEN score_{lang} > greatest({best_expr}) "
                 f"THEN '{lang}' ELSE ({pick}) END")
         best_expr = best_expr + f", score_{lang}"
-    _ = case
     return f"""
 WITH base AS (
   SELECT doc_id, text, concat(' ', lower(text), ' ') AS padded FROM documents

@@ -14,13 +14,6 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted") if False else \
-        df._jdf.queryExecution().explainString(
-            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-
-
 def test_filter_pushdown_to_parquet(spark):
     l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     q = l.where(F.col("l_shipdate") <= "1995-01-01").select("l_quantity", "l_shipdate")
