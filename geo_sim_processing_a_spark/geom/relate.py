@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import primitives as P
 from .primitives import (
     collinear_overlap,
     on_segment,
@@ -28,6 +29,36 @@ from .primitives import (
 
 def _pt_eq(a, b) -> bool:
     return a[0] == b[0] and a[1] == b[1]
+
+
+def simplicity_violated_chord(ax0, ay0, ax1, ay1, seg_b: np.ndarray) -> bool:
+    """Fast path of simplicity_violated for a 2-point replacement line
+    (the chord case — every non-smooth constraint check).  Identical
+    arithmetic and decisions to the generic path below, with the
+    single-segment structure inlined."""
+    b0x, b0y = seg_b[0, 0], seg_b[0, 1]
+    b1x, b1y = seg_b[1, 0], seg_b[1, 1]
+    # collinear overlap?
+    d3 = (ax1 - ax0) * (b0y - ay0) - (ay1 - ay0) * (b0x - ax0)
+    d4 = (ax1 - ax0) * (b1y - ay0) - (ay1 - ay0) * (b1x - ax0)
+    if d3 == 0.0 and d4 == 0.0:
+        # both B endpoints on line A: overlap iff 1-D projections meet
+        if abs(ax1 - ax0) >= abs(ay1 - ay0):
+            a_lo, a_hi = (ax0, ax1) if ax0 <= ax1 else (ax1, ax0)
+            b_lo, b_hi = (b0x, b1x) if b0x <= b1x else (b1x, b0x)
+        else:
+            a_lo, a_hi = (ay0, ay1) if ay0 <= ay1 else (ay1, ay0)
+            b_lo, b_hi = (b0y, b1y) if b0y <= b1y else (b1y, b0y)
+        if min(a_hi, b_hi) > max(a_lo, b_lo):
+            return False  # dim-1 overlap: pattern[0]=='1', allowed
+        # degenerate collinear touching handled by the generic machinery
+        return simplicity_violated(np.array([[ax0, ay0], [ax1, ay1]]), seg_b)
+    p = P.segment_intersection_point((ax0, ay0), (ax1, ay1), (b0x, b0y), (b1x, b1y))
+    if p is None:
+        return False
+    # both generic outcomes (pattern[0] point-II and pattern[1]) collapse
+    # to "intersection point interior to A" when A is one segment
+    return not ((p[0] == ax0 and p[1] == ay0) or (p[0] == ax1 and p[1] == ay1))
 
 
 def simplicity_violated(line_a: np.ndarray, seg_b: np.ndarray) -> bool:

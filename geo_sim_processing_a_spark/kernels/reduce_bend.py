@@ -525,6 +525,13 @@ class ReduceBend:
     # -- constraints ------------------------------------------------------------
 
     def _validate_simplicity(self, self_segs, new_subline) -> bool:
+        if len(new_subline) == 2:
+            ax0, ay0 = new_subline[0, 0], new_subline[0, 1]
+            ax1, ay1 = new_subline[1, 0], new_subline[1, 1]
+            for seg in self_segs:
+                if R.simplicity_violated_chord(ax0, ay0, ax1, ay1, seg):
+                    return False
+            return True
         for seg in self_segs:
             if R.simplicity_violated(new_subline, seg):
                 return False
