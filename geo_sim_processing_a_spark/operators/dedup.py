@@ -64,22 +64,34 @@ def _perm_params(n_hashes: int):
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 32,
-                       shingle: int = 3) -> DataFrame:
+                       shingle: int = 3, keep_shingles: bool = False) -> DataFrame:
+    """(doc_id, sig[, shingles]) — signatures in ONE Arrow kernel,
+    vectorized over the shingle × permutation matrix.  With
+    ``keep_shingles`` the (distinct, sorted) shingle-hash array is kept
+    so the exact-verify stage can run JVM-side on compact int arrays
+    instead of re-shipping and re-shingling raw text."""
     a, b = _perm_params(n_hashes)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
+    @F.pandas_udf(T.StructType([
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("shingles", T.ArrayType(T.LongType()))]))
+    def sig_udf(texts: pd.Series) -> pd.DataFrame:
+        sig_out, sh_out = [], []
         with np.errstate(over="ignore"):
             for t in texts:
                 sh = _shingle_hashes(t or "", shingle)
                 # (n_shingles, n_hashes) permuted values, min over rows
                 vals = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE)
-                out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+                sig_out.append(vals.min(axis=0).astype(np.int64).tolist())
+                sh_out.append(sh.astype(np.int64).tolist())
+        return pd.DataFrame({"sig": sig_out, "shingles": sh_out})
 
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       sig_udf(F.col(text_col)).alias("sig"))
+    out = docs.select(F.col(id_col).alias("doc_id"),
+                      sig_udf(F.col(text_col)).alias("s"))
+    cols = ["doc_id", F.col("s.sig").alias("sig")]
+    if keep_shingles:
+        cols.append(F.col("s.shingles").alias("shingles"))
+    return out.select(*cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -87,10 +99,18 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       bands: int = 8, shingle: int = 3,
                       threshold: float = 0.7) -> DataFrame:
     """Candidate pairs via banding, then EXACT Jaccard verification on
-    the shingle sets — returns (id_a, id_b, jaccard) with id_a < id_b,
-    jaccard >= threshold."""
+    the shingle-hash sets — returns (id_a, id_b, jaccard) with
+    id_a < id_b, jaccard >= threshold.
+
+    Scale shape: the band equi-join exchanges (doc_id, band, bh) only;
+    the verify stage joins the compact shingle-hash arrays (already
+    computed once per doc by the signature kernel) and computes exact
+    Jaccard with JVM-side array_intersect/array_union — raw text is
+    never shuffled and nothing is re-shingled per pair."""
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, id_col, text_col, n_hashes, shingle)
+    sigs = (minhash_signatures(docs, id_col, text_col, n_hashes, shingle,
+                               keep_shingles=True)
+            .persist())
 
     band_cols = [F.struct(F.lit(bi).alias("band"),
                           F.xxhash64(F.concat_ws(
@@ -104,24 +124,15 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
             .distinct())
 
-    texts = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    pairs = (cand.join(texts.withColumnRenamed("doc_id", "id_a")
-                       .withColumnRenamed("text", "text_a"), "id_a")
-             .join(texts.withColumnRenamed("doc_id", "id_b")
-                   .withColumnRenamed("text", "text_b"), "id_b"))
+    sh = sigs.select("doc_id", "shingles")
+    pairs = (cand.join(sh.select(F.col("doc_id").alias("id_a"),
+                                 F.col("shingles").alias("sh_a")), "id_a")
+             .join(sh.select(F.col("doc_id").alias("id_b"),
+                             F.col("shingles").alias("sh_b")), "id_b"))
 
-    @F.pandas_udf("double")
-    def jaccard_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = set(_shingle_hashes(x or "", shingle).tolist())
-            sb = set(_shingle_hashes(y or "", shingle).tolist())
-            inter = len(sa & sb)
-            union = len(sa | sb) or 1
-            out[i] = inter / union
-        return pd.Series(out)
-
-    return (pairs.withColumn("jaccard", jaccard_udf("text_a", "text_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+    return (pairs.withColumn("jaccard", inter.cast("double") / union)
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 

@@ -89,13 +89,18 @@ def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
     # probe buckets: own + each 1-bit flip (multi-probe LSH)
     probes = F.array(F.col("bucket"),
                      *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
-    left = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                    F.explode(probes).alias("bucket"))
-    right = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    left = b.select(F.col(id_col).alias("id_a"), F.explode(probes).alias("bucket"))
+    right = b.select(F.col(id_col).alias("id_b"), "bucket")
+    # candidate ids ONLY through the probe join + distinct: the ×(n_planes+1)
+    # probe replication and the dedup exchange carry two longs per row,
+    # never the float vectors; vectors are joined back exactly once after
     cand = (left.join(right, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "va", "vb").distinct())
-    scored = cand.withColumn("cos", _dot(F.col("va"), F.col("vb"))
-                             / (_norm(F.col("va")) * _norm(F.col("vb"))))
+            .select("id_a", "id_b").distinct())
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    scored = (cand.join(va, "id_a").join(vb, "id_b")
+              .withColumn("cos", _dot(F.col("va"), F.col("vb"))
+                          / (_norm(F.col("va")) * _norm(F.col("vb")))))
     return (scored.where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

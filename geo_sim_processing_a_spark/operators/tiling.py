@@ -129,30 +129,181 @@ def salt_by_cell(df: DataFrame, key_col: str = "url", cell_col: str = "cell",
     return salted.drop("n_salt", "home_salt")
 
 
+def _clip_segments_to_grid(gx0, gy0, gx1, gy1, n_sub: int):
+    """Liang-Barsky clip of segments (grid coords) to [0, n_sub]^2.
+    Returns (keep mask, clipped endpoints ax, ay, bx, by)."""
+    dx = gx1 - gx0
+    dy = gy1 - gy0
+    lim = float(n_sub)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0x = np.where(dx != 0, (0.0 - gx0) / dx,
+                       np.where((0.0 <= gx0) & (gx0 <= lim), -np.inf, np.inf))
+        t1x = np.where(dx != 0, (lim - gx0) / dx,
+                       np.where((0.0 <= gx0) & (gx0 <= lim), np.inf, -np.inf))
+        t0y = np.where(dy != 0, (0.0 - gy0) / dy,
+                       np.where((0.0 <= gy0) & (gy0 <= lim), -np.inf, np.inf))
+        t1y = np.where(dy != 0, (lim - gy0) / dy,
+                       np.where((0.0 <= gy0) & (gy0 <= lim), np.inf, -np.inf))
+    t_enter = np.maximum(np.maximum(np.minimum(t0x, t1x), np.minimum(t0y, t1y)), 0.0)
+    t_exit = np.minimum(np.minimum(np.maximum(t0x, t1x), np.maximum(t0y, t1y)), 1.0)
+    keep = t_enter <= t_exit
+    ax = gx0 + t_enter * dx
+    ay = gy0 + t_enter * dy
+    bx = gx0 + t_exit * dx
+    by = gy0 + t_exit * dy
+    return keep, ax, ay, bx, by
+
+
+def _mark_segments(occ: np.ndarray, row_of_seg: np.ndarray,
+                   ax, ay, bx, by, n_sub: int) -> None:
+    """Exact grid traversal of clipped segments (Amanatides-Woo
+    expressed as sorted grid-line crossings): for every segment, every
+    sub-cell it passes through is marked in ``occ`` (n_rows, n_sub^2).
+    Fully vectorized across ALL segments of the batch — crossing
+    parameters are enumerated with repeat/arange, sorted with lexsort,
+    and consecutive-midpoint sampling yields exactly one point per
+    traversed sub-cell."""
+    m = len(ax)
+    if m == 0:
+        return
+    # crossing counts per axis (integers strictly between the endpoints)
+    xlo, xhi = np.minimum(ax, bx), np.maximum(ax, bx)
+    ylo, yhi = np.minimum(ay, by), np.maximum(ay, by)
+    cx0 = np.floor(xlo).astype(np.int64) + 1
+    cx1 = np.ceil(xhi).astype(np.int64) - 1
+    kx = np.maximum(cx1 - cx0 + 1, 0)
+    cy0 = np.floor(ylo).astype(np.int64) + 1
+    cy1 = np.ceil(yhi).astype(np.int64) - 1
+    ky = np.maximum(cy1 - cy0 + 1, 0)
+
+    # global ragged enumeration: per segment [t=0, x-crossings, y-crossings, t=1]
+    counts = kx + ky + 2
+    total = int(counts.sum())
+    seg_of = np.repeat(np.arange(m), counts)
+    cum = np.zeros(m, dtype=np.int64)
+    np.cumsum(counts[:-1], out=cum[1:])
+    j = np.arange(total, dtype=np.int64) - cum[seg_of]  # position within segment
+
+    ts = np.empty(total, dtype=np.float64)
+    ts[j == 0] = 0.0
+    last = j == counts[seg_of] - 1
+    ts[last] = 1.0
+    is_x = (j >= 1) & (j <= kx[seg_of]) & ~last
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gridx = cx0[seg_of] + (j - 1)
+        ts[is_x] = ((gridx[is_x] - ax[seg_of[is_x]])
+                    / (bx[seg_of[is_x]] - ax[seg_of[is_x]]))
+        is_y = (j > kx[seg_of]) & ~last & (j >= 1)
+        gridy = cy0[seg_of] + (j - 1 - kx[seg_of])
+        ts[is_y] = ((gridy[is_y] - ay[seg_of[is_y]])
+                    / (by[seg_of[is_y]] - ay[seg_of[is_y]]))
+    order = np.lexsort((ts, seg_of))
+    ts_s = ts[order]
+    seg_s = seg_of[order]
+    # midpoints of consecutive crossings within the same segment
+    same = seg_s[1:] == seg_s[:-1]
+    tm = 0.5 * (ts_s[1:] + ts_s[:-1])[same]
+    sm = seg_s[:-1][same]
+    px = ax[sm] + tm * (bx[sm] - ax[sm])
+    py = ay[sm] + tm * (by[sm] - ay[sm])
+    ix = np.clip(np.floor(px).astype(np.int64), 0, n_sub - 1)
+    iy = np.clip(np.floor(py).astype(np.int64), 0, n_sub - 1)
+    occ[row_of_seg[sm], iy * n_sub + ix] = True
+
+
 def raster_tile_assign(geoms: DataFrame, res: int, sub_res: int = 4) -> DataFrame:
-    """X10 — raster<->vector tile assignment: per covered cell, a
-    (2^sub_res)^2 occupancy bitmask of which sub-cells the geometry's
-    bbox rasterizes into.  Arrow-batched; returns
-    (cell, url, occupancy array<boolean> flattened row-major)."""
+    """X10 — raster<->vector tile assignment: per covered cell, the
+    (2^sub_res)^2 occupancy bitmask of sub-cells the GEOMETRY actually
+    rasterizes into (not its bbox):
+
+     - boundary: exact grid traversal of every edge clipped to the cell
+       (Liang-Barsky + crossing-sorted sampling, batch-vectorized);
+     - polygon interior: even-odd PIP of sub-cell centers against ALL
+       rings — holes punch out their sub-cells;
+     - points: the single containing sub-cell.
+
+    ONE fused mapInPandas stage (cover + rasterize) — chaining two
+    Python stages oversubscribes the cores (measured 3-10x regression);
+    returns (…, cell, is_owner, occupancy array<boolean> row-major)."""
+    from ..geom import primitives as P
+
     n_sub = 1 << sub_res
+    out_fields = geoms.schema.simpleString()[len("struct<"):-1].replace(":", " ")
+    out_schema = out_fields + ", cell long, is_owner boolean, occupancy array<boolean>"
+    has_offsets = "ring_offsets" in geoms.columns
 
-    covered = with_cell_cover(geoms, res)
+    def rasterize_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        cov = _cover_batch(pdf, res)
+        n = len(cov)
+        occ = np.zeros((n, n_sub * n_sub), dtype=bool)
+        if n:
+            lon0, lat0, lon1, lat1 = C.cell_bounds(cov["cell"].to_numpy())
+            sx = (lon1 - lon0) / n_sub
+            sy = (lat1 - lat0) / n_sub
+            kinds = cov["kind"].to_numpy()
+            xs_l = cov["xs"].tolist()
+            ys_l = cov["ys"].tolist()
+            offs_l = cov["ring_offsets"].tolist() if has_offsets else [[0]] * n
 
-    @F.pandas_udf(T.ArrayType(T.BooleanType()))
-    def occupancy_udf(cell: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
-        out = []
-        for c, x, y in zip(cell, xs, ys):
-            lon0, lat0, lon1, lat1 = C.cell_bounds(np.array([c], dtype=np.int64))
-            lon0, lat0, lon1, lat1 = float(lon0[0]), float(lat0[0]), float(lon1[0]), float(lat1[0])
-            x = np.asarray(x, dtype=np.float64)
-            y = np.asarray(y, dtype=np.float64)
-            gx0 = max(0, min(n_sub - 1, int((np.min(x) - lon0) / (lon1 - lon0) * n_sub)))
-            gx1 = max(0, min(n_sub - 1, int((np.max(x) - lon0) / (lon1 - lon0) * n_sub)))
-            gy0 = max(0, min(n_sub - 1, int((np.min(y) - lat0) / (lat1 - lat0) * n_sub)))
-            gy1 = max(0, min(n_sub - 1, int((np.max(y) - lat0) / (lat1 - lat0) * n_sub)))
-            grid = np.zeros((n_sub, n_sub), dtype=bool)
-            grid[gy0:gy1 + 1, gx0:gx1 + 1] = True
-            out.append(grid.ravel().tolist())
-        return pd.Series(out)
+            # points: vectorized in one shot
+            pt = np.flatnonzero(kinds == 0)
+            if len(pt):
+                px = np.array([xs_l[i][0] for i in pt])
+                py = np.array([ys_l[i][0] for i in pt])
+                ix = np.clip(((px - lon0[pt]) / sx[pt]).astype(np.int64), 0, n_sub - 1)
+                iy = np.clip(((py - lat0[pt]) / sy[pt]).astype(np.int64), 0, n_sub - 1)
+                occ[pt, iy * n_sub + ix] = True
 
-    return covered.withColumn("occupancy", occupancy_udf("cell", "xs", "ys"))
+            # edges of lines and polygon rings: gather ALL segments of
+            # the batch (grid coords per owning row), clip, traverse
+            seg_row, seg_ax, seg_ay, seg_bx, seg_by = [], [], [], [], []
+            for i in np.flatnonzero(kinds != 0):
+                x = (np.asarray(xs_l[i], dtype=np.float64) - lon0[i]) / sx[i]
+                y = (np.asarray(ys_l[i], dtype=np.float64) - lat0[i]) / sy[i]
+                offs = np.asarray(offs_l[i], dtype=np.int64)
+                ends = np.append(offs[1:], len(x))
+                for k in range(len(offs)):
+                    rx, ry = x[offs[k]:ends[k]], y[offs[k]:ends[k]]
+                    if len(rx) < 2:
+                        continue
+                    seg_row.append(np.full(len(rx) - 1, i, dtype=np.int64))
+                    seg_ax.append(rx[:-1])
+                    seg_ay.append(ry[:-1])
+                    seg_bx.append(rx[1:])
+                    seg_by.append(ry[1:])
+            if seg_row:
+                row_of_seg = np.concatenate(seg_row)
+                keep, ax, ay, bx, by = _clip_segments_to_grid(
+                    np.concatenate(seg_ax), np.concatenate(seg_ay),
+                    np.concatenate(seg_bx), np.concatenate(seg_by), n_sub)
+                _mark_segments(occ, row_of_seg[keep], ax[keep], ay[keep],
+                               bx[keep], by[keep], n_sub)
+
+            # polygon interiors: even-odd PIP of sub-cell centers vs all
+            # rings (vectorized per polygon-cell row over 256 x E)
+            ctr = (np.arange(n_sub) + 0.5)
+            gx, gy = np.meshgrid(ctr, ctr)  # (n_sub, n_sub), row-major y-outer
+            gxf, gyf = gx.ravel(), gy.ravel()
+            for i in np.flatnonzero(kinds == 2):
+                cxs = lon0[i] + gxf * sx[i]
+                cys = lat0[i] + gyf * sy[i]
+                x = np.asarray(xs_l[i], dtype=np.float64)
+                y = np.asarray(ys_l[i], dtype=np.float64)
+                offs = np.asarray(offs_l[i], dtype=np.int64)
+                ends = np.append(offs[1:], len(x))
+                inside = np.zeros(n_sub * n_sub, dtype=bool)
+                for k in range(len(offs)):
+                    ring = np.column_stack([x[offs[k]:ends[k]], y[offs[k]:ends[k]]])
+                    if len(ring) >= 3:
+                        inside ^= P.points_in_ring(cxs, cys, ring)
+                occ[i] |= inside
+
+        out = cov.copy()
+        out["occupancy"] = pd.Series(list(occ), dtype="object")
+        return out
+
+    def run(batches):
+        for pdf in batches:
+            yield rasterize_batch(pdf)
+
+    return geoms.mapInPandas(run, out_schema)

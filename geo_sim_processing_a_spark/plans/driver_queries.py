@@ -484,6 +484,14 @@ ORDER BY qid, rank
 # geometry-kernel queries (non-SQL-expressible -> driver rows-only check)
 # ---------------------------------------------------------------------------
 
+def _geom_chk(*cols):
+    """Deterministic per-row checksum of geometry/array columns —
+    xxhash64 over the JSON encoding — so rows-only driver checks still
+    pin the exact output values (vertex sequences included), not just
+    row counts."""
+    return F.xxhash64(F.to_json(F.struct(*cols)))
+
+
 def _pages_from_documents(spark, sf_dir, limit=None):
     """Deterministic pages derived from the documents table's doc_ids."""
     from ..sources.pages import generate_pages_pdf
@@ -502,14 +510,32 @@ def _pages_from_documents(spark, sf_dir, limit=None):
 
 
 def q_reduce_bend_tiles(spark, sf_dir):
-    """Flagship: per-tile Sherbend over geocoded page geometries."""
+    """Flagship: per-tile Sherbend over geocoded page geometries
+    (multi-ring polygons included).  ``chk`` pins the exact output
+    vertex sequences per row."""
     from .pipeline import pages_to_covered_geoms, simplify_tiles
     from ..operators.tiling import salt_by_cell
     pages = _pages_from_documents(spark, sf_dir)
     covered = pages_to_covered_geoms(pages, res=6)
     salted = salt_by_cell(covered, target_rows_per_task=5000)
     out = simplify_tiles(salted, diameter_tol=0.004, kernel="sherbend")
-    return (out.select("cell", "url", "kind", "n_in", "n_out")
+    return (out.select("cell", "url", "kind", F.size("ring_offsets").alias("n_rings"),
+                       "n_in", "n_out",
+                       _geom_chk("xs", "ys", "ring_offsets").alias("chk"))
+            .orderBy("cell", "url", "kind"))
+
+
+def q_reduce_bend_smooth(spark, sf_dir):
+    """Smoothing variant of the flagship at volume (B8 distributed):
+    same tiles, smooth_line=True, smoothing counters exposed."""
+    from .pipeline import pages_to_covered_geoms, simplify_tiles
+    from ..operators.tiling import salt_by_cell
+    pages = _pages_from_documents(spark, sf_dir)
+    covered = pages_to_covered_geoms(pages, res=6)
+    salted = salt_by_cell(covered, target_rows_per_task=5000)
+    out = simplify_tiles(salted, diameter_tol=0.004, kernel="sherbend", smooth=True)
+    return (out.select("cell", "url", "kind", "n_in", "n_out", "n_line_smooth",
+                       _geom_chk("xs", "ys", "ring_offsets").alias("chk"))
             .orderBy("cell", "url", "kind"))
 
 
@@ -518,7 +544,8 @@ def q_dp_simplify(spark, sf_dir):
     pages = _pages_from_documents(spark, sf_dir)
     covered = pages_to_covered_geoms(pages, res=6)
     out = simplify_tiles(covered, diameter_tol=0.001, kernel="dp")
-    return (out.select("cell", "url", "kind", "n_in", "n_out")
+    return (out.select("cell", "url", "kind", "n_in", "n_out",
+                       _geom_chk("xs", "ys", "ring_offsets").alias("chk"))
             .orderBy("cell", "url", "kind"))
 
 
@@ -527,49 +554,54 @@ def q_vw_simplify(spark, sf_dir):
     pages = _pages_from_documents(spark, sf_dir)
     covered = pages_to_covered_geoms(pages, res=6)
     out = simplify_tiles(covered, diameter_tol=0.001, kernel="vw")
-    return (out.select("cell", "url", "kind", "n_in", "n_out")
+    return (out.select("cell", "url", "kind", "n_in", "n_out",
+                       _geom_chk("xs", "ys", "ring_offsets").alias("chk"))
             .orderBy("cell", "url", "kind"))
 
 
 def q_chordal_axis(spark, sf_dir):
-    """Skeletons of the footprint polygons (tessellate + chordal axis
-    with corrections) — per-polygon kernel via applyInPandas."""
-    import numpy as np
-    import pandas as pd
+    """Skeleton GEOMETRY of the footprint polygons (tessellate +
+    chordal axis with corrections, holes bridged) — real centre-line
+    coordinates per part, matching the reference's skeleton sink
+    (chordal_axis_algorithm.py:188-206), checksummed per row."""
     from .pipeline import pages_to_geoms
-    from ..kernels.chordal_axis import chordal_axis_skeleton
+    from ..operators.skeleton import LAYER_SKELETON, chordal_axis_frame
 
     pages = _pages_from_documents(spark, sf_dir)
     polys = pages_to_geoms(pages).where(F.col("kind") == 2)
+    frame = chordal_axis_frame(polys, correction=True)
+    # polyline length JVM-side: sum of hypot over consecutive vertices
+    idx = F.sequence(F.lit(1), F.greatest(F.size("xs") - 1, F.lit(0)))
+    length = F.aggregate(
+        F.when(F.size("xs") >= 2, idx).otherwise(F.array()),
+        F.lit(0.0),
+        lambda acc, i: acc + F.sqrt(
+            F.pow(F.element_at(F.col("xs"), (i + 1).cast("int"))
+                  - F.element_at(F.col("xs"), i.cast("int")), 2)
+            + F.pow(F.element_at(F.col("ys"), (i + 1).cast("int"))
+                    - F.element_at(F.col("ys"), i.cast("int")), 2)))
+    return (frame.where(F.col("layer") == LAYER_SKELETON)
+            .select("url", "part_id", F.size("xs").alias("n_vertices"),
+                    F.round(length, 6).alias("line_len"),
+                    "n_triangles", "n_pruned", "n_t_junction", "n_x_junction",
+                    _geom_chk("xs", "ys").alias("chk"), "error")
+            .orderBy("url", "part_id"))
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = {"url": [], "n_lines": [], "n_triangles": [], "skeleton_len": [],
-               "error": []}
-        for r in pdf.itertuples(index=False):
-            ring = np.column_stack([np.asarray(r.xs), np.asarray(r.ys)])
-            # per-feature crash containment (reference isolates each
-            # tessellation the same way, chordal_axis_algorithm.py:546-560)
-            try:
-                lines, stats = chordal_axis_skeleton([ring], correction=True)
-                total = float(sum(np.hypot(np.diff(l[:, 0]), np.diff(l[:, 1])).sum()
-                                  for l in lines))
-                out["url"].append(r.url)
-                out["n_lines"].append(len(lines))
-                out["n_triangles"].append(stats["nbr_triangles"])
-                out["skeleton_len"].append(round(total, 6))
-                out["error"].append(None)
-            except Exception as e:  # noqa: BLE001 — quarantine, don't kill the task
-                out["url"].append(r.url)
-                out["n_lines"].append(0)
-                out["n_triangles"].append(0)
-                out["skeleton_len"].append(0.0)
-                out["error"].append(f"{type(e).__name__}: {e}")
-        return pd.DataFrame(out)
 
-    return (polys.withColumn("grp", F.pmod(F.xxhash64("url"), F.lit(64)))
-            .groupBy("grp")
-            .applyInPandas(kernel, "url string, n_lines int, n_triangles int, "
-                                   "skeleton_len double, error string")
+def q_chordal_triangles(spark, sf_dir):
+    """The triangulation layer of the dual sink (S3): per-polygon
+    triangle counts + a checksum over all triangle coordinates."""
+    from .pipeline import pages_to_geoms
+    from ..operators.skeleton import LAYER_TRIANGLE, chordal_axis_frame
+
+    pages = _pages_from_documents(spark, sf_dir)
+    polys = pages_to_geoms(pages).where(F.col("kind") == 2)
+    frame = chordal_axis_frame(polys, correction=True)
+    tri = (frame.where(F.col("layer") == LAYER_TRIANGLE)
+           .withColumn("row_chk", _geom_chk("part_id", "xs", "ys")))
+    return (tri.groupBy("url")
+            .agg(F.count("*").alias("n_triangles"),
+                 F.xxhash64(F.sort_array(F.collect_list("row_chk"))).alias("chk"))
             .orderBy("url"))
 
 
@@ -587,21 +619,35 @@ def q_simhash_near_dup(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Near-duplicate embedding pairs.  Deterministic near-dups are
+    PLANTED (every 97th vector gets a scaled twin at vec_id+10^7, same
+    direction => cos 1.0) so the expected output is provably non-empty
+    and the row count is meaningful evidence of LSH recall — a broken
+    LSH would miss the planted pairs."""
     from ..operators.similarity import lsh_self_near_dup
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(emb.select("embedding").first()[0])
-    return (lsh_self_near_dup(emb.select("vec_id", "embedding"), dim, threshold=0.9)
+    planted = (emb.where(F.col("vec_id") % 97 == 0)
+               .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda v: (v * F.lit(1.001)).cast("float"))
+                       .alias("embedding")))
+    return (lsh_self_near_dup(emb.unionByName(planted), dim, threshold=0.9)
             .orderBy("id_a", "id_b"))
 
 
 def q_raster_tiles(spark, sf_dir):
+    """Real geometry rasterization per covered cell (X10): boundary
+    grid-traversal + even-odd interior fill (holes punched out);
+    ``chk`` pins the exact occupancy bitmasks."""
     from .pipeline import pages_to_geoms
     from ..operators.tiling import raster_tile_assign
     pages = _pages_from_documents(spark, sf_dir)
     geoms = pages_to_geoms(pages).where(F.col("kind") == 2)
     out = raster_tile_assign(geoms, res=6)
     return (out.select("cell", "url",
-                       F.size(F.filter("occupancy", lambda x: x)).alias("n_occupied"))
+                       F.size(F.filter("occupancy", lambda x: x)).alias("n_occupied"),
+                       _geom_chk("occupancy").alias("chk"))
             .orderBy("cell", "url"))
 
 
@@ -643,11 +689,14 @@ def all_queries():
         "q_pip_join": q_pip_join,
         "q_knn": q_knn,
         "q_embedding_topk": q_embedding_topk,
-        # rows-only (non-SQL-expressible kernels)
+        # rows-only (non-SQL-expressible kernels; every row carries a
+        # deterministic chk over the exact output values)
         "q_reduce_bend_tiles": q_reduce_bend_tiles,
+        "q_reduce_bend_smooth": q_reduce_bend_smooth,
         "q_dp_simplify": q_dp_simplify,
         "q_vw_simplify": q_vw_simplify,
         "q_chordal_axis": q_chordal_axis,
+        "q_chordal_triangles": q_chordal_triangles,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_embedding_near_dup": q_embedding_near_dup,

@@ -24,13 +24,18 @@ from ..kernels.simplify import douglas_peucker_line, visvalingam_whyatt_line
 from ..operators import cells as C
 from ..operators.tiling import salt_by_cell, with_cell_cover
 from ..sources import manifest as MF
-from ..sources.pages import (extract_text_series, footprint_square,
-                             geocode_hashes, trace_polyline)
+from ..sources.pages import extract_text_series, synthesize_geoms_pdf
 
-GEOM_SCHEMA = ("url string, h long, kind tinyint, xs array<double>, ys array<double>")
+# Columnar multi-ring geometry (SURVEY.md §1.2): xs/ys are the
+# flat-concatenated ring coordinates, ring_offsets the start index of
+# each ring (exterior first) — the Spark twin of the reference's
+# polygon-as-ring-list (reduce_bend_algorithm.py:322-335).
+GEOM_SCHEMA = ("url string, h long, kind tinyint, xs array<double>, "
+               "ys array<double>, ring_offsets array<int>")
 KERNEL_OUT_SCHEMA = ("cell long, url string, kind tinyint, "
-                     "xs array<double>, ys array<double>, "
-                     "n_in int, n_out int, n_pass int, n_bend_reduced int")
+                     "xs array<double>, ys array<double>, ring_offsets array<int>, "
+                     "n_in int, n_out int, n_pass int, n_bend_reduced int, "
+                     "n_line_smooth int, n_hole_del int, n_pol_del int")
 
 # Epsilon for the geo pipeline is fixed from the global lon/lat domain
 # (one R1-style agg would give the same value for any full-domain run;
@@ -56,37 +61,20 @@ def extracted_text_parity(pages: DataFrame) -> DataFrame:
 
 
 def pages_to_geoms(pages: DataFrame) -> DataFrame:
-    """P10 — geocode pages into geometry rows (points, footprint
-    polygons for pmod(h,7)==0, trace polylines for pmod(h,3)==0).
+    """P10 — geocode pages into multi-ring geometry rows (points,
+    footprint polygons for pmod(h,7)==0 — holed when pmod(h,21)==0 —
+    and trace polylines for pmod(h,3)==0).
 
     h is computed JVM-side (xxhash64 of the doc id parsed from the
     url) so Catalyst prunes/pushes around it; the geometry synthesis is
-    one Arrow batch kernel."""
+    one batch-vectorized Arrow kernel (sources/pages.py)."""
     with_h = (pages
               .withColumn("doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
               .withColumn("h", F.xxhash64("doc_id")))
 
     def gen(batches):
         for pdf in batches:
-            h = pdf["h"].to_numpy()
-            lon, lat, has_fp, side = geocode_hashes(h)
-            urls = pdf["url"].to_numpy()
-            rows = {"url": [], "h": [], "kind": [], "xs": [], "ys": []}
-
-            def emit(u, hv, kind, coords):
-                rows["url"].append(u)
-                rows["h"].append(int(hv))
-                rows["kind"].append(kind)
-                rows["xs"].append(coords[:, 0])
-                rows["ys"].append(coords[:, 1])
-
-            for i in range(len(h)):
-                emit(urls[i], h[i], 0, np.array([[lon[i], lat[i]]]))
-                if has_fp[i]:
-                    emit(urls[i], h[i], 2, footprint_square(lon[i], lat[i], side[i]))
-                if h[i] % 3 == 0:
-                    emit(urls[i], h[i], 1, trace_polyline(h[i], lon[i], lat[i]))
-            yield pd.DataFrame(rows)
+            yield synthesize_geoms_pdf(pdf["url"].to_numpy(), pdf["h"].to_numpy())
 
     return with_h.mapInPandas(gen, GEOM_SCHEMA)
 
@@ -105,25 +93,8 @@ def pages_to_covered_geoms(pages: DataFrame, res: int) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            h = pdf["h"].to_numpy()
-            lon, lat, has_fp, side = geocode_hashes(h)
-            urls = pdf["url"].to_numpy()
-            rows = {"url": [], "h": [], "kind": [], "xs": [], "ys": []}
-
-            def emit(u, hv, kind, coords):
-                rows["url"].append(u)
-                rows["h"].append(int(hv))
-                rows["kind"].append(kind)
-                rows["xs"].append(coords[:, 0])
-                rows["ys"].append(coords[:, 1])
-
-            for i in range(len(h)):
-                emit(urls[i], h[i], 0, np.array([[lon[i], lat[i]]]))
-                if has_fp[i]:
-                    emit(urls[i], h[i], 2, footprint_square(lon[i], lat[i], side[i]))
-                if h[i] % 3 == 0:
-                    emit(urls[i], h[i], 1, trace_polyline(h[i], lon[i], lat[i]))
-            yield _cover_batch(pd.DataFrame(rows), res)
+            geoms = synthesize_geoms_pdf(pdf["url"].to_numpy(), pdf["h"].to_numpy())
+            yield _cover_batch(geoms, res)
 
     return with_h.mapInPandas(gen, GEOM_SCHEMA + ", cell long, is_owner boolean")
 
@@ -132,67 +103,118 @@ def pages_to_covered_geoms(pages: DataFrame, res: int) -> DataFrame:
 # KERNEL: per-tile simplification
 # ---------------------------------------------------------------------------
 
-def _reduce_bend_tile(cell, urls, kinds, xs, ys, owners,
+def _split_rings(x: np.ndarray, y: np.ndarray, offsets) -> list:
+    """Flat (xs, ys, ring_offsets) -> list of (n,2) ring arrays."""
+    offs = np.asarray(offsets, dtype=np.int64)
+    ends = np.append(offs[1:], len(x))
+    return [np.column_stack([x[offs[k]:ends[k]], y[offs[k]:ends[k]]])
+            for k in range(len(offs))]
+
+
+def _flatten_rings(rings: list):
+    """list of (n,2) ring arrays -> (xs list, ys list, offsets list)."""
+    xs = np.concatenate([r[:, 0] for r in rings])
+    ys = np.concatenate([r[:, 1] for r in rings])
+    lens = [len(r) for r in rings]
+    offs = [0]
+    for ln in lens[:-1]:
+        offs.append(offs[-1] + ln)
+    return xs.tolist(), ys.tolist(), offs
+
+
+def _reduce_bend_tile(cell, urls, kinds, xs, ys, offsets, owners,
                       diameter_tol: float, smooth: bool, out: dict,
-                      epsilon=WORLD_EPS) -> None:
+                      epsilon=WORLD_EPS, flag_del_outer: bool = False,
+                      flag_del_inner: bool = False) -> None:
     """One (cell, salt) tile over pre-extracted column slices: run
-    Sherbend over owned + halo features, append owned results to
-    ``out``.  Caller guarantees deterministic (url, kind) order.
+    Sherbend over owned + halo features (multi-ring polygons included,
+    matching the reference's RbPolygon ring list,
+    reduce_bend_algorithm.py:322-335), append owned results to ``out``.
+    Caller guarantees deterministic (url, kind) order.
     ``epsilon=None`` derives the reference's data-dependent epsilon
     from the tile's own bbox (used by the golden-parity Spark tests);
-    the pipeline pins WORLD_EPS so all tiles share one epsilon."""
+    the pipeline pins WORLD_EPS so all tiles share one epsilon.
+    Features deleted by flag_del_outer (reference :1638-1662) are
+    matched back by the index carried in Feature.attrs."""
     feats = []
     for i in range(len(urls)):
-        coords = np.column_stack([np.asarray(xs[i]), np.asarray(ys[i])])
-        feats.append(RBK.Feature(int(kinds[i]), [coords]))
-    res = RBK.reduce_bends(feats, diameter_tol, smooth_line=smooth, epsilon=epsilon)
+        x = np.asarray(xs[i])
+        y = np.asarray(ys[i])
+        rings = _split_rings(x, y, offsets[i])
+        feats.append(RBK.Feature(int(kinds[i]), rings, attrs=i))
+    res = RBK.reduce_bends(feats, diameter_tol, smooth_line=smooth, epsilon=epsilon,
+                           flag_del_outer=flag_del_outer, flag_del_inner=flag_del_inner)
     n_reduced = int(sum(res.nbr_bend_reduced))
-    for i, (fin, fout) in enumerate(zip(feats, res.features)):
+    for fout in res.features:
+        i = fout.attrs
         if not owners[i]:
             continue
+        fxs, fys, foffs = _flatten_rings(fout.rings)
         out["cell"].append(cell)
         out["url"].append(urls[i])
         out["kind"].append(int(kinds[i]))
-        out["xs"].append(fout.rings[0][:, 0].tolist())
-        out["ys"].append(fout.rings[0][:, 1].tolist())
-        out["n_in"].append(int(sum(len(r) for r in fin.rings)))
-        out["n_out"].append(int(sum(len(r) for r in fout.rings)))
+        out["xs"].append(fxs)
+        out["ys"].append(fys)
+        out["ring_offsets"].append(foffs)
+        out["n_in"].append(int(len(xs[i])))
+        out["n_out"].append(int(len(fxs)))
         out["n_pass"].append(res.nbr_pass)
         out["n_bend_reduced"].append(n_reduced)
+        out["n_line_smooth"].append(int(res.nbr_line_smooth))
+        out["n_hole_del"].append(int(res.nbr_hole_del))
+        out["n_pol_del"].append(int(res.nbr_pol_del))
 
 
-def _dp_tile(cell, urls, kinds, xs, ys, owners,
+def _dp_tile(cell, urls, kinds, xs, ys, offsets, owners,
              tolerance: float, method: str, out: dict) -> None:
-    """Independent-feature simplification over one tile's slices."""
+    """Independent-feature simplification over one tile's slices;
+    each ring of a multi-ring polygon is simplified independently
+    (reference Simplifier operates per-ring, simplify_algorithm.py)."""
     fn = douglas_peucker_line if method == "dp" else visvalingam_whyatt_line
     tol = tolerance if method == "dp" else tolerance * tolerance
     for i in range(len(urls)):
         if not owners[i]:
             continue
-        coords = np.column_stack([np.asarray(xs[i]), np.asarray(ys[i])])
-        simp = fn(coords, tol) if int(kinds[i]) == 1 and len(coords) > 2 else coords
+        x = np.asarray(xs[i])
+        y = np.asarray(ys[i])
+        rings = _split_rings(x, y, offsets[i])
+        simp = [fn(r, tol) if int(kinds[i]) == 1 and len(r) > 2 else r
+                for r in rings]
+        fxs, fys, foffs = _flatten_rings(simp)
         out["cell"].append(cell)
         out["url"].append(urls[i])
         out["kind"].append(int(kinds[i]))
-        out["xs"].append(simp[:, 0].tolist())
-        out["ys"].append(simp[:, 1].tolist())
-        out["n_in"].append(len(coords))
-        out["n_out"].append(len(simp))
+        out["xs"].append(fxs)
+        out["ys"].append(fys)
+        out["ring_offsets"].append(foffs)
+        out["n_in"].append(int(len(x)))
+        out["n_out"].append(int(len(fxs)))
+
+
+_OUT_COLS = ("cell", "url", "kind", "xs", "ys", "ring_offsets", "n_in",
+             "n_out", "n_pass", "n_bend_reduced", "n_line_smooth",
+             "n_hole_del", "n_pol_del")
 
 
 def _kernel_out_pdf(out: dict) -> pd.DataFrame:
     """Typed empty-safe kernel output (Arrow needs object dtype for the
     array columns even when a (cell,salt) group owns nothing)."""
+    n = len(out["cell"])
+    zeros = [0] * n
     return pd.DataFrame({
         "cell": pd.Series(out["cell"], dtype="int64"),
         "url": pd.Series(out["url"], dtype="object"),
         "kind": pd.Series(out["kind"], dtype="int8"),
         "xs": pd.Series(out["xs"], dtype="object"),
         "ys": pd.Series(out["ys"], dtype="object"),
+        "ring_offsets": pd.Series(out["ring_offsets"], dtype="object"),
         "n_in": pd.Series(out["n_in"], dtype="int32"),
         "n_out": pd.Series(out["n_out"], dtype="int32"),
-        "n_pass": pd.Series(out["n_pass"], dtype="int32"),
-        "n_bend_reduced": pd.Series(out["n_bend_reduced"], dtype="int32"),
+        "n_pass": pd.Series(out.get("n_pass") or zeros, dtype="int32"),
+        "n_bend_reduced": pd.Series(out.get("n_bend_reduced") or zeros, dtype="int32"),
+        "n_line_smooth": pd.Series(out.get("n_line_smooth") or zeros, dtype="int32"),
+        "n_hole_del": pd.Series(out.get("n_hole_del") or zeros, dtype="int32"),
+        "n_pol_del": pd.Series(out.get("n_pol_del") or zeros, dtype="int32"),
     })
 
 
@@ -201,8 +223,7 @@ def _run_bucket(pdf: pd.DataFrame, tile_fn) -> pd.DataFrame:
     Pandas work happens ONCE per bucket (sort + column extraction);
     tiles are numpy slices — per-tile overhead measured ~6 ms when
     done with per-tile DataFrames, ~0.1 ms this way."""
-    out = {"cell": [], "url": [], "kind": [], "xs": [], "ys": [], "n_in": [],
-           "n_out": [], "n_pass": [], "n_bend_reduced": []}
+    out = {c: [] for c in _OUT_COLS}
     if len(pdf) == 0:
         return _kernel_out_pdf(out)
     has_salt = "salt" in pdf.columns
@@ -214,6 +235,11 @@ def _run_bucket(pdf: pd.DataFrame, tile_fn) -> pd.DataFrame:
     kinds = pdf["kind"].to_numpy()
     xs = pdf["xs"].to_numpy()
     ys = pdf["ys"].to_numpy()
+    if "ring_offsets" in pdf.columns:
+        offsets = pdf["ring_offsets"].to_numpy()
+    else:  # single-ring callers (golden tests, ad-hoc frames)
+        offsets = np.full(len(pdf), None, dtype=object)
+        offsets[:] = [[0]] * len(pdf)
     owners = pdf["is_owner"].to_numpy()
     # tile boundaries on the sorted (cell, salt) pairs
     change = np.flatnonzero((cells[1:] != cells[:-1]) | (salts[1:] != salts[:-1])) + 1
@@ -221,25 +247,29 @@ def _run_bucket(pdf: pd.DataFrame, tile_fn) -> pd.DataFrame:
     for b in range(len(bounds) - 1):
         lo, hi = bounds[b], bounds[b + 1]
         tile_fn(int(cells[lo]), urls[lo:hi], kinds[lo:hi],
-                xs[lo:hi], ys[lo:hi], owners[lo:hi], out)
+                xs[lo:hi], ys[lo:hi], offsets[lo:hi], owners[lo:hi], out)
     return _kernel_out_pdf(out)
 
 
 def _reduce_bend_kernel(pdf: pd.DataFrame, diameter_tol: float, smooth: bool,
-                        epsilon=WORLD_EPS) -> pd.DataFrame:
-    return _run_bucket(pdf, lambda c, u, k, x, y, o, out:
-                       _reduce_bend_tile(c, u, k, x, y, o, diameter_tol, smooth, out,
-                                         epsilon=epsilon))
+                        epsilon=WORLD_EPS, flag_del_outer: bool = False,
+                        flag_del_inner: bool = False) -> pd.DataFrame:
+    return _run_bucket(pdf, lambda c, u, k, x, y, r, o, out:
+                       _reduce_bend_tile(c, u, k, x, y, r, o, diameter_tol, smooth, out,
+                                         epsilon=epsilon, flag_del_outer=flag_del_outer,
+                                         flag_del_inner=flag_del_inner))
 
 
 def _dp_kernel(pdf: pd.DataFrame, tolerance: float, method: str) -> pd.DataFrame:
-    return _run_bucket(pdf, lambda c, u, k, x, y, o, out:
-                       _dp_tile(c, u, k, x, y, o, tolerance, method, out))
+    return _run_bucket(pdf, lambda c, u, k, x, y, r, o, out:
+                       _dp_tile(c, u, k, x, y, r, o, tolerance, method, out))
 
 
 def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
                    kernel: str = "sherbend", smooth: bool = False,
-                   n_buckets: int | None = None, epsilon=WORLD_EPS) -> DataFrame:
+                   n_buckets: int | None = None, epsilon=WORLD_EPS,
+                   flag_del_outer: bool = False,
+                   flag_del_inner: bool = False) -> DataFrame:
     """Per-tile kernels over halo-complete tiles.
 
     Tiles are BUCKETED before applyInPandas: one Spark group holds many
@@ -249,7 +279,9 @@ def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
     processed independently, owners only are emitted."""
     if kernel == "sherbend":
         def bucket_fn(pdf):
-            return _reduce_bend_kernel(pdf, diameter_tol, smooth, epsilon=epsilon)
+            return _reduce_bend_kernel(pdf, diameter_tol, smooth, epsilon=epsilon,
+                                       flag_del_outer=flag_del_outer,
+                                       flag_del_inner=flag_del_inner)
     else:
         def bucket_fn(pdf):
             return _dp_kernel(pdf, diameter_tol, kernel)
@@ -284,18 +316,39 @@ def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
 # full pipeline with checkpoint/resume
 # ---------------------------------------------------------------------------
 
+def derive_epsilon(covered: DataFrame) -> Epsilon:
+    """R1 — the reference's data-dependent epsilon from the global
+    bbox of ALL input features (reduce_bend_algorithm.py:1045-1088):
+    one whole-stage-codegen min/max aggregate over the coordinate
+    arrays, collapsed to a driver scalar and passed into the kernels
+    as a literal."""
+    row = covered.agg(
+        F.min(F.array_min("xs")).alias("xmin"),
+        F.min(F.array_min("ys")).alias("ymin"),
+        F.max(F.array_max("xs")).alias("xmax"),
+        F.max(F.array_max("ys")).alias("ymax")).collect()[0]
+    if row["xmin"] is None:
+        return Epsilon(None)
+    return Epsilon((row["xmin"], row["ymin"], row["xmax"], row["ymax"]))
+
+
 def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
                  res: int = 6, diameter_tol: float = 0.004,
                  kernel: str = "sherbend", smooth: bool = False,
                  target_rows_per_task: int = 20_000,
-                 stage: str = "simplify") -> dict:
+                 stage: str = "simplify", epsilon=WORLD_EPS) -> dict:
     """End-to-end run; resumable via the manifest in out_dir.
-    Returns counters."""
+    Returns counters.  ``epsilon=None`` derives the reference's
+    data-dependent epsilon from the global bbox of the actual inputs
+    (one agg pass, R1); the default pins WORLD_EPS because the
+    synthetic geocoder's domain IS the full lon/lat plane."""
     deduped = pages.dropDuplicates(["url"])
     # persisted: reused by the salting count pass and the kernel stage
     # (S4 — the reference's in-memory temp layers, SURVEY.md §2.1)
     covered = pages_to_covered_geoms(deduped, res).persist()
     covered.count()  # materialize once; multiple AQE stages consume it
+    if epsilon is None:
+        epsilon = derive_epsilon(covered)
 
     completed = MF.read_completed(spark, out_dir, stage)
     attempt = 0
@@ -309,7 +362,7 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
 
     salted = salt_by_cell(todo, key_col="url", cell_col="cell",
                           target_rows_per_task=target_rows_per_task)
-    result = simplify_tiles(salted, diameter_tol, kernel, smooth)
+    result = simplify_tiles(salted, diameter_tol, kernel, smooth, epsilon=epsilon)
     # idempotent per-attempt output dir: a re-run of the same attempt
     # overwrites rather than duplicating (S7 "latest complete attempt")
     # within-partition sort by cell: parquet row groups become
@@ -318,22 +371,29 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     (result.sortWithinPartitions("cell")
      .write.mode("overwrite").parquet(f"{out_dir}/data/stage={stage}/attempt={attempt}"))
 
-    # per-tile counters for THIS attempt -> manifest
+    # per-tile counters for THIS attempt -> manifest, written as a
+    # DataFrame (distributed groupBy + write; the per-tile rows never
+    # round-trip through the driver — at res 12 there can be 16.7M
+    # tiles and a driver-side collect would be the bottleneck)
+    import time as _time
     new_data = spark.read.parquet(f"{out_dir}/data/stage={stage}/attempt={attempt}")
-    rows = (new_data.groupBy("cell")
-            .agg(F.count("*").alias("n_features"),
-                 F.sum("n_in").alias("v_in"),
-                 F.sum("n_out").alias("v_out"),
-                 F.max("n_pass").alias("n_pass"),
-                 F.max("n_bend_reduced").alias("n_bend_reduced"))).collect()
-    mrows = MF.manifest_rows_for_partition(
-        stage, [(r["cell"], r["n_features"],
-                 {"v_in": int(r["v_in"]), "v_out": int(r["v_out"]),
-                  "n_pass": int(r["n_pass"]), "n_bend_reduced": int(r["n_bend_reduced"])})
-                for r in rows],
-        attempt=attempt)
-    if mrows:
-        MF.append_manifest(spark.createDataFrame(mrows, MF.MANIFEST_SCHEMA), out_dir)
+    counters = F.to_json(F.struct(
+        F.max("n_bend_reduced").alias("n_bend_reduced"),
+        F.max("n_hole_del").alias("n_hole_del"),
+        F.max("n_line_smooth").alias("n_line_smooth"),
+        F.max("n_pass").alias("n_pass"),
+        F.max("n_pol_del").alias("n_pol_del"),
+        F.sum("n_in").alias("v_in"),
+        F.sum("n_out").alias("v_out")))
+    mdf = (new_data.groupBy("cell")
+           .agg(F.count("*").alias("n_features"), counters.alias("counters"))
+           .select(F.lit(stage).alias("stage"),
+                   F.col("cell").alias("tile"),
+                   F.lit(attempt).cast("int").alias("attempt"),
+                   F.col("n_features").cast("long"),
+                   "counters",
+                   F.lit(float(_time.time())).alias("ts")))
+    MF.append_manifest(mdf, out_dir)
 
     written = spark.read.option("basePath", f"{out_dir}/data").parquet(f"{out_dir}/data")
     agg = written.agg(F.count("*").alias("geoms"),

@@ -161,6 +161,90 @@ def footprint_square(lon: float, lat: float, side: float) -> np.ndarray:
         (lon - half, lat - half)], dtype=np.float64)
 
 
+def footprint_hole(lon: float, lat: float, side: float) -> np.ndarray:
+    """Interior ring (hole) of a holed footprint: concentric square of
+    side/4, wound opposite to the exterior (clockwise).  Exists where
+    pmod(h,21)==0 (a third of the pmod(h,7)==0 footprints)."""
+    hh = side / 8.0
+    return np.array([
+        (lon - hh, lat - hh), (lon - hh, lat + hh),
+        (lon + hh, lat + hh), (lon + hh, lat - hh),
+        (lon - hh, lat - hh)], dtype=np.float64)
+
+
+def synthesize_geoms_pdf(urls: np.ndarray, h: np.ndarray) -> pd.DataFrame:
+    """Batch geometry synthesis (P10) — zero per-row Python in the hot
+    math: points for every page, footprint squares (pmod(h,7)==0, with
+    an interior-ring hole when pmod(h,21)==0), and polyline traces
+    (pmod(h,3)==0), as multi-ring columnar geometry
+    (xs, ys flat-concatenated across rings + ring_offsets starts).
+
+    Mirrors the reference's polygon-as-ring-list data model
+    (reduce_bend_algorithm.py:322-335) in the columnar encoding of
+    SURVEY.md §1.2."""
+    h = np.asarray(h, dtype=np.int64)
+    lon, lat, has_fp, side = geocode_hashes(h)
+    single = [np.array([0], dtype=np.int32)]
+
+    out_url, out_h, out_kind, out_xs, out_ys, out_off = [], [], [], [], [], []
+
+    # points: one per page
+    out_url.append(urls)
+    out_h.append(h)
+    out_kind.append(np.zeros(len(h), dtype=np.int8))
+    out_xs.extend([lon[i:i + 1] for i in range(len(h))])
+    out_ys.extend([lat[i:i + 1] for i in range(len(h))])
+    out_off.extend(single * len(h))
+
+    # footprints: (n_fp, 5) corner matrices, holed ones get a second ring
+    fp = np.flatnonzero(has_fp)
+    if len(fp) > 0:
+        half = side[fp] / 2.0
+        ex_x = np.column_stack([lon[fp] - half, lon[fp] + half, lon[fp] + half,
+                                lon[fp] - half, lon[fp] - half])
+        ex_y = np.column_stack([lat[fp] - half, lat[fp] - half, lat[fp] + half,
+                                lat[fp] + half, lat[fp] - half])
+        holed = np.mod(h[fp], 21) == 0
+        hh = side[fp] / 8.0
+        in_x = np.column_stack([lon[fp] - hh, lon[fp] - hh, lon[fp] + hh,
+                                lon[fp] + hh, lon[fp] - hh])
+        in_y = np.column_stack([lat[fp] - hh, lat[fp] + hh, lat[fp] + hh,
+                                lat[fp] - hh, lat[fp] - hh])
+        out_url.append(urls[fp])
+        out_h.append(h[fp])
+        out_kind.append(np.full(len(fp), 2, dtype=np.int8))
+        two = np.array([0, 5], dtype=np.int32)
+        for k in range(len(fp)):
+            if holed[k]:
+                out_xs.append(np.concatenate([ex_x[k], in_x[k]]))
+                out_ys.append(np.concatenate([ex_y[k], in_y[k]]))
+                out_off.append(two)
+            else:
+                out_xs.append(ex_x[k])
+                out_ys.append(ex_y[k])
+                out_off.append(single[0])
+
+    # polylines
+    tr = np.flatnonzero(np.mod(h, 3) == 0)
+    if len(tr) > 0:
+        traces = trace_polylines_batch(h[tr], lon[tr], lat[tr])
+        out_url.append(urls[tr])
+        out_h.append(h[tr])
+        out_kind.append(np.ones(len(tr), dtype=np.int8))
+        out_xs.extend([t[:, 0] for t in traces])
+        out_ys.extend([t[:, 1] for t in traces])
+        out_off.extend(single * len(tr))
+
+    return pd.DataFrame({
+        "url": pd.Series(np.concatenate(out_url), dtype="object"),
+        "h": pd.Series(np.concatenate(out_h), dtype="int64"),
+        "kind": pd.Series(np.concatenate(out_kind), dtype="int8"),
+        "xs": pd.Series(out_xs, dtype="object"),
+        "ys": pd.Series(out_ys, dtype="object"),
+        "ring_offsets": pd.Series(out_off, dtype="object"),
+    })
+
+
 def trace_polylines_batch(h: np.ndarray, lon: np.ndarray, lat: np.ndarray,
                           n_min: int = 16, n_max: int = 48) -> list:
     """Vectorized batch variant of trace_polyline: the splitmix chain

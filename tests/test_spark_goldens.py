@@ -14,7 +14,8 @@ from geo_sim_processing_a_spark.plans.pipeline import (
 from geo_sim_processing_a_spark.kernels.reduce_bend import (
     KIND_LINE, KIND_POINT, KIND_POLYGON)
 
-# (name, tolerance, smooth, [(kind, coords)], [(kind, expected)])
+# (name, tolerance, smooth, [(kind, rings)], [(kind, expected_rings)])
+# coords may be a list of rings (multi-ring polygon) or a bare coord list
 CASES = [
     ("pivot_on_bend", 3, False,
      [(KIND_POLYGON, [(5, 10), (5, 11), (6, 11), (6, 10), (10, 10), (10, 0), (0, 0), (0, 10), (5, 10)])],
@@ -36,20 +37,50 @@ CASES = [
      [(KIND_LINE, [(0, -25), (25, 0), (25, 1), (29, 1), (29, 0), (50, -25)])],
      [(KIND_LINE, [(0, -25), (25, 0), (26.33333333333333215, 0.76980035891950094),
                    (27.66666666666666785, 0.76980035891950094), (29, 0), (50, -25)])]),
+    # reference golden case 16 (reduce_bend_unittest.py): a holed polygon
+    # through the DISTRIBUTED kernel — the exterior's bend reduces, the
+    # interior ring survives untouched and comes back as ring 2
+    ("polygon_with_bend_and_hole", 300, False,
+     [(KIND_POLYGON,
+       [[(0, 0), (0, 20), (10, 20), (10, 21), (11, 21), (11, 20), (20, 20), (20, 0), (0, 0)],
+        [(5, 5), (5, 6), (6, 6), (6, 5), (5, 5)]])],
+     [(KIND_POLYGON,
+       [[(20, 20), (20, 0), (0, 0), (0, 20), (20, 20)],
+        [(5, 5), (5, 6), (6, 6), (6, 5), (5, 5)]])]),
+    # reference golden case 17 shape: a hole sitting inside the bend
+    # BLOCKS its reduction (sidedness constraint sees the other ring)
+    ("hole_blocks_bend", 3, False,
+     [(KIND_POLYGON,
+       [[(0, 0), (0, 20), (10, 20), (10, 21), (11, 21), (11, 20), (20, 20), (20, 0), (0, 0)],
+        [(10.1, 20.1), (10.1, 20.2), (10.2, 20.2), (10.2, 20.1), (10.1, 20.1)]])],
+     [(KIND_POLYGON,
+       [[(0, 0), (0, 20), (10, 20), (10, 21), (11, 21), (11, 20), (20, 20), (20, 0), (0, 0)],
+        [(10.1, 20.1), (10.1, 20.2), (10.2, 20.2), (10.2, 20.1), (10.1, 20.1)]])]),
 ]
+
+
+def _rings_of(coords):
+    if isinstance(coords[0][0], (tuple, list)):  # list of rings
+        return [np.array(r, dtype=np.float64) for r in coords]
+    return [np.array(coords, dtype=np.float64)]
 
 
 def _case_pdf(geoms):
     rows = {"cell": [], "salt": [], "url": [], "kind": [], "xs": [], "ys": [],
-            "is_owner": []}
+            "ring_offsets": [], "is_owner": []}
     for i, (kind, coords) in enumerate(geoms):
-        c = np.array(coords, dtype=np.float64)
+        rings = _rings_of(coords)
         rows["cell"].append(1)
         rows["salt"].append(0)
         rows["url"].append(f"f{i}")
         rows["kind"].append(kind)
-        rows["xs"].append(c[:, 0].tolist())
-        rows["ys"].append(c[:, 1].tolist())
+        rows["xs"].append([float(v) for r in rings for v in r[:, 0]])
+        rows["ys"].append([float(v) for r in rings for v in r[:, 1]])
+        offs, acc = [], 0
+        for r in rings:
+            offs.append(acc)
+            acc += len(r)
+        rows["ring_offsets"].append(offs)
         rows["is_owner"].append(True)
     return pd.DataFrame(rows)
 
@@ -60,14 +91,21 @@ def test_golden_through_spark(spark, name, tol, smooth, geoms, expected):
     pdf = _case_pdf(geoms)
     df = spark.createDataFrame(
         pdf, "cell long, salt int, url string, kind tinyint, xs array<double>, "
-             "ys array<double>, is_owner boolean")
+             "ys array<double>, ring_offsets array<int>, is_owner boolean")
 
     def kernel(batch):
         return _reduce_bend_kernel(batch, tol, smooth, epsilon=None)
 
     out = df.groupBy("cell").applyInPandas(kernel, KERNEL_OUT_SCHEMA)
-    got = {r["url"]: (r["kind"], list(zip(r["xs"], r["ys"]))) for r in out.collect()}
+    got = {r["url"]: (r["kind"], list(zip(r["xs"], r["ys"])), list(r["ring_offsets"]))
+           for r in out.collect()}
     for i, (kind, coords) in enumerate(expected):
-        exp = [(float(x), float(y)) for x, y in coords]
+        exp_rings = _rings_of(coords)
+        exp = [(float(x), float(y)) for r in exp_rings for x, y in r]
+        offs, acc = [], 0
+        for r in exp_rings:
+            offs.append(acc)
+            acc += len(r)
         assert got[f"f{i}"][0] == kind
+        assert got[f"f{i}"][2] == offs, f"{name} f{i} ring_offsets {got[f'f{i}'][2]} vs {offs}"
         assert got[f"f{i}"][1] == exp, f"{name} f{i}:\n{got[f'f{i}'][1]}\nvs\n{exp}"
