@@ -103,6 +103,77 @@ def simplicity_violated(line_a: np.ndarray, seg_b: np.ndarray) -> bool:
     return False
 
 
+def chord_violated_f(ax0: float, ay0: float, ax1: float, ay1: float,
+                     bx0: float, by0: float, bx1: float, by1: float) -> bool:
+    """simplicity_violated_chord on plain Python floats — the same
+    IEEE-double arithmetic without any array machinery.  Candidate sets
+    in the Sherbend constraint checks are tiny (usually < 20 segments);
+    interpreter-level float ops beat numpy dispatch by ~10x there
+    (measured: vectorizing these predicates REGRESSED the kernel 15%)."""
+    adx, ady = ax1 - ax0, ay1 - ay0
+    d3 = adx * (by0 - ay0) - ady * (bx0 - ax0)
+    d4 = adx * (by1 - ay0) - ady * (bx1 - ax0)
+    if d3 == 0.0 and d4 == 0.0:
+        if abs(adx) >= abs(ady):
+            a_lo, a_hi = (ax0, ax1) if ax0 <= ax1 else (ax1, ax0)
+            b_lo, b_hi = (bx0, bx1) if bx0 <= bx1 else (bx1, bx0)
+        else:
+            a_lo, a_hi = (ay0, ay1) if ay0 <= ay1 else (ay1, ay0)
+            b_lo, b_hi = (by0, by1) if by0 <= by1 else (by1, by0)
+        if min(a_hi, b_hi) > max(a_lo, b_lo):
+            return False  # dim-1 overlap: pattern[0]=='1', allowed
+        return simplicity_violated(np.array([[ax0, ay0], [ax1, ay1]]),
+                                   np.array([[bx0, by0], [bx1, by1]]))
+    d1 = (bx1 - bx0) * (ay0 - by0) - (by1 - by0) * (ax0 - bx0)
+    d2 = (bx1 - bx0) * (ay1 - by0) - (by1 - by0) * (ax1 - bx0)
+    if ((d1 > 0) != (d2 > 0) or d1 == 0 or d2 == 0) and \
+            ((d3 > 0) != (d4 > 0) or d3 == 0 or d4 == 0):
+        denom = d1 - d2
+        if denom == 0.0:
+            return False  # crossing point IS an A endpoint
+        t = d1 / denom
+        if not (0.0 <= t <= 1.0):
+            return False
+        px = ax0 + t * (ax1 - ax0)
+        py = ay0 + t * (ay1 - ay0)
+        return not ((px == ax0 and py == ay0) or (px == ax1 and py == ay1))
+    return False
+
+
+def chord_intersects_f(ax0: float, ay0: float, ax1: float, ay1: float,
+                       bx0: float, by0: float, bx1: float, by1: float) -> bool:
+    """segments_intersect on plain Python floats (same decisions)."""
+    d1 = (bx1 - bx0) * (ay0 - by0) - (by1 - by0) * (ax0 - bx0)
+    d2 = (bx1 - bx0) * (ay1 - by0) - (by1 - by0) * (ax1 - bx0)
+    d3 = (ax1 - ax0) * (by0 - ay0) - (ay1 - ay0) * (bx0 - ax0)
+    d4 = (ax1 - ax0) * (by1 - ay0) - (ay1 - ay0) * (bx1 - ax0)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)) \
+            and d1 != 0 and d2 != 0 and d3 != 0 and d4 != 0:
+        return True
+    if d1 == 0 and min(bx0, bx1) <= ax0 <= max(bx0, bx1) \
+            and min(by0, by1) <= ay0 <= max(by0, by1):
+        return True
+    if d2 == 0 and min(bx0, bx1) <= ax1 <= max(bx0, bx1) \
+            and min(by0, by1) <= ay1 <= max(by0, by1):
+        return True
+    if d3 == 0 and min(ax0, ax1) <= bx0 <= max(ax0, ax1) \
+            and min(ay0, ay1) <= by0 <= max(ay0, ay1):
+        return True
+    if d4 == 0 and min(ax0, ax1) <= bx1 <= max(ax0, ax1) \
+            and min(ay0, ay1) <= by1 <= max(ay0, ay1):
+        return True
+    return False
+
+
+def chord_touches_point_f(ax0: float, ay0: float, ax1: float, ay1: float,
+                          px: float, py: float) -> bool:
+    """on_segment(A, p) on plain Python floats."""
+    if (ax1 - ax0) * (py - ay0) - (ay1 - ay0) * (px - ax0) != 0.0:
+        return False
+    return min(ax0, ax1) <= px <= max(ax0, ax1) \
+        and min(ay0, ay1) <= py <= max(ay0, ay1)
+
+
 def disjoint_line_segment(line: np.ndarray, seg: np.ndarray) -> bool:
     """GEOS disjoint(line, segment): no shared point at all."""
     for k in range(len(line) - 1):

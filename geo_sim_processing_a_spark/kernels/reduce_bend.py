@@ -67,7 +67,8 @@ class _Geom:
     """Mutable linestring under reduction (reference RbGeom, :685-739)."""
 
     __slots__ = ("gid", "original_kind", "coords", "is_simplest", "need_pivot",
-                 "bends", "_seg_bbox", "_bbox")
+                 "bends", "_seg_bbox", "_bbox", "_xs_list", "_ys_list",
+                 "length_checked")
 
     def __init__(self, gid: int, original_kind: int, coords: np.ndarray, eps: Epsilon):
         self.gid = gid
@@ -78,6 +79,9 @@ class _Geom:
         self.bends = []
         self._seg_bbox = None
         self._bbox = None
+        self._xs_list = None
+        self._ys_list = None
+        self.length_checked = False
         if original_kind == KIND_POINT:
             self.is_simplest = True
         elif original_kind == KIND_LINE:
@@ -99,6 +103,19 @@ class _Geom:
     def invalidate(self):
         self._seg_bbox = None
         self._bbox = None
+        self._xs_list = None
+        self._ys_list = None
+        self.length_checked = False
+
+    def coord_lists(self):
+        """Coordinates as plain Python float lists, cached until
+        mutation — the constraint hot loops run on interpreter floats
+        (numpy dispatch on < 20-element candidate sets costs more than
+        the arithmetic; measured both ways)."""
+        if self._xs_list is None:
+            self._xs_list = self.coords[:, 0].tolist()
+            self._ys_list = self.coords[:, 1].tolist()
+        return self._xs_list, self._ys_list
 
     def bbox(self):
         """Whole-geometry bbox, cached — the coarse prefilter standing
@@ -124,23 +141,40 @@ class _Geom:
 class _Bend:
     """Reference Bend (:742-781)."""
 
-    __slots__ = ("i", "j", "pts", "area", "_perimeter", "_adj_area", "to_reduce")
+    __slots__ = ("i", "j", "pts", "area", "_perimeter", "_adj_area", "to_reduce",
+                 "_xs", "_ys", "_lo", "_hi")
 
-    def __init__(self, i: int, j: int, pts: np.ndarray):
+    def __init__(self, i: int, j: int, pts: np.ndarray, xs: list = None,
+                 ys: list = None):
+        """``pts`` is a VIEW of the geometry's coords (safe: every
+        mutation replaces the coords array, never writes in place).
+        ``xs``/``ys`` are the geometry's cached Python-float lists —
+        area runs as an interpreter-float shoelace (bends average ~6
+        vertices; numpy dot dispatch costs more than the arithmetic,
+        and the full-workload output fingerprint is unchanged)."""
         self.i = i
         self.j = j
         self.pts = pts
+        if xs is None:
+            xs = pts[:, 0].tolist()
+            ys = pts[:, 1].tolist()
+            lo, hi = 0, len(xs) - 1
+        else:
+            lo, hi = i, j
         # area eagerly (every bend is filtered/pivot-compared on area);
-        # perimeter/adj_area lazily (only candidate bends need them).
-        # Arithmetic bit-identical to ring_area/ring_perimeter.
-        x, y = pts[:, 0], pts[:, 1]
-        x2 = np.empty_like(x)
-        x2[:-1] = x[1:]
-        x2[-1] = x[0]
-        y2 = np.empty_like(y)
-        y2[:-1] = y[1:]
-        y2[-1] = y[0]
-        self.area = abs(0.5 * float(np.dot(x, y2) - np.dot(x2, y)))
+        # perimeter/adj_area lazily (only candidate bends need them)
+        s1 = 0.0
+        s2 = 0.0
+        xk, yk = xs[lo], ys[lo]
+        for k in range(lo + 1, hi + 1):
+            xn, yn = xs[k], ys[k]
+            s1 += xk * yn
+            s2 += xn * yk
+            xk, yk = xn, yn
+        s1 += xk * ys[lo]
+        s2 += xs[lo] * yk
+        self.area = abs(0.5 * (s1 - s2))
+        self._xs, self._ys, self._lo, self._hi = xs, ys, lo, hi
         self._perimeter = None
         self._adj_area = None
         self.to_reduce = False
@@ -148,16 +182,17 @@ class _Bend:
     @property
     def perimeter(self) -> float:
         if self._perimeter is None:
-            pts = self.pts
-            x, y = pts[:, 0], pts[:, 1]
-            x2 = np.empty_like(x)
-            x2[:-1] = x[1:]
-            x2[-1] = x[0]
-            y2 = np.empty_like(y)
-            y2[:-1] = y[1:]
-            y2[-1] = y[0]
-            dx, dy = x2 - x, y2 - y
-            self._perimeter = float(np.sqrt(dx * dx + dy * dy).sum())
+            xs, ys, lo, hi = self._xs, self._ys, self._lo, self._hi
+            s = 0.0
+            xk, yk = xs[lo], ys[lo]
+            for k in range(lo + 1, hi + 1):
+                xn, yn = xs[k], ys[k]
+                dx, dy = xn - xk, yn - yk
+                s += math.sqrt(dx * dx + dy * dy)
+                xk, yk = xn, yn
+            dx, dy = xs[lo] - xk, ys[lo] - yk
+            s += math.sqrt(dx * dx + dy * dy)
+            self._perimeter = s
         return self._perimeter
 
     @property
@@ -165,6 +200,17 @@ class _Bend:
         if self._adj_area is None:
             self._adj_area = calculate_adj_area(self.area, self.perimeter)
         return self._adj_area
+
+    def bbox_f(self):
+        """(xmin, ymin, xmax, ymax) from the cached float lists."""
+        xs = self._xs[self._lo:self._hi + 1]
+        ys = self._ys[self._lo:self._hi + 1]
+        return (min(xs), min(ys), max(xs), max(ys))
+
+    def chord_f(self):
+        """The replacement chord endpoints as plain floats."""
+        return (self._xs[self._lo], self._ys[self._lo],
+                self._xs[self._hi], self._ys[self._hi])
 
     @property
     def new_subline(self) -> np.ndarray:
@@ -346,41 +392,50 @@ class ReduceBend:
             self._bbox_arr[self._gid_row[geom.gid]] = geom.bbox()
 
     def _self_segments(self, geom: _Geom, rect, old_subline: np.ndarray,
-                       excl_lo: int, excl_hi: int) -> list:
+                       excl_lo: int, excl_hi: int, sl_bbox=None) -> list:
         """Own segments whose bbox intersects rect, excluding those
         within the old subline (reference :506-534; index range
-        [excl_lo, excl_hi) plus exact geometric containment)."""
+        [excl_lo, excl_hi) plus exact geometric containment).
+        Returns a list of (x0,y0,x1,y1) Python-float tuples — the
+        constraint predicates run on interpreter floats (candidate sets
+        are tiny; numpy dispatch costs more than the arithmetic)."""
         bb = geom.seg_bbox()
         mask = (bb[:, 0] <= rect[2]) & (bb[:, 2] >= rect[0]) & \
                (bb[:, 1] <= rect[3]) & (bb[:, 3] >= rect[1])
-        out = []
-        c = geom.coords
+        if excl_hi > excl_lo:
+            mask[excl_lo:excl_hi] = False
+        idx = np.flatnonzero(mask)
+        if len(idx) == 0:
+            return []
+        xs, ys = geom.coord_lists()
         # bbox of the old subline: a segment not inside it cannot be
         # `within` the subline — skips the exact containment test
-        sx0, sy0 = old_subline[:, 0].min(), old_subline[:, 1].min()
-        sx1, sy1 = old_subline[:, 0].max(), old_subline[:, 1].max()
-        for k in np.flatnonzero(mask):
-            if excl_lo <= k < excl_hi:
+        if sl_bbox is None:
+            sl_bbox = (old_subline[:, 0].min(), old_subline[:, 1].min(),
+                       old_subline[:, 0].max(), old_subline[:, 1].max())
+        sx0, sy0, sx1, sy1 = sl_bbox
+        out = []
+        for k in idx.tolist():
+            x0, y0, x1, y1 = xs[k], ys[k], xs[k + 1], ys[k + 1]
+            if (sx0 <= x0 <= sx1 and sy0 <= y0 <= sy1
+                    and sx0 <= x1 <= sx1 and sy0 <= y1 <= sy1
+                    and self._segment_within_polyline(x0, y0, x1, y1, old_subline)):
                 continue
-            seg = c[k:k + 2]
-            if (sx0 <= seg[0, 0] <= sx1 and sy0 <= seg[0, 1] <= sy1
-                    and sx0 <= seg[1, 0] <= sx1 and sy0 <= seg[1, 1] <= sy1
-                    and self._segment_within_polyline(seg, old_subline)):
-                continue
-            out.append(seg)
+            out.append((x0, y0, x1, y1))
         return out
 
     @staticmethod
-    def _segment_within_polyline(seg: np.ndarray, line: np.ndarray) -> bool:
-        mx = 0.5 * (seg[0, 0] + seg[1, 0])
-        my = 0.5 * (seg[0, 1] + seg[1, 1])
-        return (P.point_on_polyline(seg[0, 0], seg[0, 1], line)
-                and P.point_on_polyline(seg[1, 0], seg[1, 1], line)
+    def _segment_within_polyline(x0, y0, x1, y1, line: np.ndarray) -> bool:
+        mx = 0.5 * (x0 + x1)
+        my = 0.5 * (y0 + y1)
+        return (P.point_on_polyline(x0, y0, line)
+                and P.point_on_polyline(x1, y1, line)
                 and P.point_on_polyline(mx, my, line))
 
     def _other_geoms_in_rect(self, geom: _Geom, rect):
-        """(segments, points) of all OTHER live geometries intersecting
-        rect (reference :506-534 splits the same way)."""
+        """(segment float-tuple list, point float-tuple list) of all
+        OTHER live geometries intersecting rect (reference :506-534
+        splits the same way)."""
         segs, pts = [], []
         if self._bbox_arr is None:
             self._build_bbox_index()
@@ -391,17 +446,18 @@ class ReduceBend:
         hit[self_row] = False
         for row in np.flatnonzero(hit):
             g = self.geoms[row]
-            c = g.coords
             if g.original_kind == KIND_POINT:
-                x, y = c[0, 0], c[0, 1]
+                x, y = g.coords[0, 0], g.coords[0, 1]
                 if rect[0] <= x <= rect[2] and rect[1] <= y <= rect[3]:
-                    pts.append((x, y))
+                    pts.append((float(x), float(y)))
                 continue
             bb = g.seg_bbox()
             mask = (bb[:, 0] <= rect[2]) & (bb[:, 2] >= rect[0]) & \
                    (bb[:, 1] <= rect[3]) & (bb[:, 3] >= rect[1])
-            for k in np.flatnonzero(mask):
-                segs.append(c[k:k + 2])
+            if mask.any():
+                xs, ys = g.coord_lists()
+                segs.extend((xs[k], ys[k], xs[k + 1], ys[k + 1])
+                            for k in np.flatnonzero(mask).tolist())
         return segs, pts
 
     # -- vertex mutation -------------------------------------------------------
@@ -424,16 +480,21 @@ class ReduceBend:
     # -- co-linear deletion ------------------------------------------------------
 
     def _delete_co_linear(self, geom: _Geom):
-        """Reference :1713-1752."""
+        """Reference :1713-1752.  Returns the full vertex-angle array
+        when the geometry was NOT mutated, so _detect_bends can reuse
+        it instead of recomputing (most passes delete nothing)."""
         eps = self.eps
         coords = geom.coords
-        angles = P.vertex_angles(coords, P.is_closed(coords))
-        if P.is_closed(coords) and len(angles) >= 1:
+        closed = P.is_closed(coords)
+        angles_full = P.vertex_angles(coords, closed)
+        angles = angles_full
+        if closed and len(angles) >= 1:
             angles = angles[1:]
         to_del = [i + 1 for i, a in enumerate(angles)
                   if abs(a - math.pi) <= eps.zero_angle or abs(a) <= eps.zero_angle]
         for vid in reversed(to_del):
             self._delete_vertices(geom, vid, vid)
+        mutated = bool(to_del)
         if P.is_closed(geom.coords):
             n = len(geom.coords)
             if n >= 5:
@@ -442,17 +503,25 @@ class ReduceBend:
                 a = P.vertex_angles(tri, False)
                 if len(a) and (abs(a[0] - math.pi) <= eps.zero_angle or abs(a[0]) <= eps.zero_angle):
                     self._delete_vertices(geom, 0, 0)
-        if P.polyline_length(geom.coords) <= eps.zero_relative:
-            geom.is_simplest = True
+                    mutated = True
+        # unchanged coords => unchanged length: the check only needs to
+        # rerun after a mutation (same decision, computed once)
+        if mutated or not geom.length_checked:
+            geom.length_checked = True
+            if P.polyline_length(geom.coords) <= eps.zero_relative:
+                geom.is_simplest = True
+        return None if mutated else angles_full
 
     # -- detection / pivot / flagging -----------------------------------------------
 
-    def _detect_bends(self, geom: _Geom) -> int:
-        """Reference :1334-1384."""
+    def _detect_bends(self, geom: _Geom, angles=None) -> int:
+        """Reference :1334-1384.  ``angles`` may carry the angle array
+        _delete_co_linear already computed for the identical coords."""
         geom.bends = []
         coords = geom.coords
         closed = P.is_closed(coords)
-        angles = P.vertex_angles(coords, closed)
+        if angles is None:
+            angles = P.vertex_angles(coords, closed)
         orientation = [CLOCK_WISE if a >= math.pi else ANTI_CLOCK_WISE for a in angles]
         if closed:
             if len(set(orientation)) == 1:
@@ -464,10 +533,13 @@ class ReduceBend:
             orientation.append(ANTI_CLOCK_WISE if orientation[-1] == CLOCK_WISE else CLOCK_WISE)
         inflexion = [i for i in range(len(orientation) - 1) if orientation[i] != orientation[i + 1]]
         if inflexion:
+            xs, ys = geom.coord_lists()
             for k in range(len(inflexion) - 1):
                 i = inflexion[k]
                 j = inflexion[k + 1] + 1
-                geom.bends.append(_Bend(i, j, coords[i:j + 1].copy()))
+                # pts is a VIEW (mutations always replace the coords
+                # array, never write in place — view stays valid)
+                geom.bends.append(_Bend(i, j, coords[i:j + 1], xs, ys))
         else:
             geom.is_simplest = True
         return len(geom.bends)
@@ -524,23 +596,46 @@ class ReduceBend:
 
     # -- constraints ------------------------------------------------------------
 
-    def _validate_simplicity(self, self_segs, new_subline) -> bool:
-        if len(new_subline) == 2:
-            ax0, ay0 = new_subline[0, 0], new_subline[0, 1]
-            ax1, ay1 = new_subline[1, 0], new_subline[1, 1]
-            for seg in self_segs:
-                if R.simplicity_violated_chord(ax0, ay0, ax1, ay1, seg):
-                    return False
-            return True
-        for seg in self_segs:
-            if R.simplicity_violated(new_subline, seg):
+    @staticmethod
+    def _chord_simplicity_ok(ax0, ay0, ax1, ay1, self_segs: list) -> bool:
+        for x0, y0, x1, y1 in self_segs:
+            if R.chord_violated_f(ax0, ay0, ax1, ay1, x0, y0, x1, y1):
                 return False
         return True
 
     @staticmethod
-    def _validate_intersection(other_segs, other_pts, new_subline) -> bool:
-        for seg in other_segs:
-            if not R.disjoint_line_segment(new_subline, seg):
+    def _chord_intersection_ok(ax0, ay0, ax1, ay1, other_segs: list,
+                               other_pts: list) -> bool:
+        for x0, y0, x1, y1 in other_segs:
+            if R.chord_intersects_f(ax0, ay0, ax1, ay1, x0, y0, x1, y1):
+                return False
+        for px, py in other_pts:
+            if R.chord_touches_point_f(ax0, ay0, ax1, ay1, px, py):
+                return False
+        return True
+
+    def _validate_simplicity(self, self_segs: list, new_subline) -> bool:
+        if len(new_subline) == 2:  # chord case: interpreter-float loop
+            return self._chord_simplicity_ok(
+                float(new_subline[0, 0]), float(new_subline[0, 1]),
+                float(new_subline[1, 0]), float(new_subline[1, 1]), self_segs)
+        for s in self_segs:  # smooth 4-point line (rare)
+            if R.simplicity_violated(new_subline,
+                                     np.array([[s[0], s[1]], [s[2], s[3]]])):
+                return False
+        return True
+
+    @staticmethod
+    def _validate_intersection(other_segs: list, other_pts: list,
+                               new_subline) -> bool:
+        if len(new_subline) == 2:  # chord case: interpreter-float loop
+            return ReduceBend._chord_intersection_ok(
+                float(new_subline[0, 0]), float(new_subline[0, 1]),
+                float(new_subline[1, 0]), float(new_subline[1, 1]),
+                other_segs, other_pts)
+        for s in other_segs:
+            if not R.disjoint_line_segment(new_subline,
+                                           np.array([[s[0], s[1]], [s[2], s[3]]])):
                 return False
         for pt in other_pts:
             if not R.disjoint_line_point(new_subline, pt):
@@ -548,9 +643,10 @@ class ReduceBend:
         return True
 
     @staticmethod
-    def _validate_sidedness(other_segs, other_pts, bend_ring) -> bool:
-        for seg in other_segs:
-            if R.ring_contains_segment(bend_ring, seg):
+    def _validate_sidedness(other_segs: list, other_pts: list, bend_ring) -> bool:
+        for s in other_segs:
+            if R.ring_contains_segment(bend_ring,
+                                       np.array([[s[0], s[1]], [s[2], s[3]]])):
                 return False
         for pt in other_pts:
             if R.ring_contains_point(bend_ring, pt):
@@ -563,10 +659,11 @@ class ReduceBend:
         alternates = []
         j = bend.j
         pts = geom.coords
+        xs, ys = geom.coord_lists()
         while j - 1 >= 2:
             i = bend.i
             while j - i >= 2:
-                ab = _Bend(i, j, pts[i:j + 1].copy())
+                ab = _Bend(i, j, pts[i:j + 1], xs, ys)
                 alternates.append(ab)
                 i += 1
             j -= 1
@@ -576,9 +673,12 @@ class ReduceBend:
     def _validate_alternate_bend(self, geom: _Geom, alternates, ind) -> bool:
         """Reference :1754-1791 (simplicity-only check per alternate)."""
         for alt in alternates:
-            rect = self._grow(P.bbox(alt.pts))
-            self_segs = self._self_segments(geom, rect, alt.old_subline, alt.i, alt.j)
-            if self._validate_simplicity(self_segs, alt.new_subline):
+            bb = alt.bbox_f()
+            rect = self._grow(bb)
+            self_segs = self._self_segments(geom, rect, alt.old_subline,
+                                            alt.i, alt.j, bb)
+            cx0, cy0, cx1, cy1 = alt.chord_f()
+            if self._chord_simplicity_ok(cx0, cy0, cx1, cy1, self_segs):
                 geom.bends[ind] = alt
                 return True
         return False
@@ -588,24 +688,29 @@ class ReduceBend:
         subline/polygon for checks 2 and 3 after an alternate swap."""
         constraints_valid = True
         bend = geom.bends[ind]
-        rect = self._grow(P.bbox(bend.pts))
-        self_segs = self._self_segments(geom, rect, bend.old_subline, bend.i, bend.j)
+        bb = bend.bbox_f()
+        rect = self._grow(bb)
+        self_segs = self._self_segments(geom, rect, bend.old_subline,
+                                        bend.i, bend.j, bb)
         other_segs, other_pts = self._other_geoms_in_rect(geom, rect)
 
-        new_sub = bend.new_subline
+        ax0, ay0, ax1, ay1 = bend.chord_f()
         # 2-point length via the same sqrt(dx*dx+dy*dy) float ops,
         # without the array machinery
-        _dx = new_sub[1, 0] - new_sub[0, 0]
-        _dy = new_sub[1, 1] - new_sub[0, 1]
+        _dx = ax1 - ax0
+        _dy = ay1 - ay0
         if math.sqrt(_dx * _dx + _dy * _dy) >= self.eps.zero_relative:
-            constraints_valid = self._validate_simplicity(self_segs, new_sub)
+            constraints_valid = self._chord_simplicity_ok(ax0, ay0, ax1, ay1, self_segs)
             if not constraints_valid:
                 alternates = self._find_alternate_bends(geom, ind)
                 constraints_valid = self._validate_alternate_bend(geom, alternates, ind)
         # else: degenerate zero-length base — reference only logs (:1830-1836)
 
         if constraints_valid:
-            constraints_valid = self._validate_intersection(other_segs, other_pts, new_sub)
+            # the ORIGINAL bend's chord: checks 2 and 3 keep the original
+            # subline/polygon even after an alternate swap (reference)
+            constraints_valid = self._chord_intersection_ok(
+                ax0, ay0, ax1, ay1, other_segs, other_pts)
         if constraints_valid:
             constraints_valid = self._validate_sidedness(other_segs, other_pts, bend.pts)
         return constraints_valid
@@ -635,8 +740,8 @@ class ReduceBend:
             nbr_bend_detected = 0
             for geom in self.geoms:
                 if not geom.is_simplest:
-                    self._delete_co_linear(geom)
-                    nbr_bend_detected = self._detect_bends(geom)
+                    angles = self._delete_co_linear(geom)
+                    nbr_bend_detected = self._detect_bends(geom, angles)
                     if geom.need_pivot:
                         self._pivot_closed_line(geom)
                         nbr_bend_detected = self._detect_bends(geom)
