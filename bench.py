@@ -75,6 +75,22 @@ def main():
     tiles_plus_geoms = int(head["tiles"]) + int(head["geoms"])
     throughput = tiles_plus_geoms / timings["geo_pipeline_sherbend"]
 
+    # ---- smoothing variant at volume (B8 distributed) ----
+    def geo_pipeline_smooth():
+        pages = build_pages(spark, n_pages, partitions=cpus)
+        covered = pages_to_covered_geoms(pages.dropDuplicates(["url"]), res=6)
+        covered = covered.persist()
+        covered.count()
+        salted = salt_by_cell(covered, target_rows_per_task=20_000)
+        out = simplify_tiles(salted, diameter_tol=0.004, kernel="sherbend",
+                             smooth=True)
+        row = out.agg(F.count("*").alias("geoms"),
+                      F.sum("n_line_smooth").alias("n_line_smooth")).collect()[0]
+        covered.unpersist()
+        return row
+
+    smooth_row = run("geo_pipeline_sherbend_smooth", geo_pipeline_smooth)
+
     # ---- ride-along operator timings at the sf dir ----
     def count_of(qfn):
         return lambda: qfn(spark, sf_dir).count()
@@ -95,6 +111,7 @@ def main():
         "sf": sf_dir,
         "detail": {"tiles": int(head["tiles"]), "geoms": int(head["geoms"]),
                    "v_in": int(head["v_in"]), "v_out": int(head["v_out"]),
+                   "n_line_smooth": int(smooth_row["n_line_smooth"] or 0),
                    "cpus": cpus, "n_pages": n_pages},
     }))
 
