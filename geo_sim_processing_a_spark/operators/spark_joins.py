@@ -66,11 +66,23 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 8) -> DataFrame:
             .dropDuplicates(["pid", "poly_id"]))
 
 
-def knn_join(points: DataFrame, k: int, res: int = 6) -> DataFrame:
+def knn_join(points: DataFrame, k: int, res: int = 6,
+             strict: bool = True) -> DataFrame:
     """Self-kNN of points(pid, lon, lat): for each point the k nearest
     OTHER points within its cell + ring-1 neighbors.  Exact in that
     neighborhood; ties by (dist2, pid).  Returns
-    (pid, neighbor_id, dist2, rank)."""
+    (pid, neighbor_id, dist2, rank).
+
+    Exactness guarantee: the ring-1 candidate block extends at least
+    one full cell dimension beyond the query's own cell in every
+    direction, so results are globally exact whenever the k-th
+    neighbor distance < min(cell width, cell height).  With ``strict``
+    (default) the kernel RAISES if any query's k-th neighbor falls
+    outside that radius — a too-fine ``res`` fails loudly instead of
+    silently returning ring-local results."""
+    cell_w = 360.0 / (1 << res)
+    cell_h = 180.0 / (1 << res)
+    exact_radius2 = min(cell_w, cell_h) ** 2
     enc = encode_cell_udf(res)
     pts = points.withColumn("cell", enc("lon", "lat"))
 
@@ -110,10 +122,22 @@ def knn_join(points: DataFrame, k: int, res: int = 6) -> DataFrame:
                 rank += 1
                 if rank > k:
                     break
+                if strict and rank == k and d2[i, j] > exact_radius2:
+                    raise ValueError(
+                        f"knn_join(res={res}): k-th neighbor of pid={qid[i]} at "
+                        f"dist={d2[i, j] ** 0.5:.6g} exceeds the exactness radius "
+                        f"{exact_radius2 ** 0.5:.6g} (= min cell dimension); "
+                        "choose a coarser res or pass strict=False")
                 rows["pid"].append(int(qid[i]))
                 rows["neighbor_id"].append(int(nid))
                 rows["dist2"].append(float(d2[i, j]))
                 rows["rank"].append(rank)
+            if strict and rank < k:
+                raise ValueError(
+                    f"knn_join(res={res}): only {rank} candidates for "
+                    f"pid={qid[i]} within cell+ring1 (k={k}) — outside the "
+                    "exactness radius guarantee; choose a coarser res or "
+                    "pass strict=False")
         return pd.DataFrame(rows)
 
     return (joined.groupBy("cell")

@@ -652,11 +652,16 @@ def q_raster_tiles(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    from ..operators.multimodal import extract_media_features
+    """REAL byte-level media decode: synthesized BMP/WAV blobs parsed
+    by the pure-NumPy codecs, 16-dim features, per-row checksum."""
+    from ..operators.multimodal import extract_media_features, pages_to_media
     pages = _pages_from_documents(spark, sf_dir)
-    out = extract_media_features(pages)
-    return (out.select("url", "media_type", "n_bytes",
-                       F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"))
+    out = extract_media_features(pages_to_media(pages))
+    rounded = F.transform("feature", lambda v: F.round(v.cast("double"), 6))
+    return (out.select("url", "media_type", "n_bytes", "width", "height",
+                       F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+                       F.xxhash64(F.to_json(F.struct(rounded.alias("f")))).alias("chk"),
+                       "error")
             .orderBy("url"))
 
 

@@ -12,7 +12,7 @@ from geo_sim_processing_a_spark.operators import dedup as D
 from geo_sim_processing_a_spark.operators import similarity as S
 from geo_sim_processing_a_spark.operators import text as TX
 from geo_sim_processing_a_spark.operators.multimodal import (
-    extract_media_features, fake_decode_features)
+    extract_media_features, pages_to_media)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
@@ -99,14 +99,42 @@ def test_lsh_near_dup_finds_self_dups(spark, emb):
         assert (b, b + 100000) in pairs
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_decode(spark):
+    """Media blobs are REAL encoded BMP/WAV bytes; the feature kernel
+    decodes them with the pure-NumPy codecs — no error rows, correct
+    dimensions, deterministic values."""
     from geo_sim_processing_a_spark.sources.spark_pages import build_pages
     pages = build_pages(spark, 50, partitions=2)
-    feats = extract_media_features(pages).collect()
+    media = pages_to_media(pages)
+    feats = extract_media_features(media).collect()
     assert len(feats) == 50
-    for r in feats[:5]:
+    kinds = {r["media_type"] for r in feats}
+    assert kinds == {"image", "audio"}
+    for r in feats:
+        assert r["error"] is None, r["error"]
         assert len(r["feature"]) == 16
-        assert abs(sum(r["feature"]) - 1.0) < 1e-3
-    # deterministic
-    one = fake_decode_features(b"hello world")
-    assert np.array_equal(one, fake_decode_features(b"hello world"))
+        if r["media_type"] == "image":
+            assert (r["width"], r["height"]) == (8, 8)
+    # corrupt/unsupported rows are quarantined, not task failures
+    import pandas as pd
+    bad = spark.createDataFrame(
+        pd.DataFrame({"url": ["b1", "b2"],
+                      "blob": [b"\x89PNG\r\n", b"BM\x00\x01"]}),
+        "url string, blob binary")
+    rows = {r["url"]: r for r in extract_media_features(bad).collect()}
+    assert rows["b1"]["error"] is not None and "unsupported" in rows["b1"]["error"]
+    assert rows["b2"]["error"] is not None
+
+
+def test_codecs_roundtrip_and_resize():
+    from geo_sim_processing_a_spark.functions.codecs import (
+        decode_bmp, decode_wav, encode_bmp, encode_wav, resize_nearest)
+    rng = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(rng)), rng)
+    big = resize_nearest(rng, 10, 14)
+    assert big.shape == (10, 14, 3)
+    assert np.array_equal(big[::2][:, ::2], rng)  # nearest keeps originals
+    samples = (np.sin(np.arange(300) / 7.0) * 12345).astype(np.int16)
+    back, rate = decode_wav(encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(back, samples)

@@ -150,6 +150,27 @@ def test_pipeline_derives_reference_epsilon(spark, tmp_path):
     assert got.zero_relative != WORLD_EPS.zero_relative
 
 
+def test_knn_strict_guard_raises_on_too_fine_res(spark):
+    """knn_join(strict=True) fails loudly when the resolution makes
+    the ring-1 neighborhood smaller than the k-th neighbor distance."""
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.spark_joins import knn_join
+
+    # 10 points spread ~1 degree apart; res=12 cells are ~0.09 x 0.04
+    # degrees => the 5th neighbor is far outside ring-1
+    pdf = pd.DataFrame({"pid": range(10),
+                        "lon": [i * 1.0 for i in range(10)],
+                        "lat": [0.0] * 10})
+    pts = spark.createDataFrame(pdf, "pid long, lon double, lat double")
+    with pytest.raises(Exception, match="coarser res"):
+        knn_join(pts, k=5, res=12).collect()
+    # strict=False returns the ring-local (possibly partial) result
+    rows = knn_join(pts, k=5, res=12, strict=False).collect()
+    assert isinstance(rows, list)
+    # and the coarse-resolution call is exact and passes the guard
+    assert len(knn_join(pts, k=5, res=2).collect()) == 10 * 5
+
+
 def test_synthesized_multi_ring_invariants():
     """Every holed footprint has exactly 2 rings, hole strictly inside
     the exterior, both closed."""

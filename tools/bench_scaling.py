@@ -77,10 +77,11 @@ def main():
     out_md = sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, "BENCH", "BASELINE.md")
     n_high = 4 * n_low
 
-    # best-of-2 per level: standard practice to suppress host noise
-    # (observed +-10% wall variance between identical runs on this VM)
-    low = min((run_at(n_low, n_pages) for _ in range(2)), key=lambda r: r["sec"])
-    high = min((run_at(n_high, n_pages) for _ in range(2)), key=lambda r: r["sec"])
+    # best-of-3 per level: standard practice to suppress host noise
+    # (round 2 observed 41-72 s walls for the IDENTICAL 8-core job —
+    # external tenant noise; min is the least-contaminated sample)
+    low = min((run_at(n_low, n_pages) for _ in range(3)), key=lambda r: r["sec"])
+    high = min((run_at(n_high, n_pages) for _ in range(3)), key=lambda r: r["sec"])
     assert low["tiles"] == high["tiles"] and low["geoms"] == high["geoms"], \
         "parallelism changed results — determinism violation"
     assert low["v_out"] == high["v_out"]
