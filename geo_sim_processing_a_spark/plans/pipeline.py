@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ..geom.epsilon import Epsilon
 from ..kernels import reduce_bend as RBK
-from ..kernels.simplify import douglas_peucker_line, visvalingam_whyatt_line
+from ..kernels.simplify import simplify_feature
 from ..operators import cells as C
 from ..operators.tiling import salt_by_cell, with_cell_cover
 from ..sources import manifest as MF
@@ -167,19 +167,19 @@ def _reduce_bend_tile(cell, urls, kinds, xs, ys, offsets, owners,
 
 def _dp_tile(cell, urls, kinds, xs, ys, offsets, owners,
              tolerance: float, method: str, out: dict) -> None:
-    """Independent-feature simplification over one tile's slices;
-    each ring of a multi-ring polygon is simplified independently
-    (reference Simplifier operates per-ring, simplify_algorithm.py)."""
-    fn = douglas_peucker_line if method == "dp" else visvalingam_whyatt_line
-    tol = tolerance if method == "dp" else tolerance * tolerance
+    """Independent-feature simplification over one tile's slices:
+    the full reference Simplifier semantics (simplify_algorithm.py) —
+    lines AND polygon rings simplified per-ring with the
+    topology-preserving variants, then the invalid-polygon repair pass
+    (escaped interior rings dropped, counted in n_hole_del)."""
     for i in range(len(urls)):
         if not owners[i]:
             continue
         x = np.asarray(xs[i])
         y = np.asarray(ys[i])
         rings = _split_rings(x, y, offsets[i])
-        simp = [fn(r, tol) if int(kinds[i]) == 1 and len(r) > 2 else r
-                for r in rings]
+        simp, holes_del = simplify_feature(rings, int(kinds[i]), tolerance,
+                                           method=method)
         fxs, fys, foffs = _flatten_rings(simp)
         out["cell"].append(cell)
         out["url"].append(urls[i])
@@ -189,6 +189,7 @@ def _dp_tile(cell, urls, kinds, xs, ys, offsets, owners,
         out["ring_offsets"].append(foffs)
         out["n_in"].append(int(len(x)))
         out["n_out"].append(int(len(fxs)))
+        out["n_hole_del"].append(int(holes_del))
 
 
 _OUT_COLS = ("cell", "url", "kind", "xs", "ys", "ring_offsets", "n_in",
