@@ -550,10 +550,13 @@ def q_dp_simplify(spark, sf_dir):
 
 
 def q_vw_simplify(spark, sf_dir):
+    # 0.004 => VW area tolerance 1.6e-5, above the footprint bump
+    # triangle areas (2.5e-6..1e-5) so polygon-ring simplification
+    # visibly triggers (n_out < n_in) alongside the line work
     from .pipeline import pages_to_covered_geoms, simplify_tiles
     pages = _pages_from_documents(spark, sf_dir)
     covered = pages_to_covered_geoms(pages, res=6)
-    out = simplify_tiles(covered, diameter_tol=0.001, kernel="vw")
+    out = simplify_tiles(covered, diameter_tol=0.004, kernel="vw")
     return (out.select("cell", "url", "kind", "n_in", "n_out",
                        _geom_chk("xs", "ys", "ring_offsets").alias("chk"))
             .orderBy("cell", "url", "kind"))

@@ -196,14 +196,23 @@ def synthesize_geoms_pdf(urls: np.ndarray, h: np.ndarray) -> pd.DataFrame:
     out_ys.extend([lat[i:i + 1] for i in range(len(h))])
     out_off.extend(single * len(h))
 
-    # footprints: (n_fp, 5) corner matrices, holed ones get a second ring
+    # footprints: (n_fp, 9) exterior rings — square corners plus a small
+    # outward bump at each edge midpoint (bump height side/20), so the
+    # polygon path has REAL simplification work: Sherbend reduces the
+    # bumps (adj_area below the default tolerance) and topology-
+    # preserving DP removes them, making the driver queries
+    # self-evidencing for polygon-ring simplification.  Holed ones
+    # (pmod(h,21)==0) get a plain square as the second ring.
     fp = np.flatnonzero(has_fp)
     if len(fp) > 0:
         half = side[fp] / 2.0
-        ex_x = np.column_stack([lon[fp] - half, lon[fp] + half, lon[fp] + half,
-                                lon[fp] - half, lon[fp] - half])
-        ex_y = np.column_stack([lat[fp] - half, lat[fp] - half, lat[fp] + half,
-                                lat[fp] + half, lat[fp] - half])
+        bump = side[fp] / 20.0
+        lo_x, hi_x = lon[fp] - half, lon[fp] + half
+        lo_y, hi_y = lat[fp] - half, lat[fp] + half
+        ex_x = np.column_stack([lo_x, lon[fp], hi_x, hi_x + bump, hi_x,
+                                lon[fp], lo_x, lo_x - bump, lo_x])
+        ex_y = np.column_stack([lo_y, lo_y - bump, lo_y, lat[fp], hi_y,
+                                hi_y + bump, hi_y, lat[fp], lo_y])
         holed = np.mod(h[fp], 21) == 0
         hh = side[fp] / 8.0
         in_x = np.column_stack([lon[fp] - hh, lon[fp] - hh, lon[fp] + hh,
@@ -213,7 +222,7 @@ def synthesize_geoms_pdf(urls: np.ndarray, h: np.ndarray) -> pd.DataFrame:
         out_url.append(urls[fp])
         out_h.append(h[fp])
         out_kind.append(np.full(len(fp), 2, dtype=np.int8))
-        two = np.array([0, 5], dtype=np.int32)
+        two = np.array([0, 9], dtype=np.int32)
         for k in range(len(fp)):
             if holed[k]:
                 out_xs.append(np.concatenate([ex_x[k], in_x[k]]))

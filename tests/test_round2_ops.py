@@ -186,9 +186,10 @@ def test_synthesized_multi_ring_invariants():
     assert len(holed) > 0
     for _, r in holed.iterrows():
         xs, ys = np.asarray(r["xs"]), np.asarray(r["ys"])
-        assert len(xs) == 10
-        ex_x, in_x = xs[:5], xs[5:]
-        ex_y, in_y = ys[:5], ys[5:]
+        assert len(xs) == 14  # 9-vertex bumped exterior + 5-vertex hole
+        assert list(r["ring_offsets"]) == [0, 9]
+        ex_x, in_x = xs[:9], xs[9:]
+        ex_y, in_y = ys[:9], ys[9:]
         assert ex_x[0] == ex_x[-1] and in_x[0] == in_x[-1]
         assert in_x.min() > ex_x.min() and in_x.max() < ex_x.max()
         assert in_y.min() > ex_y.min() and in_y.max() < ex_y.max()
