@@ -78,6 +78,87 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12):
     return bucket
 
 
+def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray:
+    """Deterministic k-means for the IVF coarse quantizer: first-k
+    init on the (deterministically ordered) sample, fixed iteration
+    count, empty clusters re-seeded from the farthest points.  Pure
+    NumPy, runs driver-side on a bounded sample."""
+    n = len(sample)
+    k = min(k, n)
+    cent = sample[:k].copy()
+    for _ in range(iters):
+        # cosine assignment: normalize once, argmax dot
+        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(sn @ cn.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+            else:  # re-seed from the point farthest from its centroid
+                d = 1.0 - (sn * cn[assign]).sum(axis=1)
+                cent[c] = sample[int(np.argmax(d))]
+    return cent
+
+
+def ivf_build_assignments(vectors: DataFrame, dim: int, n_lists: int = 16,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          sample_n: int = 2048, iters: int = 10):
+    """IVF coarse quantizer (the classic ANN scale path, complementing
+    the hyperplane LSH): k-means centroids from a bounded
+    deterministic sample (driver-side), broadcast into an Arrow batch
+    kernel that assigns every vector to its nearest list by cosine.
+
+    Returns (assigned DataFrame with ``list_id``, centroids ndarray).
+    At 100 TB the assignment is one narrow map stage; the per-list
+    inverted file is just a partition-by-list_id write."""
+    sample = np.array(
+        [r[0] for r in vectors.select(vec_col).orderBy(id_col)
+         .limit(sample_n).collect()], dtype=np.float64)
+    cent = _kmeans_centroids(sample, n_lists, iters)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("int")
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mn @ cn.T, axis=1).astype(np.int32))
+
+    return vectors.withColumn("list_id", assign_udf(F.col(vec_col))), cent
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
+             n_lists: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    lists; exact cosine re-rank inside the probed lists only.  The
+    probed-list join is an equi-join on list_id (shuffle on a tiny int
+    key); only vectors in probed lists are scored — the brute-force
+    crossJoin never happens."""
+    assigned, cent = ivf_build_assignments(vectors, dim, n_lists, id_col, vec_col)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes_udf(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sim = mn @ cn.T
+        order = np.argsort(-sim, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    probed = (queries.withColumn("list_id", F.explode(probes_udf(F.col(qvec_col)))))
+    joined = probed.join(assigned, "list_id")
+    scored = joined.withColumn(
+        "cos", _dot(F.col(vec_col), F.col(qvec_col))
+        / (_norm(F.col(vec_col)) * _norm(F.col(qvec_col))))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col(qid_col).alias("qid"), F.col(id_col).alias("vec_id"),
+                    F.round("cos", 6).alias("cos"), "rank"))
+
+
 def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_planes: int = 10) -> DataFrame:

@@ -639,6 +639,22 @@ def q_embedding_near_dup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-approximate nearest neighbors (coarse k-means quantizer +
+    nprobe list probing + exact in-list re-rank) over the embeddings
+    table — the ANN scale path beside brute force (q_embedding_topk)
+    and hyperplane LSH (q_embedding_near_dup)."""
+    from ..operators.similarity import ivf_topk
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    queries = (emb.where(F.col("vec_id") % 100 == 0)
+               .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")))
+    out = ivf_topk(emb, queries, k=5, dim=dim, n_lists=16, nprobe=10)
+    return (out.select("qid", "vec_id", (F.col("cos") + F.lit(0.0)).alias("cos"),
+                       F.col("rank").cast("long").alias("rank"))
+            .orderBy("qid", "rank"))
+
+
 def q_raster_tiles(spark, sf_dir):
     """Real geometry rasterization per covered cell (X10): boundary
     grid-traversal + even-odd interior fill (holes punched out);
@@ -708,6 +724,7 @@ def all_queries():
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "q_ivf_topk": q_ivf_topk,
         "q_raster_tiles": q_raster_tiles,
         "q_media_features": q_media_features,
         "q_text_extract_parity": q_text_extract_parity,

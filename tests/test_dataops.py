@@ -99,6 +99,40 @@ def test_lsh_near_dup_finds_self_dups(spark, emb):
         assert (b, b + 100000) in pairs
 
 
+def test_ivf_topk_recall(spark):
+    """IVF ANN recall@5 vs exact brute force on clustered vectors:
+    probing half the lists must recover >= 90% of true neighbors."""
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.similarity import brute_topk, ivf_topk
+
+    rng = []
+    dim = 8
+    # 8 well-separated cluster centers, 40 points each (splitmix-ish
+    # deterministic offsets)
+    x = 0x12345
+    for i in range(320):
+        c = i % 8
+        base = [(1.0 if j == c else 0.1) for j in range(dim)]
+        vec = []
+        for j in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+            vec.append(base[j] + ((x >> 33) / 2**31 - 0.5) * 0.05)
+        rng.append((i, [float(v) for v in vec]))
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rng],
+                        "embedding": [r[1] for r in rng]})
+    vecs = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    queries = (vecs.where("vec_id % 40 = 0")
+               .selectExpr("vec_id as qid", "embedding as qvec"))
+    exact = {(r["qid"], r["vec_id"])
+             for r in brute_topk(vecs, queries, k=5).collect()}
+    approx = {(r["qid"], r["vec_id"])
+              for r in ivf_topk(vecs, queries, k=5, dim=dim,
+                                n_lists=8, nprobe=4).collect()}
+    assert len(approx) == len(exact)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+
 def test_multimodal_real_decode(spark):
     """Media blobs are REAL encoded BMP/WAV bytes; the feature kernel
     decodes them with the pure-NumPy codecs — no error rows, correct

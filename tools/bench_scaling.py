@@ -92,8 +92,9 @@ def main():
         f.write(f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
 Same job, same input ({n_pages} synthetic pages, deterministic seed),
-cold cache, best-of-2 separate JVM runs per level (suppresses +-10%
-host noise; every run's outputs are identical and asserted):
+cold cache, best-of-3 separate JVM runs per level (suppresses the
+host's external-tenant noise; every run's outputs are identical and
+asserted):
 `geocode -> tile(res 6, halo/owner) -> salt -> per-tile Sherbend`.
 Output identity across parallelism levels asserted
 (tiles/geoms/vertices equal — the job is deterministic by design).
