@@ -45,6 +45,54 @@ def sessionized_page_counts(pages_stream: DataFrame, gap: str = "30 minutes",
                     F.col("w.end").alias("session_end"), "lang", "n_pages"))
 
 
+CELL_STATS_OUTPUT = "cell long, n_pages long, n_batches int"
+CELL_STATS_STATE = "n_pages long, n_batches int"
+
+
+def stateful_cell_counts(pages_stream: DataFrame, res: int = 6) -> DataFrame:
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-cell running page totals that survive across micro-batches AND
+    across restarts (the state store is part of the stream checkpoint).
+
+    Geocoding runs JVM-side (the pmod geocode formula is plain SQL);
+    the cell encode is the same Arrow kernel as the batch path; the
+    state update is one pandas group per cell holding
+    (running total, batches seen).  This is the streaming twin of the
+    per-tile counter manifest in the batch pipeline (S7/R2)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.spark_joins import encode_cell_udf
+
+    enc = encode_cell_udf(res)
+    with_cell = (pages_stream
+                 .withColumn("doc_id",
+                             F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
+                 .withColumn("h", F.xxhash64("doc_id"))
+                 .withColumn("lon", F.pmod(F.col("h"), F.lit(360000)) / 1000.0 - 180.0)
+                 .withColumn("lat",
+                             F.pmod(F.shiftright("h", 20), F.lit(170000)) / 1000.0 - 85.0)
+                 .withColumn("cell", enc("lon", "lat")))
+
+    def update(key, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            total, batches = state.get
+        else:
+            total, batches = 0, 0
+        total += n
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame({"cell": [key[0]], "n_pages": [total],
+                            "n_batches": [batches]})
+
+    return (with_cell.groupBy("cell")
+            .applyInPandasWithState(update, CELL_STATS_OUTPUT, CELL_STATS_STATE,
+                                    "update", GroupStateTimeout.NoTimeout))
+
+
 def run_incremental_pipeline(spark: SparkSession, in_path: str, out_dir: str,
                              checkpoint_dir: str, res: int = 6,
                              diameter_tol: float = 0.004):

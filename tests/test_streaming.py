@@ -47,6 +47,58 @@ def test_incremental_pipeline(spark, tmp_path):
     assert data2.count() > data.count()
 
 
+def test_stateful_cell_counts_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-cell running totals accumulate
+    across micro-batches AND survive a query restart via the state
+    store in the checkpoint."""
+    from geo_sim_processing_a_spark.streaming.ingest import stateful_cell_counts
+
+    src = str(tmp_path / "pages_state")
+    ckpt = str(tmp_path / "state_ckpt")
+    sink = str(tmp_path / "state_out")
+    build_pages(spark, 100, partitions=2).write.parquet(src)
+
+    def drain():
+        # foreachBatch file sink: the memory sink cannot recover from a
+        # checkpoint, and recovery is exactly what this test exercises
+        def write_batch(df, batch_id):
+            df.write.mode("append").parquet(sink)
+
+        q = (stateful_cell_counts(stream_pages(spark, src), res=2)
+             .writeStream.foreachBatch(write_batch)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def latest_per_cell():
+        rows = spark.read.parquet(sink).collect()
+        out = {}
+        for r in rows:  # running totals are monotone; keep the max
+            cur = out.get(r["cell"])
+            if cur is None or r["n_pages"] > cur[0]:
+                out[r["cell"]] = (r["n_pages"], r["n_batches"])
+        return out
+
+    drain()
+    first = latest_per_cell()
+    assert sum(n for n, _ in first.values()) == 100
+
+    # second drop (doc ids 100..249 = 150 new pages), NEW query
+    # instance, same checkpoint -> state resumes
+    build_pages(spark, 250, partitions=2).where(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") >= 100
+    ).write.mode("append").parquet(src)
+    drain()
+    second = latest_per_cell()
+    # updated cells carry the RUNNING total (old + new), not a reset
+    assert sum(n for n, _ in second.values()) == 250
+    grew = [c for c in second if c in first and second[c][0] > first[c][0]]
+    assert grew, "no cell accumulated across the restart"
+    for c in grew:
+        assert second[c][1] > first[c][1]  # batch counter advanced too
+
+
 def test_sessionized_counts(spark, tmp_path):
     from geo_sim_processing_a_spark.streaming.ingest import (
         sessionized_page_counts, stream_pages)
