@@ -76,3 +76,31 @@ def test_salting_splits_hot_cells(spark):
     assert len(counts) >= 10  # hot cell split across many salts
     for r in counts:
         assert r["count"] <= 200, r  # no owner group above 2x target
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: both sides bucketed+sorted on the key -> the
+    SortMergeJoin plans with ZERO Exchange (no shuffle at any scale)."""
+    from geo_sim_processing_a_spark.sources.bucketed import (
+        colocated_join, write_bucketed)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(0, 10_000).selectExpr("id as k", "id * 2 as a")
+        right = spark.range(0, 10_000).selectExpr("id as k", "id * 3 as b")
+        write_bucketed(left, "bk_left", "k", n_buckets=8)
+        write_bucketed(right, "bk_right", "k", n_buckets=8)
+        joined = colocated_join(spark, "bk_left", "bk_right", "k")
+        assert joined.count() == 10_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # control: the same join on plain (unbucketed) frames DOES shuffle
+        plain = left.join(right, "k")
+        plain.count()
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
