@@ -205,6 +205,52 @@ FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregate (multi-level totals in one pass — the engine
+    surface for hierarchical rollups).  Group keys are coalesced to a
+    sentinel so cross-engine null ordering never matters."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (l.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
+                 F.count("*").alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    "revenue", "n")
+            .orderBy("rf", "ls"))
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       round(sum(l_extendedprice), 6) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY rf, ls
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti-join / EXCEPT surface: customers with no URGENT order
+    (the urgent-order predicate keeps the expected output non-empty at
+    every test SF — a 0-row result would be evidence of nothing)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") == "1-URGENT"))
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment")
+            .orderBy("c_custkey"))
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup / text analysis (operators/dedup.py, operators/text.py)
 # ---------------------------------------------------------------------------
@@ -704,6 +750,8 @@ def all_queries():
         "q_supplier_rank": q_supplier_rank,
         "q_events_by_type_day": q_events_by_type_day,
         "q_events_sessions": q_events_sessions,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_customers_without_orders": q_customers_without_orders,
         "q_lang_dist": q_lang_dist,
         "q_dedup_exact": q_dedup_exact,
         "q_fingerprint": q_fingerprint,
@@ -741,6 +789,8 @@ def all_oracles():
         "q_supplier_rank": SQL_SUPPLIER_RANK,
         "q_events_by_type_day": SQL_EVENTS_DAY,
         "q_events_sessions": SQL_EVENTS_SESSIONS,
+        "q_rollup_revenue": SQL_ROLLUP_REVENUE,
+        "q_customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "q_lang_dist": SQL_LANG_DIST,
         "q_dedup_exact": SQL_DEDUP_EXACT,
         "q_fingerprint": SQL_FINGERPRINT,
