@@ -6,6 +6,7 @@ ANSI-SQL twin in __spark_entry__.oracle_sql for the DuckDB check."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -75,10 +76,88 @@ def quality_score(col: Column) -> Column:
     return F.round(len_score * 0.5 + (1.0 - punct_pen) * 0.25 + wl_score * 0.25, 6)
 
 
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish regex token count (task brief): letter runs, digit runs
+    and single punctuation marks are each one token — the classic
+    pre-tokenization split every BPE vocabulary starts from.  The same
+    pattern runs in the DuckDB oracle (regexp_extract_all)."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+BPE_TOKEN_PATTERN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased
     text (stable across layout changes; md5 exists in both engines)."""
     return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+WINNOW_MOD = (1 << 61) - 1
+WINNOW_BASE = 257
+
+
+def winnow_fingerprints_py(text: str, k: int = 8, w: int = 16) -> list:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the classic rolling-hash fingerprint the task brief
+    names): Karp-Rabin hashes of all k-char-grams, then per sliding
+    window of w hashes keep the RIGHTMOST minimum; distinct selected
+    hashes, sorted.  Guarantees any match of length >= w+k-1 shares a
+    fingerprint.  Vectorized NumPy (Horner across k steps, sliding
+    window minimum via stride tricks)."""
+    import numpy as np
+
+    s = (text or "").lower()
+    c = np.frombuffer(s.encode("utf-8", errors="replace"), dtype=np.uint8)
+    n = len(c)
+    if n < k:
+        c = np.pad(c, (0, k - n))
+        n = k
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):  # Horner: h = h*B + c[j..j+m)
+            h = (h * np.uint64(WINNOW_BASE) + c[j:j + m]) % np.uint64(WINNOW_MOD)
+    if m <= w:
+        return sorted({int(h.min())})
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(h, w)
+    # rightmost minimum per window: argmin on the reversed window
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    pos = np.arange(len(win)) + (w - 1 - rev_arg)
+    return sorted({int(v) for v in h[np.unique(pos)]})
+
+
+def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 16) -> DataFrame:
+    """(doc_id, fps array<long>) — winnowing fingerprints per doc in
+    one Arrow batch kernel.  Near-dup candidates are then an equi-join
+    on exploded fingerprints (same banded shape as MinHash-LSH)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        return pd.Series([winnow_fingerprints_py(t, k, w) for t in texts])
+
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       fp_udf(F.col(text_col)).alias("fps"))
+
+
+def winnow_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 8, w: int = 16,
+                          min_shared: int = 3) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: explode ->
+    equi-join on the fingerprint value (candidates only, never
+    all-pairs) -> count shared fingerprints per pair."""
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    return (ex.alias("l").join(ex.alias("r"), "fp")
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .groupBy(F.col("l.doc_id").alias("id_a"),
+                     F.col("r.doc_id").alias("id_b"))
+            .agg(F.count("*").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared))
 
 
 def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -366,6 +366,40 @@ def _points_from_customer(spark, sf_dir):
         ((F.col("c_custkey") * 104729 % 170000) / 1000.0 - 85).alias("lat"))
 
 
+def q_token_stats(spark, sf_dir):
+    """Token counting both ways (task brief): whitespace tokens and
+    BPE-ish regex pre-tokenization units, hash-verified vs DuckDB."""
+    from ..operators.text import bpe_token_count, token_count
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return (d.select("doc_id",
+                     token_count(c).cast("long").alias("n_ws_tokens"),
+                     bpe_token_count(c).cast("long").alias("n_bpe_tokens"))
+            .orderBy("doc_id"))
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_winnow_near_dup(spark, sf_dir):
+    """Rolling-hash (winnowing) document fingerprints -> near-dup
+    candidate pairs by shared fingerprints (explode + equi-join, never
+    all-pairs)."""
+    from ..operators.text import winnow_near_dup_pairs
+    d = _t(spark, sf_dir, "documents")
+    # k=16/w=32 so the short-word synthetic vocabulary doesn't produce
+    # indiscriminate k-gram collisions (k=8 matched 36k pairs; these
+    # params match the MinHash near-dup scale on the same table)
+    return (winnow_near_dup_pairs(d, k=16, w=32, min_shared=8)
+            .orderBy("id_a", "id_b"))
+
+
 def q_cell_encode(spark, sf_dir):
     from ..operators.spark_joins import encode_cell_udf
     pts = _points_from_customer(spark, sf_dir)
@@ -755,6 +789,7 @@ def all_queries():
         "q_lang_dist": q_lang_dist,
         "q_dedup_exact": q_dedup_exact,
         "q_fingerprint": q_fingerprint,
+        "q_token_stats": q_token_stats,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -771,6 +806,7 @@ def all_queries():
         "q_chordal_triangles": q_chordal_triangles,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_near_dup": q_simhash_near_dup,
+        "q_winnow_near_dup": q_winnow_near_dup,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_ivf_topk": q_ivf_topk,
         "q_raster_tiles": q_raster_tiles,
@@ -794,6 +830,7 @@ def all_oracles():
         "q_lang_dist": SQL_LANG_DIST,
         "q_dedup_exact": SQL_DEDUP_EXACT,
         "q_fingerprint": SQL_FINGERPRINT,
+        "q_token_stats": SQL_TOKEN_STATS,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,

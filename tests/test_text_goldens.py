@@ -33,3 +33,65 @@ def test_text_goldens():
     with open(GOLDEN_PATH) as f:
         golden = json.load(f)
     assert got == golden
+
+
+def test_winnow_guarantee_and_disjoint():
+    """Winnowing guarantee: any shared substring of length >= w+k-1
+    yields a shared fingerprint; fully-disjoint alphabets share none."""
+    from geo_sim_processing_a_spark.operators.text import winnow_fingerprints_py
+
+    k, w = 8, 16
+    common = "the quick brown fox jumps over the lazy dog tail"  # 49 >= w+k-1
+    a = "prefix one " + common + " suffix alpha"
+    b = "other start " + common + " different end"
+    fa = set(winnow_fingerprints_py(a, k, w))
+    fb = set(winnow_fingerprints_py(b, k, w))
+    assert fa & fb, "shared long substring must share a fingerprint"
+    c = "zzzzyyyyxxxxwwwwvvvvuuuuttttssss"
+    d = "0000111122223333444455556666"
+    assert not (set(winnow_fingerprints_py(c, k, w))
+                & set(winnow_fingerprints_py(d, k, w)))
+    # deterministic + short-input safe
+    assert winnow_fingerprints_py(a, k, w) == winnow_fingerprints_py(a, k, w)
+    assert len(winnow_fingerprints_py("ab", k, w)) == 1
+    assert winnow_fingerprints_py("", k, w)
+
+
+def test_winnow_near_dup_spark(spark):
+    """Planted near-dups (long shared substring) are found; unrelated
+    docs are not paired."""
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.text import winnow_near_dup_pairs
+
+    common = ("the quick brown fox jumps over the lazy dog while the "
+              "cat watches from the warm windowsill every single day")
+    rows = [(0, "intro " + common + " outro"),
+            (1, "different head " + common + " different tail"),
+            (2, "completely unrelated text about spark shuffles and "
+                "partition pruning strategies with zero overlap here"),
+            (3, "another separate document mentioning geometry kernels "
+                "and chordal axis skeletons only")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]),
+                                 "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             winnow_near_dup_pairs(docs, min_shared=3).collect()}
+    assert (0, 1) in pairs
+    assert (2, 3) not in pairs
+
+
+def test_bpe_token_count_matches_reference(spark):
+    """BPE-ish regex count equals a hand count on known strings."""
+    import pandas as pd
+    import re
+    from geo_sim_processing_a_spark.operators.text import (
+        BPE_TOKEN_PATTERN_SQL, bpe_token_count)
+
+    texts = ["Hello, world! 42 times.", "a+b=c", "  spaced   out  ",
+             "unicode naïve café 3.14", ""]
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf, "i long, text string")
+    got = {r["i"]: r["n"] for r in
+           df.select("i", bpe_token_count(__import__("pyspark.sql.functions",
+                     fromlist=["col"]).col("text")).alias("n")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == len(re.findall(BPE_TOKEN_PATTERN_SQL, t)), (i, t)
