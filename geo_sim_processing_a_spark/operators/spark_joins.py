@@ -66,6 +66,48 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 8) -> DataFrame:
             .dropDuplicates(["pid", "poly_id"]))
 
 
+def range_join(left: DataFrame, right: DataFrame, res: int = 6,
+               left_id: str = "a_id", right_id: str = "b_id") -> DataFrame:
+    """Spatial RANGE JOIN: pairs whose bounding boxes intersect.
+
+    Scale shape (the classic grid partitioned spatial join):
+     - both sides are duplicated into every covered cell (halo cover,
+       same contract as the tile kernels);
+     - candidates come from an equi-join ON CELL ONLY — never a cross
+       join;
+     - the exact bbox-overlap test is four JVM comparisons;
+     - duplicates are eliminated by the REFERENCE-POINT rule (report a
+       pair only in the single cell containing the overlap region's
+       min corner) — dedup by construction, no distinct shuffle.
+
+    Inputs: (id, xs, ys[, ring_offsets]) geometry frames.  Returns
+    (left_id, right_id)."""
+    def covered(df, id_col, prefix):
+        bb = df.select(
+            F.col(id_col),
+            F.array_min("xs").alias(f"{prefix}minx"),
+            F.array_min("ys").alias(f"{prefix}miny"),
+            F.array_max("xs").alias(f"{prefix}maxx"),
+            F.array_max("ys").alias(f"{prefix}maxy"),
+            "xs", "ys")
+        from .tiling import with_cell_cover
+        return (with_cell_cover(bb, res)
+                .drop("xs", "ys", "is_owner"))
+
+    la = covered(left, left_id, "a_")
+    rb = covered(right, right_id, "b_")
+    enc = encode_cell_udf(res)
+    rx = F.greatest("a_minx", "b_minx")
+    ry = F.greatest("a_miny", "b_miny")
+    return (la.join(rb, "cell")
+            .where((F.col("a_minx") <= F.col("b_maxx"))
+                   & (F.col("a_maxx") >= F.col("b_minx"))
+                   & (F.col("a_miny") <= F.col("b_maxy"))
+                   & (F.col("a_maxy") >= F.col("b_miny")))
+            .where(enc(rx, ry) == F.col("cell"))
+            .select(left_id, right_id))
+
+
 def knn_join(points: DataFrame, k: int, res: int = 6,
              strict: bool = True) -> DataFrame:
     """Self-kNN of points(pid, lon, lat): for each point the k nearest

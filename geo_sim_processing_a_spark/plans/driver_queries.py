@@ -510,6 +510,56 @@ ORDER BY pid, poly_id
 """
 
 
+_BOXES_SUPPLIER = """
+  SELECT CAST(s_suppkey AS BIGINT) AS b_id,
+         (s_suppkey * 3571 % 18000) / 1000.0 - 9 AS cx,
+         (s_suppkey * 2663 % 18000) / 1000.0 - 9 AS cy,
+         0.4 + (s_suppkey % 6) / 10.0 AS w,
+         0.4 + (s_suppkey % 4) / 10.0 AS h
+  FROM supplier
+"""
+
+
+def _boxes_from_supplier(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    b = s.select(
+        F.col("s_suppkey").cast("long").alias("b_id"),
+        ((F.col("s_suppkey") * 3571 % 18000) / 1000.0 - 9).alias("cx"),
+        ((F.col("s_suppkey") * 2663 % 18000) / 1000.0 - 9).alias("cy"),
+        (0.4 + (F.col("s_suppkey") % 6) / 10.0).alias("w"),
+        (0.4 + (F.col("s_suppkey") % 4) / 10.0).alias("h"))
+    return b.select(
+        "b_id",
+        F.array(F.col("cx") - F.col("w"), F.col("cx") + F.col("w"),
+                F.col("cx") + F.col("w"), F.col("cx") - F.col("w"),
+                F.col("cx") - F.col("w")).alias("xs"),
+        F.array(F.col("cy") - F.col("h"), F.col("cy") - F.col("h"),
+                F.col("cy") + F.col("h"), F.col("cy") + F.col("h"),
+                F.col("cy") - F.col("h")).alias("ys"))
+
+
+def q_range_join(spark, sf_dir):
+    """Spatial RANGE JOIN (bbox-overlap pairs) via grid-partitioned
+    cell cover + reference-point dedup — candidates come from an
+    equi-join on cell, never a cross join; hash-verified against the
+    brute-force interval-overlap oracle."""
+    from ..operators.spark_joins import range_join
+    a = _boxes_from_nation(spark, sf_dir).withColumnRenamed("poly_id", "a_id")
+    b = _boxes_from_supplier(spark, sf_dir)
+    return (range_join(a, b, res=6)
+            .orderBy("a_id", "b_id"))
+
+
+SQL_RANGE_JOIN = f"""
+WITH a AS ({_BOXES_NATION}), b AS ({_BOXES_SUPPLIER})
+SELECT a.poly_id AS a_id, b.b_id
+FROM a, b
+WHERE a.cx - a.w <= b.cx + b.w AND a.cx + a.w >= b.cx - b.w
+  AND a.cy - a.h <= b.cy + b.h AND a.cy + a.h >= b.cy - b.h
+ORDER BY a_id, b_id
+"""
+
+
 def q_knn(spark, sf_dir):
     from ..operators.spark_joins import knn_join
     pts = _points_from_orders(spark, sf_dir).where(F.col("pid") % 8 == 0)
@@ -794,6 +844,7 @@ def all_queries():
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
         "q_pip_join": q_pip_join,
+        "q_range_join": q_range_join,
         "q_knn": q_knn,
         "q_embedding_topk": q_embedding_topk,
         # rows-only (non-SQL-expressible kernels; every row carries a
@@ -835,6 +886,7 @@ def all_oracles():
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
         "q_pip_join": SQL_PIP_JOIN,
+        "q_range_join": SQL_RANGE_JOIN,
         "q_knn": SQL_KNN,
         "q_embedding_topk": SQL_EMBEDDING_TOPK,
         "q_asof_events": SQL_ASOF_EVENTS,
