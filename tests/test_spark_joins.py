@@ -62,3 +62,29 @@ def test_knn_matches_bruteforce(spark):
             order = np.lexsort((ids, d2[i]))[:k]
             exp = [(r + 1, int(order[r])) for r in range(k)]
             assert sorted(got[i]) == exp, f"pid {i} k {k}"
+
+
+def test_range_join_edges_and_dedup(spark):
+    """Range join: closed-interval edge/corner touches count as
+    overlap; a geometry spanning many cells yields exactly ONE row per
+    pair (reference-point dedup, no distinct)."""
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.spark_joins import range_join
+
+    def box(i, x0, y0, x1, y1):
+        return (i, [x0, x1, x1, x0, x0], [y0, y0, y1, y1, y0])
+
+    def frame(rows, idc):
+        pdf = pd.DataFrame(rows, columns=[idc, "xs", "ys"])
+        return spark.createDataFrame(
+            pdf, f"{idc} long, xs array<double>, ys array<double>")
+
+    a = frame([box(1, 0.0, 0.0, 1.0, 1.0),
+               box(2, 50.0, 50.0, 51.0, 51.0),
+               box(3, -20.0, -20.0, 20.0, 20.0)], "a_id")
+    b = frame([box(10, 1.0, 0.0, 2.0, 1.0),     # shares the x=1 edge with 1
+               box(11, 1.0, 1.0, 2.0, 2.0),     # touches 1 at corner (1,1)
+               box(12, 30.0, 30.0, 31.0, 31.0),  # disjoint from everything
+               box(13, -5.0, -5.0, 5.0, 5.0)], "b_id")
+    got = sorted((r["a_id"], r["b_id"]) for r in range_join(a, b, res=6).collect())
+    assert got == [(1, 10), (1, 11), (1, 13), (3, 10), (3, 11), (3, 13)]
