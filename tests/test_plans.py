@@ -104,3 +104,14 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_range_join_plans_no_cartesian(spark):
+    """The spatial range join must plan as an equi-join on cell —
+    never CartesianProduct / BroadcastNestedLoopJoin."""
+    from geo_sim_processing_a_spark.plans.driver_queries import q_range_join
+    df = q_range_join(spark, "/root/testdata/sf0.001")
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
