@@ -1,0 +1,92 @@
+"""Hypertable rollup — an incrementally-refreshed time-bucketed
+continuous aggregate (the TimescaleDB-style operator the task brief
+names).
+
+Semantics:
+ - the raw events table is bucketed on event time (``date_trunc``);
+ - the rollup materializes one aggregate row per (bucket, event_type);
+ - ``refresh`` recomputes ONLY buckets whose raw row count changed
+   since the last refresh (new buckets, or buckets that received late
+   data) and overwrites exactly those partitions (dynamic partition
+   overwrite) — untouched buckets are never rewritten;
+ - the per-bucket state (raw row count, refresh generation) lives in a
+   parquet manifest, so refresh is idempotent and restartable.
+
+At scale the refresh cost is proportional to the CHANGED data, not the
+table: the bucket-count delta pass is one aggregate over the raw
+table's time column (min/max-prunable on a time-partitioned layout),
+and the recompute filters to the changed buckets before aggregating.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATE_SCHEMA = "bucket timestamp, n_raw long, generation int"
+
+
+def _state_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_rollup_state")
+
+
+def _with_bucket(events: DataFrame, time_col: str, bucket: str) -> DataFrame:
+    return events.withColumn("bucket", F.date_trunc(bucket, F.col(time_col)))
+
+
+def _read_state(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(_state_path(out_dir))
+    except Exception:
+        return None
+
+
+def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
+            time_col: str = "ts", bucket: str = "hour") -> dict:
+    """Incrementally refresh the rollup at ``out_dir``.  Returns
+    {"buckets_total", "buckets_refreshed", "generation"}."""
+    bucketed = _with_bucket(events, time_col, bucket)
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n_raw"))
+
+    state = _read_state(spark, out_dir)
+    if state is None:
+        changed = counts
+        generation = 0
+    else:
+        latest = (state.groupBy("bucket")
+                  .agg(F.max("generation").alias("generation"),
+                       F.max_by("n_raw", "generation").alias("n_raw")))
+        joined = counts.alias("c").join(latest.alias("s"), "bucket", "left")
+        changed = (joined.where(F.col("s.n_raw").isNull()
+                                | (F.col("c.n_raw") != F.col("s.n_raw")))
+                   .select("bucket", F.col("c.n_raw").alias("n_raw")))
+        generation = (state.agg(F.max("generation")).collect()[0][0] or 0) + 1
+
+    changed_buckets = changed.select("bucket").persist()
+    n_changed = changed_buckets.count()
+    if n_changed:
+        rollup = (bucketed.join(F.broadcast(changed_buckets), "bucket")
+                  .groupBy("bucket", "event_type")
+                  .agg(F.count("*").alias("n_events"),
+                       F.round(F.sum("value"), 6).alias("total_value"),
+                       F.round(F.avg("value"), 6).alias("avg_value")))
+        (rollup.withColumn("bucket_key",
+                           F.date_format("bucket", "yyyyMMddHH"))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("bucket_key")
+         .parquet(os.path.join(out_dir, "rollup")))
+        (changed.withColumn("generation", F.lit(generation).cast("int"))
+         .select("bucket", "n_raw", "generation")
+         .write.mode("append").parquet(_state_path(out_dir)))
+    changed_buckets.unpersist()
+    total = counts.count()
+    return {"buckets_total": total, "buckets_refreshed": int(n_changed),
+            "generation": generation}
+
+
+def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    return (spark.read.parquet(os.path.join(out_dir, "rollup"))
+            .drop("bucket_key"))

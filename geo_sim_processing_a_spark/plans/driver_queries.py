@@ -192,6 +192,34 @@ ORDER BY user_id
 """
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable rollup: incrementally-refreshed hourly continuous
+    aggregate over events, materialized per-bucket with dynamic
+    partition overwrite; the READ-BACK materialization is what gets
+    hash-compared to the direct SQL aggregate."""
+    import tempfile
+    from ..operators.hypertable import read_rollup, refresh
+    e = _t(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="rollup_q_")
+    refresh(spark, e, out, time_col="ts", bucket="hour")
+    return (read_rollup(spark, out)
+            .select(F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
+                    "event_type", "n_events", "total_value", "avg_value")
+            .orderBy("bucket", "event_type"))
+
+
+SQL_HYPERTABLE_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+"""
+
+
 def q_lang_dist(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (d.groupBy("lang", "source")
@@ -836,6 +864,7 @@ def all_queries():
         "q_events_sessions": q_events_sessions,
         "q_rollup_revenue": q_rollup_revenue,
         "q_customers_without_orders": q_customers_without_orders,
+        "q_hypertable_rollup": q_hypertable_rollup,
         "q_lang_dist": q_lang_dist,
         "q_dedup_exact": q_dedup_exact,
         "q_fingerprint": q_fingerprint,
@@ -878,6 +907,7 @@ def all_oracles():
         "q_events_sessions": SQL_EVENTS_SESSIONS,
         "q_rollup_revenue": SQL_ROLLUP_REVENUE,
         "q_customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "q_hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
         "q_lang_dist": SQL_LANG_DIST,
         "q_dedup_exact": SQL_DEDUP_EXACT,
         "q_fingerprint": SQL_FINGERPRINT,

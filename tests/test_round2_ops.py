@@ -196,3 +196,48 @@ def test_synthesized_multi_ring_invariants():
     # h selects holes exactly where pmod(h,21)==0 among footprints
     hsel = np.asarray(holed["h"], dtype=np.int64)
     assert (np.mod(hsel, 21) == 0).all()
+
+
+def test_hypertable_rollup_incremental_refresh(spark, tmp_path):
+    """Hypertable rollup: the second refresh recomputes ONLY buckets
+    that received new (late) rows, and the materialization equals a
+    full recompute."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.hypertable import (
+        read_rollup, refresh)
+
+    def events(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                          "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return spark.createDataFrame(
+            pdf, "event_id long, user_id long, event_type string, "
+                 "ts timestamp, value double")
+
+    base = [(i, i % 3, "click" if i % 2 else "view",
+             f"2025-01-01 {i % 4:02d}:{i % 60:02d}:00", float(i)) for i in range(40)]
+    out = str(tmp_path / "rollup")
+    r1 = refresh(spark, events(base), out)
+    assert r1["buckets_total"] == 4 and r1["buckets_refreshed"] == 4
+
+    # late rows land in ONE bucket (hour 02)
+    late = base + [(100 + j, 0, "click", f"2025-01-01 02:0{j}:30", 9.5)
+                   for j in range(3)]
+    r2 = refresh(spark, events(late), out)
+    assert r2["buckets_refreshed"] == 1, r2
+
+    # materialization == full recompute
+    got = {(str(r["bucket"]), r["event_type"]): (r["n_events"], r["total_value"])
+           for r in read_rollup(spark, out).collect()}
+    exp = {(str(r["bucket"]), r["event_type"]): (r["n_events"], r["total_value"])
+           for r in (events(late)
+                     .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+                     .agg(F.count("*").alias("n_events"),
+                          F.round(F.sum("value"), 6).alias("total_value"))
+                     .collect())}
+    assert got == exp
+
+    # idempotent: a third refresh with the same data touches nothing
+    r3 = refresh(spark, events(late), out)
+    assert r3["buckets_refreshed"] == 0
