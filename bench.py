@@ -43,6 +43,12 @@ def main():
     # not throughput; same policy as tools/bench_scaling.py)
     spark.range(0, cpus, 1, cpus).mapInPandas(lambda it: it, "id long").count()
     build_pages(spark, 64, partitions=cpus).count()
+    # warm the OS page cache for the scanned tables: a cold first touch
+    # measured 6-11 s on q01 vs 1.3 s steady-state (NOTES_ROUND2.md) —
+    # the ride-alongs measure the engine, not the disk's first read
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     timings: dict[str, float] = {}
 
     def run(name, fn):
