@@ -38,12 +38,31 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    # NOTE round 3: a memoryview-slice / batched-matrix rewrite of this
+    # kernel and of sim_udf was measured SLOWER on the real workload
+    # (~45-token docs: per-doc ops stay in cache, the flat
+    # (260k, n_hashes) uint64 matrix is memory-bound — 0.13s -> 0.76s
+    # for the permutation step at sf0.1) and reverted; the actual
+    # q_minhash cost is Spark-side parallelism, fixed in
+    # _ensure_parallelism below.
     toks = text.lower().split()
     if len(toks) < n:
         toks = toks + [""] * (n - len(toks))
     return np.array(sorted({zlib.crc32(" ".join(toks[i:i + n]).encode("utf-8"))
                             for i in range(max(1, len(toks) - n + 1))}),
                     dtype=np.uint64)
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Python-kernel stages (signature UDFs) want at least one task per
+    core: a small parquet input arrives as ONE split and would run the
+    whole Arrow kernel single-threaded.  Repartition only when the scan
+    is narrower than the default parallelism — a no-op at scale, where
+    inputs carry orders of magnitude more splits than cores."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _perm_params(n_hashes: int):
@@ -97,7 +116,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 32,
                       bands: int = 8, shingle: int = 3,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      hot_key_cap: int | None = 1000) -> DataFrame:
     """Candidate pairs via banding, then EXACT Jaccard verification on
     the shingle-hash sets — returns (id_a, id_b, jaccard) with
     id_a < id_b, jaccard >= threshold.
@@ -106,11 +126,19 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     the verify stage joins the compact shingle-hash arrays (already
     computed once per doc by the signature kernel) and computes exact
     Jaccard with JVM-side array_intersect/array_union — raw text is
-    never shuffled and nothing is re-shingled per pair."""
+    never shuffled and nothing is re-shingled per pair.  Band buckets
+    with more than ``hot_key_cap`` docs are dropped WITH a report
+    (operators/skew.py — the self-join is quadratic per bucket); pass
+    None to disable.  Signatures are local-checkpointed (computed once,
+    reused by banding + both verify sides; blocks are reference-tracked
+    and freed when the result goes out of scope — unlike persist(),
+    nothing stays pinned in the cache manager)."""
+    from .skew import frequency_cap
+
     rows_per_band = n_hashes // bands
-    sigs = (minhash_signatures(docs, id_col, text_col, n_hashes, shingle,
-                               keep_shingles=True)
-            .persist())
+    sigs = (minhash_signatures(_ensure_parallelism(docs), id_col, text_col,
+                               n_hashes, shingle, keep_shingles=True)
+            .localCheckpoint(eager=True))
 
     band_cols = [F.struct(F.lit(bi).alias("band"),
                           F.xxhash64(F.concat_ws(
@@ -119,6 +147,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                  for bi in range(bands)]
     buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
                .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")))
+    if hot_key_cap is not None:
+        buckets = frequency_cap(buckets, ["band", "bh"], hot_key_cap, "minhash_lsh")
     cand = (buckets.alias("l").join(buckets.alias("r"), ["band", "bh"])
             .where(F.col("l.doc_id") < F.col("r.doc_id"))
             .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
@@ -177,16 +207,23 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3,
+                  hot_key_cap: int | None = 1000) -> DataFrame:
     """Near-dup pairs by SimHash: 4x16-bit band join (guarantees recall
-    for Hamming<=3), exact Hamming verify via bit_count."""
-    sigs = simhash_signatures(docs, id_col, text_col)
+    for Hamming<=3), exact Hamming verify via bit_count.  Band buckets
+    above ``hot_key_cap`` docs are dropped with a report (skew.py)."""
+    from .skew import frequency_cap
+
+    sigs = (simhash_signatures(_ensure_parallelism(docs), id_col, text_col)
+            .localCheckpoint(eager=True))
     band_cols = [F.struct(F.lit(b).alias("band"),
                           F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
                  for b in range(4)]
     buckets = (sigs.select("doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb"))
                .select("doc_id", "simhash", F.col("bb.band").alias("band"),
                        F.col("bb.bh").alias("bh")))
+    if hot_key_cap is not None:
+        buckets = frequency_cap(buckets, ["band", "bh"], hot_key_cap, "simhash")
     return (buckets.alias("l").join(buckets.alias("r"), ["band", "bh"])
             .where(F.col("l.doc_id") < F.col("r.doc_id"))
             .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"),

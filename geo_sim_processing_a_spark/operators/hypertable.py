@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 
 STATE_SCHEMA = "bucket timestamp, n_raw long, generation int"
 
+# Partition-key format PER bucket unit: the key must be unique at the
+# bucket's own granularity, else dynamic partition overwrite of one
+# changed bucket silently deletes sibling buckets sharing the coarser
+# key (e.g. all minutes of an hour under a yyyyMMddHH key).
+_BUCKET_KEY_FMT = {
+    "year": "yyyy", "quarter": "yyyyMM", "month": "yyyyMM",
+    "week": "yyyyMMdd", "day": "yyyyMMdd", "hour": "yyyyMMddHH",
+    "minute": "yyyyMMddHHmm", "second": "yyyyMMddHHmmss",
+}
+
 
 def _state_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_rollup_state")
@@ -47,6 +57,9 @@ def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
             time_col: str = "ts", bucket: str = "hour") -> dict:
     """Incrementally refresh the rollup at ``out_dir``.  Returns
     {"buckets_total", "buckets_refreshed", "generation"}."""
+    if bucket not in _BUCKET_KEY_FMT:
+        raise ValueError(f"unsupported bucket unit {bucket!r}; "
+                         f"one of {sorted(_BUCKET_KEY_FMT)}")
     bucketed = _with_bucket(events, time_col, bucket)
     counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n_raw"))
 
@@ -73,7 +86,7 @@ def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
                        F.round(F.sum("value"), 6).alias("total_value"),
                        F.round(F.avg("value"), 6).alias("avg_value")))
         (rollup.withColumn("bucket_key",
-                           F.date_format("bucket", "yyyyMMddHH"))
+                           F.date_format("bucket", _BUCKET_KEY_FMT[bucket]))
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("bucket_key")

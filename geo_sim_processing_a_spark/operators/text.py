@@ -146,12 +146,23 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 
 def winnow_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 8, w: int = 16,
-                          min_shared: int = 3) -> DataFrame:
+                          min_shared: int = 3,
+                          hot_key_cap: int | None = 1000) -> DataFrame:
     """Near-dup pairs by shared winnowing fingerprints: explode ->
     equi-join on the fingerprint value (candidates only, never
-    all-pairs) -> count shared fingerprints per pair."""
-    fps = winnow_fingerprints(docs, id_col, text_col, k, w)
+    all-pairs) -> count shared fingerprints per pair.  Fingerprints
+    shared by more than ``hot_key_cap`` docs (boilerplate) are dropped
+    with a report (operators/skew.py) — the self-join is quadratic per
+    fingerprint; a dropped pair loses at most ``hot_key_cap``-hot
+    fingerprints from its n_shared count."""
+    from .dedup import _ensure_parallelism
+    from .skew import frequency_cap
+
+    fps = (winnow_fingerprints(_ensure_parallelism(docs), id_col, text_col, k, w)
+           .localCheckpoint(eager=True))
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))
+    if hot_key_cap is not None:
+        ex = frequency_cap(ex, ["fp"], hot_key_cap, "winnowing")
     return (ex.alias("l").join(ex.alias("r"), "fp")
             .where(F.col("l.doc_id") < F.col("r.doc_id"))
             .groupBy(F.col("l.doc_id").alias("id_a"),

@@ -134,22 +134,28 @@ def _clip_segments_to_grid(gx0, gy0, gx1, gy1, n_sub: int):
     dx = gx1 - gx0
     dy = gy1 - gy0
     lim = float(n_sub)
+    # Degenerate axis (dx==0 / dy==0): the axis imposes no constraint
+    # when the shared coordinate is inside [0, lim] (interval (-inf,
+    # +inf)), and must make the WHOLE interval empty when it is outside.
+    # Both slots get +inf for "outside" so min(t0,t1)=+inf forces
+    # t_enter=+inf > t_exit and the segment is rejected — a -inf/+inf
+    # split would collapse back to a vacuous interval under the min/max
+    # below and keep segments that never touch the window.
     with np.errstate(divide="ignore", invalid="ignore"):
-        t0x = np.where(dx != 0, (0.0 - gx0) / dx,
-                       np.where((0.0 <= gx0) & (gx0 <= lim), -np.inf, np.inf))
-        t1x = np.where(dx != 0, (lim - gx0) / dx,
-                       np.where((0.0 <= gx0) & (gx0 <= lim), np.inf, -np.inf))
-        t0y = np.where(dy != 0, (0.0 - gy0) / dy,
-                       np.where((0.0 <= gy0) & (gy0 <= lim), -np.inf, np.inf))
-        t1y = np.where(dy != 0, (lim - gy0) / dy,
-                       np.where((0.0 <= gy0) & (gy0 <= lim), np.inf, -np.inf))
+        in_x = (0.0 <= gx0) & (gx0 <= lim)
+        in_y = (0.0 <= gy0) & (gy0 <= lim)
+        t0x = np.where(dx != 0, (0.0 - gx0) / dx, np.where(in_x, -np.inf, np.inf))
+        t1x = np.where(dx != 0, (lim - gx0) / dx, np.where(in_x, np.inf, np.inf))
+        t0y = np.where(dy != 0, (0.0 - gy0) / dy, np.where(in_y, -np.inf, np.inf))
+        t1y = np.where(dy != 0, (lim - gy0) / dy, np.where(in_y, np.inf, np.inf))
     t_enter = np.maximum(np.maximum(np.minimum(t0x, t1x), np.minimum(t0y, t1y)), 0.0)
     t_exit = np.minimum(np.minimum(np.maximum(t0x, t1x), np.maximum(t0y, t1y)), 1.0)
     keep = t_enter <= t_exit
-    ax = gx0 + t_enter * dx
-    ay = gy0 + t_enter * dy
-    bx = gx0 + t_exit * dx
-    by = gy0 + t_exit * dy
+    with np.errstate(invalid="ignore"):  # rejected rows have t=inf, dx=0
+        ax = gx0 + t_enter * dx
+        ay = gy0 + t_enter * dy
+        bx = gx0 + t_exit * dx
+        by = gy0 + t_exit * dy
     return keep, ax, ay, bx, by
 
 

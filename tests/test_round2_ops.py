@@ -83,6 +83,55 @@ def test_raster_line_traversal_exact(spark):
     assert occ[0, 0] and occ[15, 15]
 
 
+def test_clip_rejects_outside_axis_parallel_segments():
+    """Liang-Barsky degenerate axis: a dx==0 (or dy==0) segment whose
+    shared coordinate lies OUTSIDE the window must be rejected, not
+    clipped into the edge column/row (round-3 ADVICE fix)."""
+    from geo_sim_processing_a_spark.operators.tiling import _clip_segments_to_grid
+
+    # vertical segment at gx=20, entirely right of a 16-wide window
+    keep, *_ = _clip_segments_to_grid(
+        np.array([20.0]), np.array([2.0]), np.array([20.0]), np.array([10.0]), 16)
+    assert not keep[0]
+    # horizontal segment below the window
+    keep, *_ = _clip_segments_to_grid(
+        np.array([2.0]), np.array([-5.0]), np.array([10.0]), np.array([-5.0]), 16)
+    assert not keep[0]
+    # inside-window vertical segment is still kept and clipped on y
+    keep, ax, ay, bx, by = _clip_segments_to_grid(
+        np.array([3.0]), np.array([-5.0]), np.array([3.0]), np.array([20.0]), 16)
+    assert keep[0] and ay[0] == 0.0 and by[0] == 16.0 and ax[0] == 3.0
+
+
+def test_raster_outside_vertical_edge_marks_nothing(spark):
+    """A line spanning 3 cells whose vertical edge lies in a FAR cell
+    must not mark any sub-cells of the first cell's edge column (the
+    pre-fix clip collapsed the outside vertical edge into column 15)."""
+    cell = C.encode(np.array([0.2]), np.array([0.2]), 6)
+    lo0, la0, lo1, la1 = C.cell_bounds(cell)
+    lo0, la0 = float(lo0[0]), float(la0[0])
+    w, h = float(lo1[0]) - lo0, float(la1[0]) - la0
+    # horizontal run at fy=0.2 from fx=0.5 to fx=2.5, then vertical up
+    # to fy=0.8 at fx=2.5 (two cells to the right of the owner cell)
+    pdf = pd.DataFrame({
+        "url": ["far"], "kind": [1],
+        "xs": [[lo0 + 0.5 * w, lo0 + 2.5 * w, lo0 + 2.5 * w]],
+        "ys": [[la0 + 0.2 * h, la0 + 0.2 * h, la0 + 0.8 * h]],
+        "ring_offsets": [[0]],
+    })
+    df = spark.createDataFrame(
+        pdf, "url string, kind tinyint, xs array<double>, "
+             "ys array<double>, ring_offsets array<int>")
+    out = raster_tile_assign(df, res=6, sub_res=4).collect()
+    own = [r for r in out if int(r["cell"]) == int(cell[0])]
+    assert len(own) == 1
+    occ = np.array(own[0]["occupancy"]).reshape(16, 16)
+    # the horizontal edge at gy=3.2 marks row 3, cols 8..15 — and ONLY that
+    assert occ[3, 8:].all()
+    occ[3, :] = False
+    assert not occ.any(), "outside vertical edge leaked into this cell"
+
+
 def test_skeleton_through_spark_matches_local_kernel(spark):
     """The distributed chordal-axis frame reproduces the local kernel's
     skeleton EXACTLY (same merged centre-line vertex sequences)."""
@@ -241,3 +290,42 @@ def test_hypertable_rollup_incremental_refresh(spark, tmp_path):
     # idempotent: a third refresh with the same data touches nothing
     r3 = refresh(spark, events(late), out)
     assert r3["buckets_refreshed"] == 0
+
+
+def test_hypertable_minute_buckets_survive_sibling_refresh(spark, tmp_path):
+    """Minute-granular rollup: overwriting ONE changed minute-bucket
+    must not delete sibling minute-buckets of the same hour (round-3
+    ADVICE fix — bucket_key now carries the bucket's own granularity)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.hypertable import (
+        read_rollup, refresh)
+
+    def events(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                          "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return spark.createDataFrame(
+            pdf, "event_id long, user_id long, event_type string, "
+                 "ts timestamp, value double")
+
+    # 5 minute-buckets inside the SAME hour
+    base = [(i, 0, "click", f"2025-01-01 02:{i % 5:02d}:10", 1.0)
+            for i in range(25)]
+    out = str(tmp_path / "rollup_min")
+    r1 = refresh(spark, events(base), out, bucket="minute")
+    assert r1["buckets_total"] == 5
+
+    # late row lands in minute 02:03 only
+    late = base + [(900, 0, "click", "2025-01-01 02:03:40", 2.0)]
+    r2 = refresh(spark, events(late), out, bucket="minute")
+    assert r2["buckets_refreshed"] == 1
+    got = read_rollup(spark, out)
+    assert got.select("bucket").distinct().count() == 5, \
+        "sibling minute-buckets were deleted by the partition overwrite"
+    m3 = got.where(F.minute("bucket") == 3).collect()
+    assert m3[0]["n_events"] == 6
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported bucket unit"):
+        refresh(spark, events(base), out, bucket="millennium")

@@ -1,0 +1,88 @@
+"""Hot-key frequency guard (operators/skew.py): one stop-fingerprint /
+degenerate band shared by k docs must not go k^2 — keys above the cap
+are dropped WITH a report, and the near-dup paths stay correct for
+pairs that share non-hot keys (round-3 VERDICT item #1)."""
+
+import logging
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geo_sim_processing_a_spark.operators.skew import frequency_cap
+
+
+def test_frequency_cap_drops_and_reports(spark):
+    pdf = pd.DataFrame({
+        "doc_id": list(range(10_000)) + [20_000, 20_001, 20_002],
+        "fp": [42] * 10_000 + [7, 7, 9],
+    })
+    df = spark.createDataFrame(pdf, "doc_id long, fp long")
+    msgs = []
+    out = frequency_cap(df, ["fp"], cap=100, label="test", log_fn=msgs.append)
+    rows = out.collect()
+    assert len(rows) == 3  # the 10k-row key is gone, fp 7/9 survive
+    assert {r["fp"] for r in rows} == {7, 9}
+    assert len(msgs) == 1
+    assert "dropped 1 join key" in msgs[0] and "10000 bucket rows" in msgs[0]
+
+
+def test_frequency_cap_noop_below_cap(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "fp": [5, 5, 6]}),
+        "doc_id long, fp long")
+    msgs = []
+    out = frequency_cap(df, ["fp"], cap=100, label="test", log_fn=msgs.append)
+    assert out.count() == 3 and not msgs
+    with pytest.raises(ValueError, match="positive"):
+        frequency_cap(df, ["fp"], cap=0, label="test")
+
+
+def test_winnow_guard_bounds_boilerplate_blowup(spark, caplog):
+    """600 docs sharing one boilerplate sentence: without the guard the
+    shared fingerprints alone generate ~180k candidate rows; with
+    cap=50 the boilerplate keys are dropped (and reported) while the
+    planted near-dup pair — sharing NON-hot fingerprints — is still
+    found."""
+    from geo_sim_processing_a_spark.operators.text import winnow_near_dup_pairs
+
+    boiler = "all rights reserved terms of service privacy policy cookie banner "
+    docs = [(i, boiler + f"unique body {i} " + " ".join(
+        f"w{i}x{j}" for j in range(12))) for i in range(600)]
+    # planted near-dup pair: same long tail, different id
+    tail = "identical long tail content " + " ".join(f"t{j}" for j in range(40))
+    docs += [(9001, boiler + tail), (9002, boiler + tail)]
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"]), "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING,
+                         logger="geo_sim_processing_a_spark.operators.skew"):
+        pairs = winnow_near_dup_pairs(df, k=8, w=16, min_shared=3,
+                                      hot_key_cap=50).collect()
+    assert any("hot-key guard" in r.message for r in caplog.records)
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (9001, 9002) in got
+    # boilerplate-only pairs are NOT recalled (that's the documented bound)
+    assert all(a >= 9000 for a, b in got), got
+
+
+def test_minhash_guard_preserves_nonhot_pairs(spark, caplog):
+    """A degenerate corpus where one band bucket goes hot (hundreds of
+    EXACT duplicates of one text) completes with the guard and still
+    recalls a planted near-dup pair of distinct texts."""
+    from geo_sim_processing_a_spark.operators.dedup import minhash_lsh_pairs
+
+    same = "the exact same document text repeated verbatim " * 4
+    docs = [(i, same) for i in range(400)]
+    base = " ".join(f"tok{j}" for j in range(60))
+    docs += [(9001, base), (9002, base + " extra")]
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"]), "doc_id long, text string")
+
+    with caplog.at_level(logging.WARNING,
+                         logger="geo_sim_processing_a_spark.operators.skew"):
+        pairs = minhash_lsh_pairs(df, threshold=0.5, hot_key_cap=50).collect()
+    assert any("hot-key guard" in r.message for r in caplog.records)
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (9001, 9002) in got
+    assert all(a >= 9000 for a, b in got), "hot exact-dup pairs must be dropped"
