@@ -61,9 +61,13 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 8) -> DataFrame:
             return pd.concat(keep, ignore_index=True)
         return pd.DataFrame({"pid": [], "poly_id": [], "lon": [], "lat": []})
 
+    # dedup-by-construction: a point encodes to exactly ONE cell, so a
+    # (pid, poly_id) pair can only form in that cell — a distinct here
+    # would be a full extra exchange that can never remove anything
+    # (plan-gated in tests/test_plans.py: one shuffle after the
+    # broadcast join)
     return (joined.groupBy("cell")
-            .applyInPandas(refine, "pid long, poly_id long, lon double, lat double")
-            .dropDuplicates(["pid", "poly_id"]))
+            .applyInPandas(refine, "pid long, poly_id long, lon double, lat double"))
 
 
 def range_join(left: DataFrame, right: DataFrame, res: int = 6,
@@ -130,14 +134,14 @@ def knn_join(points: DataFrame, k: int, res: int = 6,
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def nbrs_udf(cell: pd.Series) -> pd.Series:
+        # fully vectorized (n, 9) = [cell | ring-1] matrix; pole rows
+        # may repeat the cell itself (C.neighbors clips at the poles) —
+        # the refine stage drops duplicate candidates, so no per-row
+        # set/dedup loop is needed here
         c = cell.to_numpy()
-        nb = C.neighbors(c)
-        out = []
-        for i in range(len(c)):
-            s = {int(c[i])}
-            s.update(int(v) for v in nb[i])
-            out.append(sorted(s))
-        return pd.Series(out)
+        mat = np.concatenate([c[:, None], C.neighbors(c)], axis=1)
+        mat.sort(axis=1)
+        return pd.Series(mat.tolist())
 
     cands = (pts.withColumn("home", F.col("cell"))
              .withColumn("cell", F.explode(nbrs_udf("cell")))
@@ -147,40 +151,42 @@ def knn_join(points: DataFrame, k: int, res: int = 6,
     joined = queries.join(cands, on="cell", how="inner")
 
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        # zero per-row Python: rank/self-exclusion/strict checks and the
+        # output emit are all matrix ops over knn_brute's (nq, k+1) block
         q = pdf.drop_duplicates("pid")
         c = pdf.drop_duplicates("cid")
         cid = c["cid"].to_numpy()
         order, d2 = knn_brute(q["lon"].to_numpy(), q["lat"].to_numpy(),
                               c["clon"].to_numpy(), c["clat"].to_numpy(),
                               cid, k + 1)
-        rows = {"pid": [], "neighbor_id": [], "dist2": [], "rank": []}
         qid = q["pid"].to_numpy()
-        for i in range(len(qid)):
-            rank = 0
-            for j in range(order.shape[1]):
-                nid = cid[order[i, j]]
-                if nid == qid[i]:
-                    continue
-                rank += 1
-                if rank > k:
-                    break
-                if strict and rank == k and d2[i, j] > exact_radius2:
-                    raise ValueError(
-                        f"knn_join(res={res}): k-th neighbor of pid={qid[i]} at "
-                        f"dist={d2[i, j] ** 0.5:.6g} exceeds the exactness radius "
-                        f"{exact_radius2 ** 0.5:.6g} (= min cell dimension); "
-                        "choose a coarser res or pass strict=False")
-                rows["pid"].append(int(qid[i]))
-                rows["neighbor_id"].append(int(nid))
-                rows["dist2"].append(float(d2[i, j]))
-                rows["rank"].append(rank)
-            if strict and rank < k:
+        nid = cid[order]                          # (nq, kk)
+        keep = nid != qid[:, None]                # drop each query's self row
+        rank = np.cumsum(keep, axis=1)
+        keep &= rank <= k
+        if strict:
+            short = np.flatnonzero(keep.sum(axis=1) < k)
+            if len(short):
+                i = int(short[0])
                 raise ValueError(
-                    f"knn_join(res={res}): only {rank} candidates for "
-                    f"pid={qid[i]} within cell+ring1 (k={k}) — outside the "
-                    "exactness radius guarantee; choose a coarser res or "
+                    f"knn_join(res={res}): only {int(keep[i].sum())} candidates "
+                    f"for pid={int(qid[i])} within cell+ring1 (k={k}) — outside "
+                    "the exactness radius guarantee; choose a coarser res or "
                     "pass strict=False")
-        return pd.DataFrame(rows)
+            kth_d2 = np.where(keep & (rank == k), d2, -np.inf).max(axis=1)
+            bad = np.flatnonzero(kth_d2 > exact_radius2)
+            if len(bad):
+                i = int(bad[0])
+                raise ValueError(
+                    f"knn_join(res={res}): k-th neighbor of pid={int(qid[i])} at "
+                    f"dist={kth_d2[i] ** 0.5:.6g} exceeds the exactness radius "
+                    f"{exact_radius2 ** 0.5:.6g} (= min cell dimension); "
+                    "choose a coarser res or pass strict=False")
+        ri, ci = np.nonzero(keep)
+        return pd.DataFrame({"pid": qid[ri].astype(np.int64),
+                             "neighbor_id": nid[ri, ci].astype(np.int64),
+                             "dist2": d2[ri, ci].astype(np.float64),
+                             "rank": rank[ri, ci].astype(np.int32)})
 
     return (joined.groupBy("cell")
             .applyInPandas(refine, "pid long, neighbor_id long, dist2 double, rank int"))

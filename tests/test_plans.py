@@ -37,6 +37,20 @@ def test_pip_join_broadcasts_polygons(spark):
     assert "BroadcastHashJoin" in plan_of(df)
 
 
+def test_pip_join_single_exchange_after_broadcast(spark):
+    """PIP join dedups by construction (one cell per point): exactly
+    ONE shuffle Exchange (the groupBy(cell) into the refine kernel) and
+    no post-refine distinct (round-3 VERDICT item #2)."""
+    from geo_sim_processing_a_spark.plans.driver_queries import (
+        _boxes_from_nation, _points_from_orders)
+    from geo_sim_processing_a_spark.operators.spark_joins import pip_join
+    df = pip_join(_points_from_orders(spark, SF_DIR), _boxes_from_nation(spark, SF_DIR))
+    plan = plan_of(df)
+    # BroadcastExchange feeds the join; shuffle exchanges are the rest
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, plan
+
+
 def test_whole_stage_codegen_on_relational(spark):
     from geo_sim_processing_a_spark.plans.driver_queries import q01_pricing_summary
     df = q01_pricing_summary(spark, SF_DIR)
