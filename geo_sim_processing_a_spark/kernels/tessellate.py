@@ -27,10 +27,18 @@ def _ring_open(ring: np.ndarray) -> np.ndarray:
     return ring
 
 
-def _is_ear(pts: np.ndarray, idx: list, i: int, ccw: bool) -> bool:
+def _is_ear(ptsf: list, idx: list, i: int, ccw: bool) -> bool:
+    """``ptsf`` is the ring as a list of [x, y] float pairs — the
+    containment test is scalar float arithmetic (the edge cross
+    products are the SAME expressions point_in_ring evaluates, so
+    boundary decisions agree); a numpy PIP here measured ~60 us/call
+    on 3-point rings vs ~1 us scalar (round-2 playbook: tiny-n numpy
+    dispatch dominates the flops)."""
     n = len(idx)
-    a, b, c = pts[idx[i - 1]], pts[idx[i]], pts[idx[(i + 1) % n]]
-    cross = P.orient(a[0], a[1], c[0], c[1], b[0], b[1])
+    ax, ay = ptsf[idx[i - 1]]
+    bx, by = ptsf[idx[i]]
+    cx, cy = ptsf[idx[(i + 1) % n]]
+    cross = P.orient(ax, ay, cx, cy, bx, by)
     # convex test: vertex b must be on the proper side
     if ccw:
         if cross >= 0:  # reflex or collinear
@@ -38,16 +46,22 @@ def _is_ear(pts: np.ndarray, idx: list, i: int, ccw: bool) -> bool:
     else:
         if cross <= 0:
             return False
-    tri = np.array([a, b, c])
+    skip = (i - 1 if i - 1 >= 0 else n - 1, i, (i + 1) % n)
     for k in range(n):
-        if k in (i - 1 if i - 1 >= 0 else n - 1, i, (i + 1) % n):
+        if k in skip:
             continue
-        p = pts[idx[k]]
-        if (p[0] == a[0] and p[1] == a[1]) or (p[0] == b[0] and p[1] == b[1]) \
-                or (p[0] == c[0] and p[1] == c[1]):
+        px, py = ptsf[idx[k]]
+        if (px == ax and py == ay) or (px == bx and py == by) \
+                or (px == cx and py == cy):
             continue
-        if P.point_in_ring(p[0], p[1], tri) >= 0:
-            return False
+        # inside-or-on-boundary iff the three edge orientations are not
+        # strictly mixed-sign (works for either ring orientation)
+        d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+        d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        if (d1 < 0 or d2 < 0 or d3 < 0) and (d1 > 0 or d2 > 0 or d3 > 0):
+            continue  # strictly outside
+        return False
     return True
 
 
@@ -56,6 +70,7 @@ def _ear_clip(pts: np.ndarray) -> list[tuple[int, int, int]]:
     n = len(pts)
     area = P.signed_area(pts)
     ccw = area > 0
+    ptsf = pts.tolist()  # scalar-float hot path (see _is_ear)
     idx = list(range(n))
     tris: list[tuple[int, int, int]] = []
     guard = 0
@@ -64,7 +79,7 @@ def _ear_clip(pts: np.ndarray) -> list[tuple[int, int, int]]:
         guard += 1
         m = len(idx)
         i = i % m
-        if _is_ear(pts, idx, i, ccw):
+        if _is_ear(ptsf, idx, i, ccw):
             tris.append((idx[i - 1], idx[i], idx[(i + 1) % m]))
             del idx[i]
             i = max(i - 1, 0)

@@ -76,10 +76,18 @@ def _polygon_rows(url: str, rings: list, correction: bool, out: dict) -> None:
 
 
 def chordal_axis_frame(polys: DataFrame, correction: bool = True,
-                       n_groups: int = 64) -> DataFrame:
+                       n_parts: int | None = None) -> DataFrame:
     """polys(url, xs, ys[, ring_offsets]) -> per-part geometry rows for
-    both layers.  Polygons are hash-grouped so each Arrow group holds
-    many polygons (per-group overhead amortized, skew-free by hash)."""
+    both layers.
+
+    The kernel is per-polygon independent, so this is mapInPandas over
+    whole partitions — no groupBy shuffle key needed.  A narrow input
+    (small parquet = one split) is repartitioned to the default
+    parallelism with an EXPLICIT count: AQE's partition coalescing
+    respects user-specified counts, whereas a groupBy here measured
+    being coalesced to ONE task at bench scale (757 rows are 'small'
+    bytes-wise but each costs ~1 ms of Python kernel).  Wide inputs
+    pass through unshuffled."""
     has_offsets = "ring_offsets" in polys.columns
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -111,10 +119,17 @@ def chordal_axis_frame(polys: DataFrame, correction: bool = True,
         })
 
     cols = ["url", "xs", "ys"] + (["ring_offsets"] if has_offsets else [])
-    return (polys.select(*cols)
-            .withColumn("grp", F.pmod(F.xxhash64("url"), F.lit(n_groups)))
-            .groupBy("grp")
-            .applyInPandas(kernel, SKELETON_SCHEMA))
+    sel = polys.select(*cols)
+    target = (n_parts if n_parts is not None
+              else sel.sparkSession.sparkContext.defaultParallelism)
+    if sel.rdd.getNumPartitions() < target:
+        sel = sel.repartition(target)
+
+    def run(batches):
+        for pdf in batches:
+            yield kernel(pdf)
+
+    return sel.mapInPandas(run, SKELETON_SCHEMA)
 
 
 def write_dual_sink(frame: DataFrame, out_dir: str) -> None:

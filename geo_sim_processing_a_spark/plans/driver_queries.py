@@ -658,6 +658,11 @@ def _pages_from_documents(spark, sf_dir, limit=None):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     if limit:
         d = d.where(F.col("doc_id") < limit)
+    # the small documents parquet is ONE split: spread the Python page
+    # synthesis (and everything fused downstream of it) across cores;
+    # no-op at scale where the scan has >= cores splits
+    from ..operators.dedup import _ensure_parallelism
+    d = _ensure_parallelism(d)
 
     def gen(batches):
         for pdf in batches:

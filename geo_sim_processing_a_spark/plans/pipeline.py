@@ -45,8 +45,30 @@ WORLD_EPS = Epsilon((-180.0, -90.0, 180.0, 90.0))
 
 
 # ---------------------------------------------------------------------------
-# PREP: text extraction + geometry synthesis
+# PREP: normalization, text extraction + geometry synthesis
 # ---------------------------------------------------------------------------
+
+def normalize_geoms(geoms: DataFrame, validate: bool = True) -> DataFrame:
+    """P2 — Z/M normalization (true parity with the reference's ingest,
+    reduce_bend_algorithm.py:1110-1122 'Drop Z M processing' and its
+    unittest case 32): a geometry frame may carry per-vertex ``zs`` /
+    ``ms`` arrays (3-D / measured input); the engine is 2-D by
+    construction, so normalization accepts them, checks they are
+    parallel to ``xs`` (per-row JVM assert, no UDF), and DROPS them.
+    Frames without zs/ms pass through unchanged."""
+    out = geoms
+    for c in ("zs", "ms"):
+        if c in geoms.columns:
+            if validate:
+                ok = F.col(c).isNull() | (F.size(c) == F.size("xs"))
+                msg = F.concat(
+                    F.lit(f"normalize_geoms: {c} arity != xs arity for url="),
+                    F.col("url"))
+                # inside a filter so column pruning cannot eliminate it;
+                # assert_true yields NULL on success -> coalesce(True)
+                out = out.where(F.coalesce(F.assert_true(ok, msg), F.lit(True)))
+            out = out.drop(c)
+    return out
 
 def extracted_text_parity(pages: DataFrame) -> DataFrame:
     """P9 — recompute text from html in a pandas UDF and compare to the

@@ -1,0 +1,82 @@
+"""Round-3 operator evidence: Z/M ingest normalization (P2 true
+parity, reference unittest case 32)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_sim_processing_a_spark.plans.pipeline import (
+    KERNEL_OUT_SCHEMA, _reduce_bend_kernel, normalize_geoms)
+
+ZM_SCHEMA = ("cell long, salt int, url string, kind tinyint, "
+             "xs array<double>, ys array<double>, ring_offsets array<int>, "
+             "is_owner boolean, zs array<double>, ms array<double>")
+
+
+def _zline(spark, xs, ys, url="z0"):
+    pdf = pd.DataFrame({
+        "cell": [1], "salt": [0], "url": [url], "kind": [1],
+        "xs": [xs], "ys": [ys], "ring_offsets": [[0]], "is_owner": [True],
+        "zs": [[0.0] * len(xs)], "ms": [[7.0] * len(xs)],
+    })
+    return spark.createDataFrame(pdf, ZM_SCHEMA)
+
+
+def test_normalize_drops_z_and_m(spark):
+    """Reference case 32 (reduce_bend_unittest.py:467): a Z-bearing
+    LineString (0,0,0)-(10,10,0)-(20,20,0) normalizes to a plain 2-D
+    LineString with the same XY coordinates."""
+    df = _zline(spark, [0.0, 10.0, 20.0], [0.0, 10.0, 20.0])
+    norm = normalize_geoms(df)
+    assert "zs" not in norm.columns and "ms" not in norm.columns
+    row = norm.first()
+    assert list(row["xs"]) == [0.0, 10.0, 20.0]
+    assert list(row["ys"]) == [0.0, 10.0, 20.0]
+
+
+def test_z_bearing_input_reaches_reference_2d_golden(spark):
+    """Z/M-bearing input flows through normalize + the distributed
+    kernel and produces the reference's 2-D golden (the multi-bend
+    line reduces to its endpoints)."""
+    xs = [0.0, 30.0, 30.0, 31.0, 31.0, 40.0, 50.0, 50.0, 51.0, 60.0]
+    ys = [10.0, 10.0, 11.0, 11.0, 10.0, 10.0, 10.0, 11.0, 10.0, 10.0]
+    df = _zline(spark, xs, ys)
+    norm = normalize_geoms(df)
+
+    def kernel(batch):
+        return _reduce_bend_kernel(batch, 3.0, False, epsilon=None)
+
+    out = norm.groupBy("cell").applyInPandas(kernel, KERNEL_OUT_SCHEMA).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert list(zip(r["xs"], r["ys"])) == [(0.0, 10.0), (60.0, 10.0)]
+
+
+def test_normalize_rejects_mismatched_arity(spark):
+    pdf = pd.DataFrame({
+        "cell": [1], "salt": [0], "url": ["bad"], "kind": [1],
+        "xs": [[0.0, 1.0, 2.0]], "ys": [[0.0, 1.0, 2.0]],
+        "ring_offsets": [[0]], "is_owner": [True],
+        "zs": [[0.0, 1.0]], "ms": [None],
+    })
+    df = spark.createDataFrame(pdf, ZM_SCHEMA)
+    with pytest.raises(Exception, match="arity"):
+        normalize_geoms(df).collect()
+    # null zs/ms are accepted (absent per-row)
+    pdf2 = pdf.copy()
+    pdf2["zs"] = [None]
+    df2 = spark.createDataFrame(pdf2, ZM_SCHEMA)
+    assert normalize_geoms(df2).count() == 1
+
+
+def test_normalize_passthrough_without_zm(spark):
+    pdf = pd.DataFrame({
+        "cell": [1], "salt": [0], "url": ["p"], "kind": [1],
+        "xs": [[0.0, 1.0]], "ys": [[0.0, 1.0]],
+        "ring_offsets": [[0]], "is_owner": [True],
+    })
+    df = spark.createDataFrame(
+        pdf, "cell long, salt int, url string, kind tinyint, xs array<double>, "
+             "ys array<double>, ring_offsets array<int>, is_owner boolean")
+    norm = normalize_geoms(df)
+    assert norm.schema == df.schema and norm.count() == 1
