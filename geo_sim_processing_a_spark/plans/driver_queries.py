@@ -197,15 +197,26 @@ def q_hypertable_rollup(spark, sf_dir):
     aggregate over events, materialized per-bucket with dynamic
     partition overwrite; the READ-BACK materialization is what gets
     hash-compared to the direct SQL aggregate."""
+    import shutil
     import tempfile
     from ..operators.hypertable import read_rollup, refresh
     e = _t(spark, sf_dir, "events")
+    # local-mode scratch: the operator itself takes a caller-provided
+    # shared out_dir on a real cluster; this QUERY wrapper materializes
+    # the read-back eagerly and removes its scratch (no /tmp leak per
+    # invocation)
     out = tempfile.mkdtemp(prefix="rollup_q_")
-    refresh(spark, e, out, time_col="ts", bucket="hour")
-    return (read_rollup(spark, out)
-            .select(F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
-                    "event_type", "n_events", "total_value", "avg_value")
-            .orderBy("bucket", "event_type"))
+    try:
+        refresh(spark, e, out, time_col="ts", bucket="hour")
+        result = (read_rollup(spark, out)
+                  .select(F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
+                          "event_type", "n_events", "total_value", "avg_value")
+                  .orderBy("bucket", "event_type"))
+        pdf = result.toPandas()
+        schema = result.schema
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema).orderBy("bucket", "event_type")
 
 
 SQL_HYPERTABLE_ROLLUP = """

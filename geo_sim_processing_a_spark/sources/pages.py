@@ -153,6 +153,19 @@ def geocode_hashes(h: np.ndarray):
     return lon, lat, has_fp, side
 
 
+def geocode_columns(h_col):
+    """Spark Column twin of :func:`geocode_hashes` — the SAME pmod
+    constants emitted as JVM-side expressions, so streaming/batch SQL
+    paths can geocode without re-stating the fixture formula (a copy
+    in streaming/ingest.py once risked silent divergence; a parity
+    test pins this twin to the numpy kernel)."""
+    from pyspark.sql import functions as F
+
+    lon = F.pmod(h_col, F.lit(360_000)) / 1000.0 - 180.0
+    lat = F.pmod(F.shiftright(h_col, 20), F.lit(170_000)) / 1000.0 - 85.0
+    return lon, lat
+
+
 def footprint_square(lon: float, lat: float, side: float) -> np.ndarray:
     half = side / 2.0
     return np.array([

@@ -64,14 +64,15 @@ def stateful_cell_counts(pages_stream: DataFrame, res: int = 6) -> DataFrame:
 
     from ..operators.spark_joins import encode_cell_udf
 
+    from ..sources.pages import geocode_columns
+
     enc = encode_cell_udf(res)
-    with_cell = (pages_stream
-                 .withColumn("doc_id",
-                             F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
-                 .withColumn("h", F.xxhash64("doc_id"))
-                 .withColumn("lon", F.pmod(F.col("h"), F.lit(360000)) / 1000.0 - 180.0)
-                 .withColumn("lat",
-                             F.pmod(F.shiftright("h", 20), F.lit(170000)) / 1000.0 - 85.0)
+    with_h = (pages_stream
+              .withColumn("doc_id",
+                          F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
+              .withColumn("h", F.xxhash64("doc_id")))
+    lon, lat = geocode_columns(F.col("h"))
+    with_cell = (with_h.withColumn("lon", lon).withColumn("lat", lat)
                  .withColumn("cell", enc("lon", "lat")))
 
     def update(key, pdfs, state: GroupState):

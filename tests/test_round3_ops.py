@@ -69,6 +69,23 @@ def test_normalize_rejects_mismatched_arity(spark):
     assert normalize_geoms(df2).count() == 1
 
 
+def test_geocode_columns_match_numpy_kernel(spark):
+    """The JVM-side geocode twin (used by the streaming path) must
+    reproduce geocode_hashes exactly on signed 64-bit hashes."""
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.sources.pages import (
+        geocode_columns, geocode_hashes)
+
+    h = np.array([0, 1, -1, 2**62, -(2**62), 123456789, -987654321,
+                  7 * 360000, -(7 * 360000)], dtype=np.int64)
+    exp_lon, exp_lat, _, _ = geocode_hashes(h)
+    df = spark.createDataFrame(pd.DataFrame({"h": h}), "h long")
+    lon, lat = geocode_columns(F.col("h"))
+    got = df.select(lon.alias("lon"), lat.alias("lat")).toPandas()
+    assert np.array_equal(got["lon"].to_numpy(), exp_lon)
+    assert np.array_equal(got["lat"].to_numpy(), exp_lat)
+
+
 def test_normalize_passthrough_without_zm(spark):
     pdf = pd.DataFrame({
         "cell": [1], "salt": [0], "url": ["p"], "kind": [1],
