@@ -80,11 +80,16 @@ def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
     changed_buckets = changed.select("bucket").persist()
     n_changed = changed_buckets.count()
     if n_changed:
+        # exact decimal sum: refresh order / partial-agg order cannot
+        # change the materialized values (double sums are
+        # order-dependent in the last ulp); avg = exact sum as double /
+        # count (IEEE division, engine-independent)
+        dec_sum = F.sum(F.col("value").cast("decimal(28,8)")).cast("double")
         rollup = (bucketed.join(F.broadcast(changed_buckets), "bucket")
                   .groupBy("bucket", "event_type")
                   .agg(F.count("*").alias("n_events"),
-                       F.round(F.sum("value"), 6).alias("total_value"),
-                       F.round(F.avg("value"), 6).alias("avg_value")))
+                       F.round(dec_sum, 6).alias("total_value"),
+                       F.round(dec_sum / F.count("*"), 6).alias("avg_value")))
         (rollup.withColumn("bucket_key",
                            F.date_format("bucket", _BUCKET_KEY_FMT[bucket]))
          .write.mode("overwrite")

@@ -113,7 +113,7 @@ def range_join(left: DataFrame, right: DataFrame, res: int = 6,
 
 
 def knn_join(points: DataFrame, k: int, res: int = 6,
-             strict: bool = True) -> DataFrame:
+             strict: bool = True, n_query_salts: int = 1) -> DataFrame:
     """Self-kNN of points(pid, lon, lat): for each point the k nearest
     OTHER points within its cell + ring-1 neighbors.  Exact in that
     neighborhood; ties by (dist2, pid).  Returns
@@ -125,7 +125,15 @@ def knn_join(points: DataFrame, k: int, res: int = 6,
     neighbor distance < min(cell width, cell height).  With ``strict``
     (default) the kernel RAISES if any query's k-th neighbor falls
     outside that radius — a too-fine ``res`` fails loudly instead of
-    silently returning ring-local results."""
+    silently returning ring-local results.
+
+    ``n_query_salts`` splits each cell's QUERY set into that many
+    refine groups (candidates replicated per salt).  Per-query results
+    are independent of grouping, so output is identical; use > 1 when
+    ``res`` is deliberately coarse (few cells) and the refine would
+    otherwise run on as few tasks as there are cells.  Keep 1 at scale
+    where cells outnumber cores — salting multiplies the candidate
+    shuffle bytes by the salt count."""
     cell_w = 360.0 / (1 << res)
     cell_h = 180.0 / (1 << res)
     exact_radius2 = min(cell_w, cell_h) ** 2
@@ -148,13 +156,28 @@ def knn_join(points: DataFrame, k: int, res: int = 6,
              .select(F.col("pid").alias("cid"), F.col("lon").alias("clon"),
                      F.col("lat").alias("clat"), "cell"))
     queries = pts.select("pid", "lon", "lat", "cell")
-    joined = queries.join(cands, on="cell", how="inner")
+    keys = ["cell"]
+    if n_query_salts > 1:
+        keys = ["cell", "qsalt"]
+        queries = queries.withColumn(
+            "qsalt", F.pmod(F.xxhash64("pid"), F.lit(n_query_salts)).cast("int"))
+        cands = cands.withColumn(
+            "qsalt", F.explode(F.sequence(F.lit(0), F.lit(n_query_salts - 1))))
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        # zero per-row Python: rank/self-exclusion/strict checks and the
-        # output emit are all matrix ops over knn_brute's (nq, k+1) block
-        q = pdf.drop_duplicates("pid")
-        c = pdf.drop_duplicates("cid")
+    def refine(q: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        # COGROUP shape: queries and candidates arrive as separate
+        # frames per cell (an equi-JOIN here would materialize the
+        # per-cell cartesian product just to dedup it in the kernel —
+        # at sf0.1 that was ~90M shuffled rows for 19k points).
+        # Zero per-row Python: rank/self-exclusion/strict checks and
+        # the output emit are matrix ops over knn_brute's (nq, k+1)
+        # block.
+        if len(q) == 0 or len(c) == 0:
+            return pd.DataFrame({"pid": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "dist2": pd.Series([], dtype="float64"),
+                                 "rank": pd.Series([], dtype="int32")})
+        c = c.drop_duplicates("cid")  # pole rows can repeat a neighbor cell
         cid = c["cid"].to_numpy()
         order, d2 = knn_brute(q["lon"].to_numpy(), q["lat"].to_numpy(),
                               c["clon"].to_numpy(), c["clat"].to_numpy(),
@@ -188,5 +211,6 @@ def knn_join(points: DataFrame, k: int, res: int = 6,
                              "dist2": d2[ri, ci].astype(np.float64),
                              "rank": rank[ri, ci].astype(np.int32)})
 
-    return (joined.groupBy("cell")
+    return (queries.groupBy(*keys)
+            .cogroup(cands.groupBy(*keys))
             .applyInPandas(refine, "pid long, neighbor_id long, dist2 double, rank int"))

@@ -25,24 +25,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # relational / aggregate / window (SURVEY.md §2.7-2.8 engine surface)
 # ---------------------------------------------------------------------------
 
+def _dsum(col, scale: int = 6):
+    """Order-independent float sum: the per-row double expression is
+    cast to an exact decimal (deterministic rounding of the binary
+    value), summed EXACTLY (decimal addition is associative, so
+    partial-aggregation order can't change the result), cast back and
+    rounded.  A plain double sum diverged from the DuckDB oracle in the
+    6th decimal at sf0.1 (q05's biggest groups) purely from summation
+    order; cross-engine cast agreement is pinned by the sf0.1 artifact
+    and the same DECIMAL(28,8) expression in every SQL twin."""
+    return F.round(F.sum(col.cast("decimal(28,8)")).cast("double"), scale)
+
+
+def _sql_dsum(expr: str, alias: str, scale: int = 6) -> str:
+    return (f"round(CAST(sum(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE), "
+            f"{scale}) AS {alias}")
+
+
 def q01_pricing_summary(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     return (l.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+                 _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("sum_disc_price"),
                  F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
 
-SQL_Q01 = """
+SQL_Q01 = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       {_sql_dsum("l_extendedprice", "sum_base_price")},
+       {_sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
        round(avg(l_quantity), 6) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -60,15 +77,15 @@ def q03_order_revenue(spark, sf_dir):
             .join(o, c.c_custkey == o.o_custkey)
             .join(l, o.o_orderkey == l.l_orderkey)
             .groupBy("o_orderkey", "o_orderdate")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue"))
             .orderBy(F.desc("revenue"), "o_orderkey")
             .limit(20))
 
 
-SQL_Q03 = """
+SQL_Q03 = f"""
 SELECT o_orderkey, o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+       {_sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'
@@ -87,15 +104,15 @@ def q05_nation_volume(spark, sf_dir):
             .join(n, s.s_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("r_name", "n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                  .alias("revenue"),
                  F.count("*").alias("n_items"))
             .orderBy("r_name", "n_name"))
 
 
-SQL_Q05 = """
+SQL_Q05 = f"""
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       {_sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
        count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation ON s_nationkey = n_nationkey
@@ -129,7 +146,7 @@ def q_supplier_rank(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     rev = (l.join(s, l.l_suppkey == s.s_suppkey)
            .groupBy("s_nationkey", "s_suppkey")
-           .agg(F.round(F.sum("l_extendedprice"), 6).alias("revenue")))
+           .agg(_dsum(F.col("l_extendedprice")).alias("revenue")))
     w = Window.partitionBy("s_nationkey").orderBy(F.desc("revenue"), "s_suppkey")
     return (rev.withColumn("rnk", F.dense_rank().over(w))
             .where(F.col("rnk") <= 2)
@@ -137,13 +154,13 @@ def q_supplier_rank(spark, sf_dir):
                     "s_suppkey", "revenue", F.col("rnk").cast("long").alias("rnk")))
 
 
-SQL_SUPPLIER_RANK = """
+SQL_SUPPLIER_RANK = f"""
 SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, s_suppkey, revenue, rnk
 FROM (SELECT s_nationkey, s_suppkey, revenue,
              dense_rank() OVER (PARTITION BY s_nationkey
                                 ORDER BY revenue DESC, s_suppkey) AS rnk
       FROM (SELECT s_nationkey, s_suppkey,
-                   round(sum(l_extendedprice), 6) AS revenue
+                   {_sql_dsum("l_extendedprice", "revenue")}
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_nationkey, s_suppkey) r) t
 WHERE rnk <= 2
@@ -154,13 +171,13 @@ def q_events_by_type_day(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (e.groupBy("event_type", F.to_date("ts").alias("day"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("value"), 6).alias("total_value"))
+                 _dsum(F.col("value")).alias("total_value"))
             .orderBy("event_type", "day"))
 
 
-SQL_EVENTS_DAY = """
+SQL_EVENTS_DAY = f"""
 SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
-       round(sum(value), 6) AS total_value
+       {_sql_dsum("value", "total_value")}
 FROM events
 GROUP BY event_type, CAST(ts AS DATE)
 ORDER BY event_type, day
@@ -223,8 +240,8 @@ SQL_HYPERTABLE_ROLLUP = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 6) AS total_value,
-       round(avg(value), 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE), 6) AS total_value,
+       round(CAST(sum(CAST(value AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS avg_value
 FROM events
 GROUP BY 1, 2
 ORDER BY bucket, event_type
@@ -250,7 +267,7 @@ def q_rollup_revenue(spark, sf_dir):
     sentinel so cross-engine null ordering never matters."""
     l = _t(spark, sf_dir, "lineitem")
     return (l.rollup("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
+            .agg(_dsum(F.col("l_extendedprice")).alias("revenue"),
                  F.count("*").alias("n"))
             .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
                     F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
@@ -258,10 +275,10 @@ def q_rollup_revenue(spark, sf_dir):
             .orderBy("rf", "ls"))
 
 
-SQL_ROLLUP_REVENUE = """
+SQL_ROLLUP_REVENUE = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS rf,
        coalesce(l_linestatus, 'ALL') AS ls,
-       round(sum(l_extendedprice), 6) AS revenue,
+       {_sql_dsum("l_extendedprice", "revenue")},
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -602,7 +619,9 @@ ORDER BY a_id, b_id
 def q_knn(spark, sf_dir):
     from ..operators.spark_joins import knn_join
     pts = _points_from_orders(spark, sf_dir).where(F.col("pid") % 8 == 0)
-    return (knn_join(pts, k=5, res=2)
+    # res=2 keeps ring-1 exactness over the 20-degree point domain but
+    # yields only 4 cells; salt the query side so refine parallelizes
+    return (knn_join(pts, k=5, res=2, n_query_salts=8)
             .select("pid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
             .orderBy("pid", "rank"))
 

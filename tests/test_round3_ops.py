@@ -86,6 +86,23 @@ def test_geocode_columns_match_numpy_kernel(spark):
     assert np.array_equal(got["lat"].to_numpy(), exp_lat)
 
 
+def test_knn_query_salting_identical_output(spark):
+    """Query-side salting only changes refine grouping: results must be
+    identical to the unsalted run (and the kNN kernel must not build
+    the per-cell cartesian join — it cogroups)."""
+    from geo_sim_processing_a_spark.operators.spark_joins import knn_join
+
+    pdf = pd.DataFrame({
+        "pid": np.arange(200, dtype=np.int64),
+        "lon": (np.arange(200) * 7919 % 2000) / 100.0 - 10,
+        "lat": (np.arange(200) * 104729 % 2000) / 100.0 - 10,
+    })
+    pts = spark.createDataFrame(pdf, "pid long, lon double, lat double")
+    base = sorted(map(tuple, knn_join(pts, k=3, res=2).collect()))
+    salted = sorted(map(tuple, knn_join(pts, k=3, res=2, n_query_salts=8).collect()))
+    assert base == salted and len(base) == 200 * 3
+
+
 def test_normalize_passthrough_without_zm(spark):
     pdf = pd.DataFrame({
         "cell": [1], "salt": [0], "url": ["p"], "kind": [1],
