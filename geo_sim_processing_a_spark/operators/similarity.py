@@ -161,10 +161,19 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
 
 def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 10) -> DataFrame:
+                      n_planes: int = 10,
+                      hot_key_cap: int | None = 1000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: bucket by hyperplane sign
     signature, exact cosine within buckets (plus 1-bit-flip neighbor
-    buckets for recall), threshold filter.  Returns (id_a, id_b, cos)."""
+    buckets for recall), threshold filter.  Returns (id_a, id_b, cos).
+
+    Buckets holding more than ``hot_key_cap`` vectors (a degenerate
+    embedding cluster, e.g. all-zero rows) are dropped from the
+    membership side WITH a report (operators/skew.py) — the bucket
+    join is quadratic per bucket; members of a dropped bucket can
+    still be recalled as ``id_a`` through their other probes."""
+    from .skew import frequency_cap
+
     bucket = lsh_bucket_udf(dim, n_planes)
     b = vectors.withColumn("bucket", bucket(F.col(vec_col)))
     # probe buckets: own + each 1-bit flip (multi-probe LSH)
@@ -172,6 +181,8 @@ def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
                      *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
     left = b.select(F.col(id_col).alias("id_a"), F.explode(probes).alias("bucket"))
     right = b.select(F.col(id_col).alias("id_b"), "bucket")
+    if hot_key_cap is not None:
+        right = frequency_cap(right, ["bucket"], hot_key_cap, "embedding_lsh")
     # candidate ids ONLY through the probe join + distinct: the ×(n_planes+1)
     # probe replication and the dedup exchange carry two longs per row,
     # never the float vectors; vectors are joined back exactly once after
