@@ -169,12 +169,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle: int = 3,
-                        threshold: float = 0.7) -> DataFrame:
+                        threshold: float = 0.7,
+                        hot_key_cap: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (alias of the verified
     MinHash path with enough bands to make recall ~1 at the
     threshold)."""
     return minhash_lsh_pairs(docs, id_col, text_col, n_hashes=64, bands=32,
-                             shingle=shingle, threshold=threshold)
+                             shingle=shingle, threshold=threshold,
+                             hot_key_cap=hot_key_cap)
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
