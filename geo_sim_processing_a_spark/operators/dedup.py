@@ -138,7 +138,9 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     rows_per_band = n_hashes // bands
     sigs = (minhash_signatures(_ensure_parallelism(docs), id_col, text_col,
                                n_hashes, shingle, keep_shingles=True)
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))  # materialized by the first
+    # consumer (the guard stats agg, or the final action when cap=None)
+    # and cached from then on — eager=True would spend a whole extra job
 
     band_cols = [F.struct(F.lit(bi).alias("band"),
                           F.xxhash64(F.concat_ws(
@@ -217,7 +219,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     from .skew import frequency_cap
 
     sigs = (simhash_signatures(_ensure_parallelism(docs), id_col, text_col)
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     band_cols = [F.struct(F.lit(b).alias("band"),
                           F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
                  for b in range(4)]

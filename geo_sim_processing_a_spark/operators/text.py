@@ -159,7 +159,7 @@ def winnow_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
     from .skew import frequency_cap
 
     fps = (winnow_fingerprints(_ensure_parallelism(docs), id_col, text_col, k, w)
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     ex = fps.select("doc_id", F.explode("fps").alias("fp"))
     if hot_key_cap is not None:
         ex = frequency_cap(ex, ["fp"], hot_key_cap, "winnowing")
