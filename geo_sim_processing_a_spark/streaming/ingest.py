@@ -45,6 +45,24 @@ def sessionized_page_counts(pages_stream: DataFrame, gap: str = "30 minutes",
                     F.col("w.end").alias("session_end"), "lang", "n_pages"))
 
 
+def dedup_pages_stream(pages_stream: DataFrame,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup at ingest — the streaming twin of
+    operators/dedup.exact_dedup: one row per distinct normalized text
+    fingerprint within the watermark horizon.
+
+    Uses dropDuplicatesWithinWatermark so the dedup STATE is bounded:
+    a fingerprint older than the watermark is evicted (at 100 TB/day an
+    unbounded dedup-state store is the classic streaming OOM).  Exact
+    within the horizon; cross-horizon dups fall through to the batch
+    exact_dedup pass downstream."""
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return (pages_stream
+            .withColumn("text_md5", fp)
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["text_md5"]))
+
+
 CELL_STATS_OUTPUT = "cell long, n_pages long, n_batches int"
 CELL_STATS_STATE = "n_pages long, n_batches int"
 

@@ -103,6 +103,40 @@ def test_knn_query_salting_identical_output(spark):
     assert base == salted and len(base) == 200 * 3
 
 
+def test_knn_brute_matches_naive_reference():
+    """Property check: the chunked argpartition knn_brute equals the
+    naive full-lexsort formulation on tie-heavy lattice data, across
+    the margin boundary (k+64) and the exclude_same_index path."""
+    from geo_sim_processing_a_spark.operators.spatial_join import knn_brute
+
+    def naive(qx, qy, px, py, pid, k, exclude_same_index=False):
+        d2 = ((np.asarray(qx, float)[:, None] - np.asarray(px, float)[None, :]) ** 2
+              + (np.asarray(qy, float)[:, None] - np.asarray(py, float)[None, :]) ** 2)
+        if exclude_same_index:
+            d2[np.arange(d2.shape[0]), np.arange(d2.shape[0])] = np.inf
+        kk = min(k, d2.shape[1])
+        order = np.lexsort((np.broadcast_to(pid, d2.shape), d2), axis=1)[:, :kk]
+        rows = np.arange(d2.shape[0])[:, None]
+        return order, d2[rows, order]
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = 900
+        # integer lattice -> mass-tied distances (the adversarial case)
+        px = rng.integers(0, 18, n).astype(float)
+        py = rng.integers(0, 18, n).astype(float)
+        pid = rng.permutation(n).astype(np.int64)
+        qx, qy = px[:200], py[:200]
+        for k in (1, 5, 70, 950):  # margin < nc, margin == nc, k > nc
+            o1, d1 = naive(qx, qy, px, py, pid, k)
+            o2, d2_ = knn_brute(qx, qy, px, py, pid, k)
+            assert np.array_equal(d1, d2_), (trial, k)
+            assert np.array_equal(pid[o1], pid[o2]), (trial, k)
+        o1, d1 = naive(px, py, px, py, pid, 4, True)
+        o2, d2_ = knn_brute(px, py, px, py, pid, 4, True)
+        assert np.array_equal(d1, d2_) and np.array_equal(pid[o1], pid[o2])
+
+
 def test_normalize_passthrough_without_zm(spark):
     pdf = pd.DataFrame({
         "cell": [1], "salt": [0], "url": ["p"], "kind": [1],

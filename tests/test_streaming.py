@@ -112,3 +112,27 @@ def test_sessionized_counts(spark, tmp_path):
     assert sum(r["n_pages"] for r in rows) == 150
     for r in rows:
         assert r["session_end"] > r["session_start"]
+
+
+def test_dedup_pages_stream(spark, tmp_path):
+    """Streaming exact dedup: duplicated texts within the watermark
+    horizon collapse to one row; state is watermark-bounded."""
+    import pandas as pd
+    from geo_sim_processing_a_spark.streaming.ingest import dedup_pages_stream
+
+    src = str(tmp_path / "pages_dup")
+    base = build_pages(spark, 60, partitions=2).toPandas()
+    dup = base.copy()
+    dup["url"] = dup["url"] + "?mirror=1"  # same text, different url
+    both = pd.concat([base, dup], ignore_index=True)
+    spark.createDataFrame(both, build_pages(spark, 1).schema).write.parquet(src)
+
+    out = dedup_pages_stream(stream_pages(spark, src))
+    q = (out.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql(
+        "select count(*) as n, count(distinct text_md5) as d from dedup_stream"
+    ).collect()[0]
+    assert got["n"] == 60, "each duplicated text must survive exactly once"
+    assert got["d"] == 60
