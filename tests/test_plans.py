@@ -120,6 +120,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_right")
 
 
+def test_knn_plans_cogroup_not_join(spark):
+    """kNN must plan a cogrouped refine (FlatMapCoGroupsInPandas) —
+    never a join of queries x candidates, which materializes the
+    per-cell cartesian product (round-3 fix; the sf0.1 oracle pass
+    hung on it)."""
+    from geo_sim_processing_a_spark.plans.driver_queries import q_knn
+    df = q_knn(spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+
+
 def test_range_join_plans_no_cartesian(spark):
     """The spatial range join must plan as an equi-join on cell —
     never CartesianProduct / BroadcastNestedLoopJoin."""
