@@ -160,12 +160,19 @@ def cover_polygon(ring: np.ndarray, res: int) -> np.ndarray:
     for k in range(len(closed) - 1):
         x0, y0 = float(closed[k, 0]), float(closed[k, 1])
         dx, dy = float(closed[k + 1, 0]) - x0, float(closed[k + 1, 1]) - y0
-        # Liang-Barsky clip of segment against each cell box
+        # Liang-Barsky clip of segment against each cell box.  Degenerate
+        # axis (dx==0 / dy==0) with the coordinate OUTSIDE the box gets
+        # +inf in BOTH slots so the interval is empty — a -inf/+inf
+        # split collapses to a vacuous constraint under the min/max
+        # below and keeps cells the edge never reaches (same bug class
+        # as the round-3 rasterizer fix in tiling._clip_segments_to_grid)
         with np.errstate(divide="ignore", invalid="ignore"):
-            t0x = np.where(dx != 0, (lon0 - x0) / dx, np.where((lon0 <= x0) & (x0 <= lon1), -np.inf, np.inf))
-            t1x = np.where(dx != 0, (lon1 - x0) / dx, np.where((lon0 <= x0) & (x0 <= lon1), np.inf, -np.inf))
-            t0y = np.where(dy != 0, (lat0 - y0) / dy, np.where((lat0 <= y0) & (y0 <= lat1), -np.inf, np.inf))
-            t1y = np.where(dy != 0, (lat1 - y0) / dy, np.where((lat0 <= y0) & (y0 <= lat1), np.inf, -np.inf))
+            in_x = (lon0 <= x0) & (x0 <= lon1)
+            in_y = (lat0 <= y0) & (y0 <= lat1)
+            t0x = np.where(dx != 0, (lon0 - x0) / dx, np.where(in_x, -np.inf, np.inf))
+            t1x = np.where(dx != 0, (lon1 - x0) / dx, np.where(in_x, np.inf, np.inf))
+            t0y = np.where(dy != 0, (lat0 - y0) / dy, np.where(in_y, -np.inf, np.inf))
+            t1y = np.where(dy != 0, (lat1 - y0) / dy, np.where(in_y, np.inf, np.inf))
         tx_lo, tx_hi = np.minimum(t0x, t1x), np.maximum(t0x, t1x)
         ty_lo, ty_hi = np.minimum(t0y, t1y), np.maximum(t0y, t1y)
         t_enter = np.maximum(np.maximum(tx_lo, ty_lo), 0.0)

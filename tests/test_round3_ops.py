@@ -103,6 +103,33 @@ def test_knn_query_salting_identical_output(spark):
     assert base == salted and len(base) == 200 * 3
 
 
+def test_cover_polygon_excludes_untouched_corner():
+    """A right triangle spanning a 3x3 cell block must NOT cover the
+    far corner cell: pre-fix, the triangle's axis-parallel legs
+    (outside that cell's row/column range) clipped vacuously and kept
+    it (same degenerate-axis Liang-Barsky bug as the rasterizer's)."""
+    from geo_sim_processing_a_spark.operators import cells as C
+
+    res = 6
+    base = C.encode(np.array([10.0]), np.array([10.0]), res)
+    lo0, la0, lo1, la1 = C.cell_bounds(base)
+    lo0, la0 = float(lo0[0]), float(la0[0])
+    w, h = float(lo1[0]) - lo0, float(la1[0]) - la0
+    # triangle legs on the left/bottom of a 3x3 block; hypotenuse cuts
+    # the diagonal; the top-right cell (+2,+2) is untouched
+    ring = np.array([
+        (lo0 + 0.1 * w, la0 + 0.1 * h),
+        (lo0 + 2.9 * w, la0 + 0.1 * h),
+        (lo0 + 0.1 * w, la0 + 2.9 * h),
+        (lo0 + 0.1 * w, la0 + 0.1 * h)])
+    cover = set(int(c) for c in C.cover_polygon(ring, res))
+    corner = int(C.encode(np.array([lo0 + 2.5 * w]), np.array([la0 + 2.5 * h]), res)[0])
+    inside = int(C.encode(np.array([lo0 + 0.5 * w]), np.array([la0 + 0.5 * h]), res)[0])
+    assert inside in cover
+    assert corner not in cover, "axis-parallel legs leaked into the far corner"
+    assert len(cover) == 8  # 3x3 block minus the untouched corner
+
+
 def test_knn_brute_matches_naive_reference():
     """Property check: the chunked argpartition knn_brute equals the
     naive full-lexsort formulation on tie-heavy lattice data, across
