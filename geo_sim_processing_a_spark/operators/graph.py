@@ -1,0 +1,86 @@
+"""Connected components over a pair graph — the step a dedup pipeline
+runs AFTER near-dup pair generation: pairs -> clusters -> one canonical
+document per cluster.
+
+Shape chosen for 100 TB: iterative min-label propagation (hash-min)
+WITH pointer jumping — each round every vertex takes the minimum of
+its own label, its neighbors' labels, and its label's label
+(label values are always vertex ids, so "label of label" is a
+self-join on the label frame).  Neighbor propagation alone needs
+O(diameter) rounds (a 180-vertex path = 180 rounds); pointer jumping
+contracts label chains exponentially, giving O(log n) rounds — the
+standard large-scale CC construction.  Every round is equi-joins +
+aggregates shuffling on vertex id (a component never has to fit in
+memory anywhere), and the label frame is local-checkpointed per round
+(iterative lineage otherwise grows the plan exponentially).  The loop
+stops at the first unchanged round; max_iter is a reported backstop.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
+
+
+def connected_components(edges: DataFrame, left: str = "id_a",
+                         right: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """(id, component) for every vertex appearing in ``edges``;
+    ``component`` is the smallest vertex id reachable (undirected).
+
+    Deterministic: labels are ids, propagation takes minima — no
+    iteration-order dependence, so the fixpoint is unique."""
+    e = edges.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    e = (e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .localCheckpoint(eager=False))  # reused every round
+
+    labels = (e.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=False))
+
+    for it in range(max_iter):
+        # smallest label among each vertex's neighbors
+        nbr_min = (e.join(labels.withColumnRenamed("id", "src"), "src")
+                   .groupBy(F.col("dst").alias("id"))
+                   .agg(F.min("label").alias("nbr_label")))
+        cand = (labels.join(nbr_min, "id", "left")
+                .select("id", F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label"))).alias("label")))
+        # pointer jump: label := label(label) (labels are vertex ids and
+        # monotone non-increasing, so the jump can only improve)
+        jump = cand.select(F.col("id").alias("label"),
+                           F.col("label").alias("ll"))
+        new_labels = (cand.join(jump, "label", "left")
+                      .select("id", F.least(
+                          F.col("label"),
+                          F.coalesce("ll", F.col("label"))).alias("label"))
+                      .localCheckpoint(eager=False))
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        _LOG.warning("connected_components: not converged after %d rounds "
+                     "(graph diameter exceeds max_iter); labels are an "
+                     "upper bound on the true components", max_iter)
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(pairs: DataFrame, docs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs -> per-document cluster assignment with the
+    canonical (minimum-id) survivor flagged.  Documents with no
+    near-dup pair are their own singleton cluster."""
+    comp = connected_components(pairs)
+    return (docs.select(F.col(id_col).alias("id"))
+            .join(comp, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("component", F.col("id")).alias("cluster_id"))
+            .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id")))

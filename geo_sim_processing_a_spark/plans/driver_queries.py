@@ -928,6 +928,8 @@ def all_queries():
         "q_media_features": q_media_features,
         "q_text_extract_parity": q_text_extract_parity,
         "q_asof_events": q_asof_events,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_connected_components": q_connected_components,
     }
 
 
@@ -955,6 +957,7 @@ def all_oracles():
         "q_knn": SQL_KNN,
         "q_embedding_topk": SQL_EMBEDDING_TOPK,
         "q_asof_events": SQL_ASOF_EVENTS,
+        "q_connected_components": SQL_CONNECTED_COMPONENTS,
     }
 
 
@@ -994,3 +997,64 @@ SELECT l.event_id, l.user_id,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts
 ORDER BY l.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# connected components / near-dup clustering (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def q_connected_components(spark, sf_dir):
+    """Iterative min-label propagation (hash-min) over a deterministic
+    modular graph on doc ids: path chains (runs of 13 consecutive ids —
+    forces >= 12 propagation rounds) merged by sparse hub links.
+    Oracle: DuckDB recursive-CTE transitive closure + min-root."""
+    from ..operators.graph import connected_components
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    chains = (d.where((F.pmod(F.col("doc_id"), F.lit(13)) != 0)
+                      & (F.col("doc_id") >= 1))
+              .select(F.col("doc_id").alias("id_a"),
+                      (F.col("doc_id") - 1).alias("id_b")))
+    hubs = (d.where(F.pmod(F.col("doc_id"), F.lit(11)) == 0)
+            .select(F.col("doc_id").alias("id_a"),
+                    F.pmod(F.col("doc_id"), F.lit(97)).alias("id_b")))
+    edges = chains.unionByName(hubs)
+    return (connected_components(edges)
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("component").cast("long").alias("component"))
+            .orderBy("id"))
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE raw_edges AS (
+  SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+  WHERE doc_id % 13 <> 0 AND doc_id >= 1
+  UNION ALL
+  SELECT doc_id, doc_id % 97 FROM documents WHERE doc_id % 11 = 0
+), edges AS (
+  SELECT a AS src, b AS dst FROM raw_edges WHERE a <> b
+  UNION
+  SELECT b, a FROM raw_edges WHERE a <> b
+), r(id, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(root) AS component FROM r GROUP BY id ORDER BY id
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """The full near-dup pipeline ending: MinHash-LSH pairs ->
+    connected components -> per-document cluster id + canonical
+    (min-id survivor) flag.  Pairs are non-SQL-expressible, so this is
+    rows-only with a per-row chk; the components operator itself is
+    hash-verified by q_connected_components."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import dedup_clusters
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.5)
+    out = dedup_clusters(pairs, d)
+    return (out.select("doc_id", "cluster_id", "is_canonical",
+                       _geom_chk("doc_id", "cluster_id", "is_canonical")
+                       .alias("chk"))
+            .orderBy("doc_id"))

@@ -103,6 +103,47 @@ def test_knn_query_salting_identical_output(spark):
     assert base == salted and len(base) == 200 * 3
 
 
+def test_connected_components_long_path(spark):
+    """A 300-vertex path converges to one component well inside
+    max_iter — pointer jumping makes rounds O(log n), not O(n)."""
+    from geo_sim_processing_a_spark.operators.graph import connected_components
+
+    n = 300
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": np.arange(1, n), "id_b": np.arange(0, n - 1)}),
+        "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges, max_iter=20).collect()}
+    assert len(got) == n
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_multi_and_self_loops(spark):
+    from geo_sim_processing_a_spark.operators.graph import connected_components
+
+    pdf = pd.DataFrame({"id_a": [1, 2, 7, 7, 10],
+                        "id_b": [2, 3, 8, 7, 10]})  # self-loops ignored
+    edges = spark.createDataFrame(pdf, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    # pure-self-loop vertices (10) have no real edge -> absent
+
+
+def test_dedup_clusters_canonical_flags(spark):
+    from geo_sim_processing_a_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64)}), "doc_id long")
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 4], "id_b": [1, 2, 5]}),
+        "id_a long, id_b long")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in dedup_clusters(pairs, docs).collect()}
+    assert rows == {0: (0, True), 1: (0, False), 2: (0, False),
+                    3: (3, True),  # singleton: own cluster, canonical
+                    4: (4, True), 5: (4, False)}
+
+
 def test_cover_polygon_excludes_untouched_corner():
     """A right triangle spanning a 3x3 cell block must NOT cover the
     far corner cell: pre-fix, the triangle's axis-parallel legs
