@@ -50,11 +50,6 @@ def token_count(col: Column) -> Column:
     return F.size(F.split(F.trim(col), r"\s+"))
 
 
-def word_token_count(col: Column) -> Column:
-    """BPE-ish token proxy: count of word/number/punct units."""
-    return F.size(F.split(F.trim(F.regexp_replace(col, r"([^\w\s])", r" $1 ")), r"\s+"))
-
-
 def punct_ratio(col: Column) -> Column:
     stripped = F.regexp_replace(col, r"[\w\s]", "")
     return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
