@@ -110,6 +110,17 @@ def main():
 
     spark.stop()
 
+    # host-health telemetry: this box has external throttle episodes
+    # where DRAM bandwidth drops ~100x (healthy ~10-30 GB/s, observed
+    # 0.15 GB/s on an idle machine, round 3) — record the probe so a
+    # slow bench can be attributed to the host, not the code
+    import numpy as np
+    a = np.ones(30_000_000)
+    b = np.ones(30_000_000)
+    t0 = time.perf_counter()
+    a = a + b
+    dram_gbps = round(30_000_000 * 8 * 3 / 1e9 / (time.perf_counter() - t0), 2)
+
     print(json.dumps({
         "metric": "tiles_plus_geoms_per_sec",
         "value": round(throughput, 3),
@@ -119,7 +130,8 @@ def main():
         "detail": {"tiles": int(head["tiles"]), "geoms": int(head["geoms"]),
                    "v_in": int(head["v_in"]), "v_out": int(head["v_out"]),
                    "n_line_smooth": int(smooth_row["n_line_smooth"] or 0),
-                   "cpus": cpus, "n_pages": n_pages},
+                   "cpus": cpus, "n_pages": n_pages,
+                   "dram_gbps_probe": dram_gbps},
     }))
 
 
