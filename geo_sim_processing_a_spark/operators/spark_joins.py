@@ -30,32 +30,60 @@ def encode_cell_udf(res: int):
     return _enc
 
 
+def _split_rings(x: np.ndarray, y: np.ndarray, offs) -> list:
+    offs = np.asarray(offs, dtype=np.int64)
+    ends = np.append(offs[1:], len(x))
+    return [np.column_stack([x[offs[k]:ends[k]], y[offs[k]:ends[k]]])
+            for k in range(len(offs))]
+
+
 def pip_join(points: DataFrame, polys: DataFrame, res: int = 8) -> DataFrame:
-    """points(pid, lon, lat) x polys(poly_id, xs, ys) ->
-    (pid, poly_id, lon, lat).  Polygon side broadcast."""
+    """points(pid, lon, lat) x polys(poly_id, xs, ys[, ring_offsets]) ->
+    (pid, poly_id, lon, lat).  Polygon side broadcast.  Multi-ring
+    polygons (ring_offsets: exterior first, holes after) use even-odd
+    semantics — points inside a hole do NOT match."""
     enc = encode_cell_udf(res)
     pts = points.withColumn("cell", enc("lon", "lat"))
+    has_offsets = "ring_offsets" in polys.columns
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def cover_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(xs, ys):
-            ring = np.column_stack([np.asarray(x, float), np.asarray(y, float)])
-            out.append([int(c) for c in C.cover_polygon(ring, res)])
-        return pd.Series(out)
+    if has_offsets:
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def cover_udf(xs: pd.Series, ys: pd.Series, offs: pd.Series) -> pd.Series:
+            out = []
+            for x, y, o in zip(xs, ys, offs):
+                rings = _split_rings(np.asarray(x, float), np.asarray(y, float),
+                                     o if o is not None else [0])
+                out.append([int(c) for c in C.cover_polygon_rings(rings, res)])
+            return pd.Series(out)
 
-    pol_cells = polys.withColumn("cell", F.explode(cover_udf("xs", "ys")))
+        pol_cells = polys.withColumn(
+            "cell", F.explode(cover_udf("xs", "ys", "ring_offsets")))
+    else:
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def cover_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            out = []
+            for x, y in zip(xs, ys):
+                ring = np.column_stack([np.asarray(x, float), np.asarray(y, float)])
+                out.append([int(c) for c in C.cover_polygon(ring, res)])
+            return pd.Series(out)
+
+        pol_cells = polys.withColumn("cell", F.explode(cover_udf("xs", "ys")))
 
     joined = pts.join(F.broadcast(pol_cells), on="cell", how="inner")
 
     def refine(pdf: pd.DataFrame) -> pd.DataFrame:
         keep = []
         for (poly_id,), grp in pdf.groupby(["poly_id"], sort=True):
-            ring = np.column_stack([np.asarray(grp["xs"].iloc[0], float),
-                                    np.asarray(grp["ys"].iloc[0], float)])
+            x = np.asarray(grp["xs"].iloc[0], float)
+            y = np.asarray(grp["ys"].iloc[0], float)
+            offs = (grp["ring_offsets"].iloc[0]
+                    if has_offsets and grp["ring_offsets"].iloc[0] is not None
+                    else [0])
             px = grp["lon"].to_numpy()
             py = grp["lat"].to_numpy()
-            inside = pip_refine(px, py, ring)
+            inside = np.zeros(len(grp), dtype=bool)
+            for ring in _split_rings(x, y, offs):  # even-odd: holes punch out
+                inside ^= pip_refine(px, py, ring)
             keep.append(grp.loc[inside, ["pid", "poly_id", "lon", "lat"]])
         if keep:
             return pd.concat(keep, ignore_index=True)

@@ -103,6 +103,56 @@ def test_knn_query_salting_identical_output(spark):
     assert base == salted and len(base) == 200 * 3
 
 
+def test_pip_join_holed_polygon(spark):
+    """pip_join with ring_offsets: points in the hole do not match,
+    points in the solid ring do (even-odd refine AND hole-aware
+    cover)."""
+    from geo_sim_processing_a_spark.operators.spark_joins import pip_join
+
+    # square [0,8]^2 with hole [3,5]^2
+    xs = [0.0, 8.0, 8.0, 0.0, 0.0, 3.0, 3.0, 5.0, 5.0, 3.0]
+    ys = [0.0, 0.0, 8.0, 8.0, 0.0, 3.0, 5.0, 5.0, 3.0, 3.0]
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [1], "xs": [xs], "ys": [ys],
+                      "ring_offsets": [[0, 5]]}),
+        "poly_id long, xs array<double>, ys array<double>, ring_offsets array<int>")
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 3],
+                      "lon": [1.0, 4.0, 9.0],   # solid / hole / outside
+                      "lat": [1.0, 4.0, 9.0]}),
+        "pid long, lon double, lat double")
+    got = {r["pid"] for r in pip_join(pts, polys, res=6).collect()}
+    assert got == {1}, got
+
+
+def test_cover_polygon_rings_hole_punchout():
+    """A cell strictly inside a hole is NOT covered; ring cells are."""
+    from geo_sim_processing_a_spark.operators import cells as C
+
+    res = 4  # 22.5 x 11.25 degree cells
+    lon0, lat0 = 0.0, 0.0
+    # exterior spans 3x3 cells; hole exactly covers the middle cell's
+    # interior with margin
+    w, h = 22.5, 11.25
+    ex = [(lon0 + 0.2 * w, lat0 + 0.2 * h), (lon0 + 2.8 * w, lat0 + 0.2 * h),
+          (lon0 + 2.8 * w, lat0 + 2.8 * h), (lon0 + 0.2 * w, lat0 + 2.8 * h),
+          (lon0 + 0.2 * w, lat0 + 0.2 * h)]
+    hole = [(lon0 + 0.9 * w, lat0 + 0.9 * h), (lon0 + 0.9 * w, lat0 + 2.1 * h),
+            (lon0 + 2.1 * w, lat0 + 2.1 * h), (lon0 + 2.1 * w, lat0 + 0.9 * h),
+            (lon0 + 0.9 * w, lat0 + 0.9 * h)]
+    cover = set(int(c) for c in C.cover_polygon_rings(
+        [np.array(ex), np.array(hole)], res))
+    mid = int(C.encode(np.array([lon0 + 1.5 * w]),
+                       np.array([lat0 + 1.5 * h]), res)[0])
+    corner = int(C.encode(np.array([lon0 + 0.5 * w]),
+                          np.array([lat0 + 0.5 * h]), res)[0])
+    assert corner in cover
+    assert mid not in cover, "cell inside the hole must not be covered"
+    # without the hole, the middle cell IS covered
+    cover_solid = set(int(c) for c in C.cover_polygon(np.array(ex), res))
+    assert mid in cover_solid
+
+
 def test_connected_components_long_path(spark):
     """A 300-vertex path converges to one component well inside
     max_iter — pointer jumping makes rounds O(log n), not O(n)."""
