@@ -617,11 +617,20 @@ ORDER BY a_id, b_id
 
 
 def q_knn(spark, sf_dir):
+    import math
     from ..operators.spark_joins import knn_join
     pts = _points_from_orders(spark, sf_dir).where(F.col("pid") % 8 == 0)
-    # res=2 keeps ring-1 exactness over the 20-degree point domain but
-    # yields only 4 cells; salt the query side so refine parallelizes
-    return (knn_join(pts, k=5, res=2, n_query_salts=8)
+    # density-adaptive resolution: finer grids shrink each refine
+    # group's candidate set (res 2 at sf0.1 made every group hold ~ALL
+    # 19k points — quadratic refine); results are EXACT at any res and
+    # the strict guard raises loudly if the k-th neighbor could escape
+    # ring-1, so res only trades performance.  Conservative density
+    # rule: ~2x margin between the expected k-th-neighbor distance and
+    # the cell size.  Few cells at coarse res -> salt the query side.
+    n = pts.count()
+    res = max(2, min(8, int(math.log2(0.9 * math.sqrt(max(n, 1))))))
+    salts = 8 if res <= 3 else 1
+    return (knn_join(pts, k=5, res=res, n_query_salts=salts)
             .select("pid", "neighbor_id", F.col("rank").cast("long").alias("rank"))
             .orderBy("pid", "rank"))
 
