@@ -53,13 +53,15 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
                     dtype=np.uint64)
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def _ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     """Python-kernel stages (signature UDFs) want at least one task per
     core: a small parquet input arrives as ONE split and would run the
     whole Arrow kernel single-threaded.  Repartition only when the scan
-    is narrower than the default parallelism — a no-op at scale, where
-    inputs carry orders of magnitude more splits than cores."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    is narrower than ``target`` (default parallelism) — a no-op at
+    scale, where inputs carry orders of magnitude more splits than
+    cores.  Shared by dedup/text/skeleton/driver-query kernels."""
+    if target is None:
+        target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -129,10 +131,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     never shuffled and nothing is re-shingled per pair.  Band buckets
     with more than ``hot_key_cap`` docs are dropped WITH a report
     (operators/skew.py — the self-join is quadratic per bucket); pass
-    None to disable.  Signatures are local-checkpointed (computed once,
-    reused by banding + both verify sides; blocks are reference-tracked
-    and freed when the result goes out of scope — unlike persist(),
-    nothing stays pinned in the cache manager)."""
+    None to disable.  NOTE: the cap assumes exact-duplicate mass has
+    been collapsed first (a set of >cap byte-identical docs shares ALL
+    its band buckets and would lose its own pairs) — run
+    :func:`near_dup_clusters` or an exact_dedup pass upstream.
+    Signatures are local-checkpointed (computed once, reused by
+    banding + both verify sides; blocks are reference-tracked and
+    freed with the result — unlike persist(), nothing pins the cache
+    manager.  Trade-off, documented: localCheckpoint truncates
+    lineage, so on a multi-executor cluster a lost executor fails the
+    job instead of recomputing; callers needing fault recovery over
+    long jobs should persist+unpersist around the call instead)."""
     from .skew import frequency_cap
 
     rows_per_band = n_hashes // bands
@@ -179,6 +188,45 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     return minhash_lsh_pairs(docs, id_col, text_col, n_hashes=64, bands=32,
                              shingle=shingle, threshold=threshold,
                              hot_key_cap=hot_key_cap)
+
+
+def near_dup_clusters(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", threshold: float = 0.7,
+                      hot_key_cap: int | None = 1000,
+                      **minhash_kwargs) -> DataFrame:
+    """Full dedup clustering, in the order a 100 TB pipeline must run:
+
+     1. EXACT dedup first (one hash-agg) — identical texts collapse to
+        their min-id representative.  This is load-bearing for the
+        hot-key guard: a mega-duplicate set (thousands of byte-equal
+        copies) would otherwise blow every band bucket past the cap
+        and silently lose ITS OWN pairs; collapsed to one
+        representative, it can never trip the guard.
+     2. MinHash-LSH near-dup pairs over representatives only.
+     3. Connected components over exact-group edges UNION near-dup
+        edges; canonical survivor = min id.
+
+    Returns (id_col, cluster_id, is_canonical) for EVERY input doc."""
+    from .graph import connected_components
+
+    keyed = docs.select(F.col(id_col).alias("id"),
+                        F.md5(F.col(text_col)).alias("_k"),
+                        F.col(text_col).alias("_text"))
+    reps = keyed.groupBy("_k").agg(F.min("id").alias("rep"))
+    with_rep = keyed.join(reps, "_k")
+    exact_edges = (with_rep.where(F.col("id") != F.col("rep"))
+                   .select(F.col("id").alias("id_a"), F.col("rep").alias("id_b")))
+    rep_docs = (with_rep.where(F.col("id") == F.col("rep"))
+                .select(F.col("id").alias(id_col), F.col("_text").alias(text_col)))
+    near = minhash_lsh_pairs(rep_docs, id_col, text_col, threshold=threshold,
+                             hot_key_cap=hot_key_cap, **minhash_kwargs)
+    edges = exact_edges.unionByName(near.select("id_a", "id_b"))
+    comp = connected_components(edges)
+    return (docs.select(F.col(id_col))
+            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("component", F.col(id_col)).alias("cluster_id"))
+            .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id")))
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",

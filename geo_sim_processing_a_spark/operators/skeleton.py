@@ -118,12 +118,10 @@ def chordal_axis_frame(polys: DataFrame, correction: bool = True,
             "error": pd.Series(out["error"], dtype="object"),
         })
 
+    from .dedup import _ensure_parallelism
+
     cols = ["url", "xs", "ys"] + (["ring_offsets"] if has_offsets else [])
-    sel = polys.select(*cols)
-    target = (n_parts if n_parts is not None
-              else sel.sparkSession.sparkContext.defaultParallelism)
-    if sel.rdd.getNumPartitions() < target:
-        sel = sel.repartition(target)
+    sel = _ensure_parallelism(polys.select(*cols), target=n_parts)
 
     def run(batches):
         for pdf in batches:

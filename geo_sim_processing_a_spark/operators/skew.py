@@ -47,17 +47,23 @@ def frequency_cap(buckets: DataFrame, key_cols: Sequence[str], cap: int,
     if cap <= 0:
         raise ValueError(f"hot-key cap must be positive, got {cap}")
     key_cols = list(key_cols)
-    counts = buckets.groupBy(*key_cols).count()
-    hot = counts.where(F.col("count") > cap)
-    stats = hot.agg(
-        F.count("*").alias("n_hot_keys"),
-        F.coalesce(F.sum("count"), F.lit(0)).alias("n_rows_dropped")).collect()[0]
-    if stats["n_hot_keys"]:
-        msg = (f"[{label}] hot-key guard: dropped {stats['n_hot_keys']} join "
-               f"key(s) with > {cap} rows each ({stats['n_rows_dropped']} bucket "
+    # ONE aggregation pass: the hot keys are tiny by construction
+    # (above-cap keys are rare), so collect them with their counts and
+    # rebuild the anti-join side as a literal frame — embedding the
+    # lazy `hot` plan instead would re-run the full count() aggregation
+    # a second time when the caller's action executes
+    hot_rows = (buckets.groupBy(*key_cols).count()
+                .where(F.col("count") > cap).collect())
+    if hot_rows:
+        n_dropped = sum(r["count"] for r in hot_rows)
+        msg = (f"[{label}] hot-key guard: dropped {len(hot_rows)} join "
+               f"key(s) with > {cap} rows each ({n_dropped} bucket "
                f"rows) before the candidate self-join; pairs whose ONLY shared "
                f"keys were dropped are not recalled")
         (log_fn or _LOG.warning)(msg)
-        return buckets.join(F.broadcast(hot.select(*key_cols)),
-                            key_cols, "left_anti")
+        spark = buckets.sparkSession
+        hot = spark.createDataFrame(
+            [tuple(r[c] for c in key_cols) for r in hot_rows],
+            buckets.select(*key_cols).schema)
+        return buckets.join(F.broadcast(hot), key_cols, "left_anti")
     return buckets

@@ -1053,16 +1053,15 @@ SELECT id, min(root) AS component FROM r GROUP BY id ORDER BY id
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """The full near-dup pipeline ending: MinHash-LSH pairs ->
-    connected components -> per-document cluster id + canonical
+    """The full near-dup pipeline ending: exact dedup FIRST (so
+    mega-duplicate sets can never trip the hot-key guard), MinHash-LSH
+    pairs over representatives, connected components, canonical
     (min-id survivor) flag.  Pairs are non-SQL-expressible, so this is
     rows-only with a per-row chk; the components operator itself is
     hash-verified by q_connected_components."""
-    from ..operators.dedup import minhash_lsh_pairs
-    from ..operators.graph import dedup_clusters
+    from ..operators.dedup import near_dup_clusters
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, threshold=0.5)
-    out = dedup_clusters(pairs, d)
+    out = near_dup_clusters(d, threshold=0.5)
     return (out.select("doc_id", "cluster_id", "is_canonical",
                        _geom_chk("doc_id", "cluster_id", "is_canonical")
                        .alias("chk"))

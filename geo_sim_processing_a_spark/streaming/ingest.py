@@ -55,10 +55,11 @@ def dedup_pages_stream(pages_stream: DataFrame,
     a fingerprint older than the watermark is evicted (at 100 TB/day an
     unbounded dedup-state store is the classic streaming OOM).  Exact
     within the horizon; cross-horizon dups fall through to the batch
-    exact_dedup pass downstream."""
-    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    exact_dedup pass downstream — which is why the key is md5 of the
+    RAW text, the SAME key exact_dedup groups on (a normalized key
+    here would drop pages the batch layer considers distinct)."""
     return (pages_stream
-            .withColumn("text_md5", fp)
+            .withColumn("text_md5", F.md5("text"))
             .withWatermark("warc_ts", watermark)
             .dropDuplicatesWithinWatermark(["text_md5"]))
 

@@ -126,7 +126,7 @@ def test_knn_plans_cogroup_not_join(spark):
     per-cell cartesian product (round-3 fix; the sf0.1 oracle pass
     hung on it)."""
     from geo_sim_processing_a_spark.plans.driver_queries import q_knn
-    df = q_knn(spark, "/root/testdata/sf0.001")
+    df = q_knn(spark, SF_DIR)
     plan = plan_of(df)
     assert "FlatMapCoGroupsInPandas" in plan, plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",

@@ -66,6 +66,31 @@ def test_winnow_guard_bounds_boilerplate_blowup(spark, caplog):
     assert all(a >= 9000 for a, b in got), got
 
 
+def test_near_dup_clusters_survive_mega_duplicate_set(spark):
+    """The code-review scenario: >cap byte-identical copies of one
+    document.  Raw minhash_lsh_pairs would lose their pairs to the
+    hot-key guard; near_dup_clusters collapses exact duplicates FIRST,
+    so all copies land in ONE cluster with one canonical survivor, and
+    a planted near-dup pair of distinct texts is still clustered."""
+    from geo_sim_processing_a_spark.operators.dedup import near_dup_clusters
+
+    same = "exactly the same document body repeated " * 4
+    docs = [(i, same) for i in range(300)]
+    base = " ".join(f"tok{j}" for j in range(60))
+    docs += [(9001, base), (9002, base + " extra")]
+    df = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"]), "doc_id long, text string")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in near_dup_clusters(df, threshold=0.5,
+                                       hot_key_cap=50).collect()}
+    assert len(rows) == 302
+    # every exact copy in cluster 0, exactly one canonical
+    assert all(rows[i][0] == 0 for i in range(300))
+    assert [i for i in range(300) if rows[i][1]] == [0]
+    # the near-dup pair clusters together despite the tiny cap
+    assert rows[9001] == (9001, True) and rows[9002] == (9001, False)
+
+
 def test_minhash_guard_preserves_nonhot_pairs(spark, caplog):
     """A degenerate corpus where one band bucket goes hot (hundreds of
     EXACT duplicates of one text) completes with the guard and still
