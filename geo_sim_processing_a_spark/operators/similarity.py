@@ -175,7 +175,11 @@ def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
     from .skew import frequency_cap
 
     bucket = lsh_bucket_udf(dim, n_planes)
-    b = vectors.withColumn("bucket", bucket(F.col(vec_col)))
+    # local-checkpointed: the bucket UDF would otherwise re-run over
+    # the full vector table for the guard's stats pass AND both join
+    # sides (see dedup.minhash_lsh_pairs for the trade-off note)
+    b = (vectors.withColumn("bucket", bucket(F.col(vec_col)))
+         .localCheckpoint(eager=False))
     # probe buckets: own + each 1-bit flip (multi-probe LSH)
     probes = F.array(F.col("bucket"),
                      *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
