@@ -207,26 +207,28 @@ def near_dup_clusters(docs: DataFrame, id_col: str = "doc_id",
         edges; canonical survivor = min id.
 
     Returns (id_col, cluster_id, is_canonical) for EVERY input doc."""
-    from .graph import connected_components
+    from .graph import dedup_clusters
 
+    # NULL text is keyed as "" (the same mapping the signature kernel
+    # applies) — a raw md5(NULL) would be NULL and the equi-joins below
+    # would silently exclude extraction-failure docs from dedup
     keyed = docs.select(F.col(id_col).alias("id"),
-                        F.md5(F.col(text_col)).alias("_k"),
+                        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_k"),
                         F.col(text_col).alias("_text"))
-    reps = keyed.groupBy("_k").agg(F.min("id").alias("rep"))
-    with_rep = keyed.join(reps, "_k")
-    exact_edges = (with_rep.where(F.col("id") != F.col("rep"))
+    # ONE aggregation yields both the rep id and its text (all texts in
+    # a group are identical by construction, so first() is exact) —
+    # joining texts back by md5 key would shuffle every doc's raw text
+    reps = keyed.groupBy("_k").agg(F.min("id").alias("rep"),
+                                   F.first("_text").alias(text_col))
+    exact_edges = (keyed.select("id", "_k")
+                   .join(reps.select("_k", "rep"), "_k")
+                   .where(F.col("id") != F.col("rep"))
                    .select(F.col("id").alias("id_a"), F.col("rep").alias("id_b")))
-    rep_docs = (with_rep.where(F.col("id") == F.col("rep"))
-                .select(F.col("id").alias(id_col), F.col("_text").alias(text_col)))
+    rep_docs = reps.select(F.col("rep").alias(id_col), text_col)
     near = minhash_lsh_pairs(rep_docs, id_col, text_col, threshold=threshold,
                              hot_key_cap=hot_key_cap, **minhash_kwargs)
     edges = exact_edges.unionByName(near.select("id_a", "id_b"))
-    comp = connected_components(edges)
-    return (docs.select(F.col(id_col))
-            .join(comp.withColumnRenamed("id", id_col), id_col, "left")
-            .select(id_col,
-                    F.coalesce("component", F.col(id_col)).alias("cluster_id"))
-            .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id")))
+    return dedup_clusters(edges, docs, id_col)
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",

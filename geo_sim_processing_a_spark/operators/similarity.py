@@ -193,8 +193,10 @@ def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
     cand = (left.join(right, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # vector columns come from the CHECKPOINTED frame, not the source
+    # plan — two extra full source scans otherwise
+    va = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     scored = (cand.join(va, "id_a").join(vb, "id_b")
               .withColumn("cos", _dot(F.col("va"), F.col("vb"))
                           / (_norm(F.col("va")) * _norm(F.col("vb")))))

@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
 
+# above this many hot keys, don't collect them — use a distributed
+# anti-join instead (degenerate-input backstop; see frequency_cap)
+MAX_DRIVER_HOT_KEYS = 10_000
+
 
 def frequency_cap(buckets: DataFrame, key_cols: Sequence[str], cap: int,
                   label: str,
@@ -40,21 +44,24 @@ def frequency_cap(buckets: DataFrame, key_cols: Sequence[str], cap: int,
     """Drop all rows of join keys occurring in more than ``cap`` rows,
     reporting the drop.  Returns the filtered frame (same schema).
 
-    The stats aggregate is evaluated eagerly (it is one row); when the
-    input is (local-)checkpointed by the caller, the pass reads the
-    materialized blocks rather than recomputing the signature kernel.
+    The hot-key set is evaluated eagerly.  In the expected case it is
+    small (above-cap keys are rare) and is collected and rebuilt as a
+    literal broadcast frame — ONE aggregation pass total, where
+    embedding the lazy plan would re-run the full count() when the
+    caller's action executes.  A degenerate input with more than
+    ``MAX_DRIVER_HOT_KEYS`` hot keys falls back to the distributed
+    anti-join (the count aggregation runs twice, but nothing unbounded
+    ever reaches the driver).
     """
     if cap <= 0:
         raise ValueError(f"hot-key cap must be positive, got {cap}")
     key_cols = list(key_cols)
-    # ONE aggregation pass: the hot keys are tiny by construction
-    # (above-cap keys are rare), so collect them with their counts and
-    # rebuild the anti-join side as a literal frame — embedding the
-    # lazy `hot` plan instead would re-run the full count() aggregation
-    # a second time when the caller's action executes
-    hot_rows = (buckets.groupBy(*key_cols).count()
-                .where(F.col("count") > cap).collect())
-    if hot_rows:
+    counts = buckets.groupBy(*key_cols).count()
+    hot = counts.where(F.col("count") > cap)
+    hot_rows = hot.limit(MAX_DRIVER_HOT_KEYS + 1).collect()
+    if not hot_rows:
+        return buckets
+    if len(hot_rows) <= MAX_DRIVER_HOT_KEYS:
         n_dropped = sum(r["count"] for r in hot_rows)
         msg = (f"[{label}] hot-key guard: dropped {len(hot_rows)} join "
                f"key(s) with > {cap} rows each ({n_dropped} bucket "
@@ -62,8 +69,15 @@ def frequency_cap(buckets: DataFrame, key_cols: Sequence[str], cap: int,
                f"keys were dropped are not recalled")
         (log_fn or _LOG.warning)(msg)
         spark = buckets.sparkSession
-        hot = spark.createDataFrame(
+        lit = spark.createDataFrame(
             [tuple(r[c] for c in key_cols) for r in hot_rows],
             buckets.select(*key_cols).schema)
-        return buckets.join(F.broadcast(hot), key_cols, "left_anti")
-    return buckets
+        return buckets.join(F.broadcast(lit), key_cols, "left_anti")
+    stats = hot.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("count"), F.lit(0)).alias("dropped")).collect()[0]
+    msg = (f"[{label}] hot-key guard: {stats['n']} hot join keys (> "
+           f"{MAX_DRIVER_HOT_KEYS} — degenerate input); dropping "
+           f"{stats['dropped']} bucket rows via a distributed anti-join")
+    (log_fn or _LOG.warning)(msg)
+    return buckets.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")

@@ -48,8 +48,8 @@ def sessionized_page_counts(pages_stream: DataFrame, gap: str = "30 minutes",
 def dedup_pages_stream(pages_stream: DataFrame,
                        watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup at ingest — the streaming twin of
-    operators/dedup.exact_dedup: one row per distinct normalized text
-    fingerprint within the watermark horizon.
+    operators/dedup.exact_dedup: one row per distinct RAW-text md5
+    within the watermark horizon.
 
     Uses dropDuplicatesWithinWatermark so the dedup STATE is bounded:
     a fingerprint older than the watermark is evicted (at 100 TB/day an

@@ -91,6 +91,23 @@ def test_near_dup_clusters_survive_mega_duplicate_set(spark):
     assert rows[9001] == (9001, True) and rows[9002] == (9001, False)
 
 
+def test_near_dup_clusters_handles_null_text(spark):
+    """NULL-text docs (extraction failures) are keyed as "" — they
+    cluster with each other AND with empty-string docs instead of
+    silently dropping out of the equi-joins (md5(NULL) is NULL)."""
+    from geo_sim_processing_a_spark.operators.dedup import near_dup_clusters
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                      "text": [None, None, "", "real content here"]}),
+        "doc_id long, text string")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+            for r in near_dup_clusters(df, threshold=0.5).collect()}
+    assert rows[1] == (1, True)
+    assert rows[2] == (1, False) and rows[3] == (1, False)
+    assert rows[4] == (4, True)
+
+
 def test_minhash_guard_preserves_nonhot_pairs(spark, caplog):
     """A degenerate corpus where one band bucket goes hot (hundreds of
     EXACT duplicates of one text) completes with the guard and still
