@@ -23,29 +23,42 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     (< left_time when ``strict``).  Left rows with no prior right row
     keep nulls.  Ties at equal timestamps: the right row wins for the
     non-strict variant (sorted right-before-left at the same instant),
-    matching DuckDB's ASOF JOIN (>=) semantics."""
+    matching DuckDB's ASOF JOIN (>=) semantics.
+
+    Semantics pinned by review: (1) the value columns travel as ONE
+    struct, so the match is always a single right ROW — per-column
+    last(ignorenulls) would stitch columns from different rows when the
+    latest row has NULLs; (2) right rows with a NULL timestamp match
+    nothing (a NULL satisfies no comparison — unfiltered they would
+    sort NULLS FIRST and act as an 'earliest prior' for everything);
+    (3) several right rows at the SAME (key, time) are ordered by a
+    hash of their values, so the winner is arbitrary-but-deterministic
+    across runs and partitionings."""
     lt = F.col(left_time)
+    vstruct_type = F.struct(*[F.col(c) for c in value_cols])
     l_tag = left.select(
         F.col(on).alias("_k"), lt.alias("_t"), F.lit(1).alias("_src"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}")
-          for c in value_cols],
+        F.lit(None).cast(
+            right.select(vstruct_type.alias("_v")).schema["_v"].dataType
+        ).alias("_v"),
         F.struct(*left.columns).alias("_row"))
-    r_tag = right.select(
-        F.col(on).alias("_k"), F.col(right_time).alias("_t"),
-        F.lit(0 if not strict else 2).alias("_src"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
-        F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"))
+    r_tag = (right.where(F.col(right_time).isNotNull())
+             .select(F.col(on).alias("_k"), F.col(right_time).alias("_t"),
+                     F.lit(0 if not strict else 2).alias("_src"),
+                     vstruct_type.alias("_v"),
+                     F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row")))
     unioned = l_tag.unionByName(r_tag)
     # non-strict: right rows sort BEFORE left rows at equal _t (src 0<1)
     # strict:     right rows sort AFTER  left rows at equal _t (src 2>1)
-    w = (Window.partitionBy("_k").orderBy("_t", "_src")
+    # _tie: deterministic order among right rows tied on (_k, _t)
+    w = (Window.partitionBy("_k")
+         .orderBy("_t", "_src", F.xxhash64(F.to_json("_v")))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = unioned.select(
         "_src", "_row",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_v_{c}")
-          for c in value_cols])
+        F.last("_v", ignorenulls=True).over(w).alias("_v"))
     out = filled.where(F.col("_src") == 1)
     return out.select(
         *[F.col("_row")[c].alias(c) for c in
           out.select("_row.*").columns],
-        *[F.col(f"_v_{c}").alias(f"asof_{c}") for c in value_cols])
+        *[F.col("_v")[c].alias(f"asof_{c}") for c in value_cols])

@@ -17,17 +17,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.codecs import decode_bmp, decode_wav, encode_bmp, encode_wav, resize_nearest
-
-MEDIA_META = T.StructType([
-    T.StructField("media_type", T.StringType()),   # image|audio|video
-    T.StructField("width", T.IntegerType()),
-    T.StructField("height", T.IntegerType()),
-    T.StructField("duration_ms", T.IntegerType()),
-    T.StructField("codec", T.StringType()),
-])
 
 MEDIA_SCHEMA = ("url string, media_type string, blob binary, "
                 "width int, height int, duration_ms int, codec string")
@@ -196,18 +187,19 @@ def resize_images(media: DataFrame, out_h: int, out_w: int,
             out[blob_col] = pd.Series(blobs, dtype=object)
             yield out
 
-    schema = media.schema.simpleString()[len("struct<"):-1].replace(":", " ")
-    return media.mapInPandas(run, schema)
+    # pass the StructType verbatim — a simpleString round-trip drops
+    # nullability and breaks on names the DDL parser can't re-read
+    return media.mapInPandas(run, media.schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling PLAN for video rows: emits (url, frame_ts_ms)
-    rows JVM-side from metadata; the decode of each frame would slot
-    into extract_media_features. Demonstrates the explode-then-decode
-    partitioning shape."""
-    return (df
-            .withColumn("duration_ms", F.coalesce(F.col("meta.duration_ms"), F.lit(0)))
+    """Frame-sampling PLAN for video/audio rows with a duration: emits
+    (url, frame_ts_ms) rows JVM-side from the flat MEDIA_SCHEMA
+    metadata; the decode of each frame would slot into
+    extract_media_features.  Demonstrates the explode-then-decode
+    partitioning shape.  Zero-duration rows (images) emit nothing."""
+    dur = F.coalesce(F.col("duration_ms"), F.lit(0))
+    return (df.where(dur > 0)
             .withColumn("frame_ts_ms",
-                        F.explode(F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                                             F.lit(every_ms))))
+                        F.explode(F.sequence(F.lit(0), dur - 1, F.lit(every_ms))))
             .select("url", "frame_ts_ms"))

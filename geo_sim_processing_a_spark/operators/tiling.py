@@ -83,8 +83,14 @@ def with_cell_cover(geoms: DataFrame, res: int) -> DataFrame:
     """geoms(url, kind, xs, ys, ...) -> exploded (cell, is_owner, ...):
     every geometry is duplicated into each covered cell (halo), with
     exactly one owner copy (owner = cell of the first vertex)."""
-    out_fields = geoms.schema.simpleString()[len("struct<"):-1].replace(":", " ")
-    out_schema = out_fields + ", cell long, is_owner boolean"
+    from pyspark.sql import types as T
+
+    # extend the input StructType directly (a simpleString round-trip
+    # drops nullability and breaks on DDL-unparseable names)
+    out_schema = T.StructType(
+        list(geoms.schema.fields)
+        + [T.StructField("cell", T.LongType()),
+           T.StructField("is_owner", T.BooleanType())])
 
     def run(batches):
         for pdf in batches:
@@ -232,9 +238,14 @@ def raster_tile_assign(geoms: DataFrame, res: int, sub_res: int = 4) -> DataFram
     returns (…, cell, is_owner, occupancy array<boolean> row-major)."""
     from ..geom import primitives as P
 
+    from pyspark.sql import types as T
+
     n_sub = 1 << sub_res
-    out_fields = geoms.schema.simpleString()[len("struct<"):-1].replace(":", " ")
-    out_schema = out_fields + ", cell long, is_owner boolean, occupancy array<boolean>"
+    out_schema = T.StructType(
+        list(geoms.schema.fields)
+        + [T.StructField("cell", T.LongType()),
+           T.StructField("is_owner", T.BooleanType()),
+           T.StructField("occupancy", T.ArrayType(T.BooleanType()))])
     has_offsets = "ring_offsets" in geoms.columns
 
     def rasterize_batch(pdf: pd.DataFrame) -> pd.DataFrame:

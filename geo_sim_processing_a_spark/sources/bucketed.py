@@ -17,8 +17,16 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 16,
                    mode: str = "overwrite") -> None:
     """Write ``df`` as a parquet table bucketed AND sorted by ``key``.
     Joins between tables bucketed on the same key with the same bucket
-    count need no shuffle and no sort."""
-    (df.write.mode(mode)
+    count plan with NO Exchange on either side (the 100 TB win — no
+    shuffle; a partition-local SortExec remains in the plan: Spark 3+
+    does not propagate bucketed-scan output ordering, so the pre-sorted
+    runs are re-sorted in memory, which is cheap and shuffle-free).
+
+    The repartition is load-bearing for file layout: without it a
+    multi-partition input writes one file per (task, bucket) — a
+    small-files explosion of up to partitions x buckets files."""
+    (df.repartition(n_buckets, key)
+       .write.mode(mode)
        .bucketBy(n_buckets, key)
        .sortBy(key)
        .format("parquet")

@@ -3,9 +3,12 @@
 Iceberg is unavailable in-sandbox (no runtime jar, no network), so the
 manifest is a parquet directory implementing the same semantics:
 
- - each completed unit of work writes one row
-   (stage, tile, attempt, n_features, counters_json, out_path, ts)
-   via an idempotent per-tile file (overwrite of a deterministic path);
+ - each completed unit of work APPENDS one row
+   (stage, tile, attempt, n_features, counters_json, ts); re-runs may
+   append duplicate (stage, tile) rows — readers resolve them
+   (read_completed takes max(attempt); prune_completed distincts), so
+   the manifest is append-only-with-dedup-on-read, like an Iceberg
+   manifest list, not overwrite-in-place;
  - on restart, completed (stage, tile) pairs are read and the work
    DataFrame is pruned with a broadcast left_anti join — only missing
    tiles re-run (north_rule "resume mid-shuffle" at batch granularity:
@@ -31,11 +34,14 @@ def manifest_path(base_dir: str) -> str:
 
 
 def read_completed(spark: SparkSession, base_dir: str, stage: str) -> DataFrame | None:
+    """None means 'no manifest yet' — ONLY the path-missing case.  A
+    manifest that exists but cannot be read (corrupt file, transient FS
+    error) RAISES: silently returning None would discard all resume
+    state and re-run every tile on top of the masked error."""
     path = manifest_path(base_dir)
-    try:
-        mf = spark.read.parquet(path)
-    except Exception:
+    if not os.path.exists(path):
         return None
+    mf = spark.read.parquet(path)
     return (mf.where(F.col("stage") == stage)
               .groupBy("tile").agg(F.max("attempt").alias("attempt")))
 

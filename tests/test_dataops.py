@@ -172,3 +172,20 @@ def test_codecs_roundtrip_and_resize():
     back, rate = decode_wav(encode_wav(samples, rate=8000))
     assert rate == 8000
     assert np.array_equal(back, samples)
+
+
+def test_frame_sample_plan_flat_schema(spark):
+    """frame_sample_plan works against the module's OWN MEDIA_SCHEMA
+    (it once read a meta struct nothing produces): zero-duration rows
+    (images) emit nothing; duration-bearing rows emit one frame per
+    interval including ts 0."""
+    from geo_sim_processing_a_spark.operators.multimodal import frame_sample_plan
+    import pandas as pd
+    media = spark.createDataFrame(
+        pd.DataFrame({"url": ["img", "vid"],
+                      "media_type": ["image", "video"],
+                      "duration_ms": [0, 3500]}),
+        "url string, media_type string, duration_ms int")
+    rows = sorted((r["url"], r["frame_ts_ms"])
+                  for r in frame_sample_plan(media, every_ms=1000).collect())
+    assert rows == [("vid", 0), ("vid", 1000), ("vid", 2000), ("vid", 3000)]
