@@ -51,3 +51,37 @@ def xxhash64_long(values, seed: int | np.uint64 = _SPARK_SEED) -> np.ndarray:
 def xxhash64_long_signed(values, seed: int | np.uint64 = _SPARK_SEED) -> np.ndarray:
     """Same, reinterpreted as int64 (Spark's return type)."""
     return xxhash64_long(values, seed).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# splitmix64 — the deterministic PRNG step every synthetic generator
+# uses (text word indices, trace deltas, MinHash permutation params,
+# LSH hyperplanes).  ONE definition: scalar/batch bit-parity of the
+# generators depends on there being no hand-copies to drift.
+# ---------------------------------------------------------------------------
+
+_SM_C = np.uint64(0x9E3779B97F4A7C15)
+_SM_M1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_M2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64_next(x: np.ndarray):
+    """One splitmix64 step over a uint64 state array: returns
+    (advanced state, mixed output)."""
+    with np.errstate(over="ignore"):
+        x = x + _SM_C
+        z = x.copy()
+        z = (z ^ (z >> np.uint64(30))) * _SM_M1
+        z = (z ^ (z >> np.uint64(27))) * _SM_M2
+        z = z ^ (z >> np.uint64(31))
+    return x, z
+
+
+def splitmix64_next_scalar(x: int):
+    """Scalar twin of :func:`splitmix64_next` (Python ints, masked to
+    64 bits) — bit-identical outputs."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x, z ^ (z >> 31)

@@ -68,17 +68,17 @@ def _ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
 
 
 def _perm_params(n_hashes: int):
-    """Deterministic (a, b) permutation params via splitmix64."""
+    """Deterministic (a, b) permutation params via splitmix64
+    (functions/hashing.py — the single shared definition)."""
+    from ..functions.hashing import splitmix64_next_scalar
+
     a = np.empty(n_hashes, dtype=np.uint64)
     b = np.empty(n_hashes, dtype=np.uint64)
     x = 0x9E3779B97F4A7C15
     for i in range(n_hashes):
         for tgt in (a, b):
-            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-            z = x
-            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            tgt[i] = (z ^ (z >> 31)) % MERSENNE
+            x, z = splitmix64_next_scalar(x)
+            tgt[i] = z % MERSENNE
     a[a == 0] = 1
     return a, b
 

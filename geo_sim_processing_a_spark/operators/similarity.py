@@ -51,16 +51,15 @@ def brute_topk(vectors: DataFrame, queries: DataFrame, k: int,
 
 
 def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes (splitmix64 -> uniform)."""
+    """Deterministic pseudo-random hyperplanes (splitmix64 -> uniform;
+    functions/hashing.py holds the single mix definition)."""
+    from ..functions.hashing import splitmix64_next_scalar
+
     out = np.empty((n_planes, dim), dtype=np.float64)
     x = 0x51A2B3C4D5E6F708
     for i in range(n_planes):
         for j in range(dim):
-            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-            z = x
-            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-            z = z ^ (z >> 31)
+            x, z = splitmix64_next_scalar(x)
             out[i, j] = (z / 2**64) * 2.0 - 1.0
     return out
 

@@ -423,5 +423,10 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
                       F.countDistinct("cell").alias("tiles"),
                       F.sum("n_in").alias("v_in"),
                       F.sum("n_out").alias("v_out")).collect()[0]
+    # every consumer of the cached frame has run (kernel write, salting
+    # count, manifest); release it — a foreachBatch loop calling
+    # run_pipeline per micro-batch would otherwise pin one cached frame
+    # per batch for the session's lifetime
+    covered.unpersist()
     return {"geoms": agg["geoms"], "tiles": agg["tiles"],
             "v_in": int(agg["v_in"] or 0), "v_out": int(agg["v_out"] or 0)}

@@ -1,10 +1,17 @@
-"""SparkSession factory with the engine's standard scale-oriented conf.
+"""LOCAL-mode SparkSession factory with the engine's standard
+scale-oriented conf.
 
 Settings chosen for 100 TB-scale behavior and verified locally:
  - AQE on (coalesce + skew-join backstop behind our explicit salting)
  - Arrow transport for every pandas UDF (the only Python boundary)
- - shuffle partitions sized to cores locally; on a real cluster this is
-   overridden via spark-submit --conf (documented in BENCH/BASELINE.md)
+ - shuffle partitions sized to cores
+
+This factory hardcodes master=local[N] (builder-set properties BEAT
+spark-submit flags, so it is NOT the cluster entrypoint): a cluster
+deployment builds its own SparkSession via spark-submit/cluster
+tooling and only needs the non-default confs below (AQE advisory
+size, Arrow batch size) — nothing in the engine's operators imports
+this module; they all take the session as an argument.
 """
 
 from __future__ import annotations

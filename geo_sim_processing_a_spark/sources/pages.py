@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..functions.hashing import xxhash64_long
+from ..functions.hashing import (splitmix64_next, splitmix64_next_scalar, xxhash64_long)
 
 LANGS = np.array(["en", "fr", "de", "es", "pt", "zh"])
 
@@ -50,9 +50,6 @@ def _texts_for_hashes(h: np.ndarray) -> np.ndarray:
     nv = np.uint64(len(vocab))
     wlens = np.array([len(w) for w in vocab], dtype=np.int64)
     vl = vocab.tolist()
-    C = np.uint64(0x9E3779B97F4A7C15)
-    M1 = np.uint64(0xBF58476D1CE4E5B9)
-    M2 = np.uint64(0x94D049BB133111EB)
     # Chunked: a full-batch (n, 668) scratch matrix costs ~160 MB of
     # short-lived pages per worker; at 32 concurrent workers the
     # resulting page-fault storm spends 3x more CPU in the kernel than
@@ -67,14 +64,9 @@ def _texts_for_hashes(h: np.ndarray) -> np.ndarray:
         W = int(np.max(n_chars)) // 3 + 2
         idx = np.empty((m, W), dtype=np.int64)
         x = hc.copy()
-        with np.errstate(over="ignore"):
-            for k in range(W):
-                x = x + C
-                z = x.copy()
-                z = (z ^ (z >> np.uint64(30))) * M1
-                z = (z ^ (z >> np.uint64(27))) * M2
-                z = z ^ (z >> np.uint64(31))
-                idx[:, k] = (z % nv).astype(np.int64)
+        for k in range(W):
+            x, z = splitmix64_next(x)
+            idx[:, k] = (z % nv).astype(np.int64)
         cum = np.cumsum(wlens[idx] + 1, axis=1) - 1  # chars after k+1 words
         # sequential rule: add words while total < target (total starts -1)
         nw = (cum < n_chars[:, None]).sum(axis=1) + 1
@@ -86,7 +78,14 @@ def _texts_for_hashes(h: np.ndarray) -> np.ndarray:
 
 def generate_pages_pdf(ids: np.ndarray) -> pd.DataFrame:
     """Generate the pages rows for the given doc indices (vectorized
-    except the bounded text loop)."""
+    except the bounded text loop).
+
+    Convention note: site/warc_ts/lang derive from the UNSIGNED hash
+    (``h % m`` on uint64) — these columns have no SQL-oracle
+    requirement.  The geocoder (geocode_hashes below) deliberately uses
+    SIGNED pmod semantics instead so its formula is reproducible as
+    Spark/DuckDB SQL; do not mix the two conventions when adding
+    derived columns that need an SQL twin."""
     ids = np.asarray(ids, dtype=np.int64)
     h = xxhash64_long(ids)
     site = (h % np.uint64(10_000)).astype(np.int64)
@@ -279,21 +278,13 @@ def trace_polylines_batch(h: np.ndarray, lon: np.ndarray, lat: np.ndarray,
         return []
     n = (n_min + (h % np.uint64(n_max - n_min))).astype(np.int64)
     W = int(n.max())
-    C = np.uint64(0x9E3779B97F4A7C15)
-    M1 = np.uint64(0xBF58476D1CE4E5B9)
-    M2 = np.uint64(0x94D049BB133111EB)
     dx = np.empty((m, W), dtype=np.float64)
     dy = np.empty((m, W), dtype=np.float64)
     x = h.copy()
-    with np.errstate(over="ignore"):
-        for k in range(W):
-            x = x + C
-            z = x.copy()
-            z = (z ^ (z >> np.uint64(30))) * M1
-            z = (z ^ (z >> np.uint64(27))) * M2
-            z = z ^ (z >> np.uint64(31))
-            dx[:, k] = ((z & np.uint64(0xFF)).astype(np.float64) - 127.5) / 127.5
-            dy[:, k] = (((z >> np.uint64(8)) & np.uint64(0xFF)).astype(np.float64) - 127.5) / 127.5
+    for k in range(W):
+        x, z = splitmix64_next(x)
+        dx[:, k] = ((z & np.uint64(0xFF)).astype(np.float64) - 127.5) / 127.5
+        dy[:, k] = (((z >> np.uint64(8)) & np.uint64(0xFF)).astype(np.float64) - 127.5) / 127.5
     step = 0.002
     deltas_x = step * (1.0 + 0.5 * dx)
     deltas_y = step * dy
@@ -314,11 +305,7 @@ def trace_polyline(h: int, lon: float, lat: float, n_min: int = 16,
     step = 0.002
     cx, cy = lon, lat
     for k in range(n):
-        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        z = x
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        z = z ^ (z >> 31)
+        x, z = splitmix64_next_scalar(x)
         dx = ((z & 0xFF) - 127.5) / 127.5
         dy = (((z >> 8) & 0xFF) - 127.5) / 127.5
         cx += step * (1.0 + 0.5 * dx)

@@ -15,12 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
-             "text string, lang string")
+from ..sources.spark_pages import PAGES_SCHEMA
 
 
 def stream_pages(spark: SparkSession, path: str) -> DataFrame:
-    return (spark.readStream.schema(PAGES_DDL).parquet(path))
+    # file-source streams trust the supplied schema — importing the ONE
+    # pages schema (sources/spark_pages.py) instead of re-declaring it
+    # here means a schema change can't silently drop columns mid-stream
+    return (spark.readStream.schema(PAGES_SCHEMA).parquet(path))
 
 
 def windowed_page_counts(pages_stream: DataFrame, window: str = "1 hour",

@@ -221,6 +221,31 @@ def test_cover_polygon_excludes_untouched_corner():
     assert len(cover) == 8  # 3x3 block minus the untouched corner
 
 
+def test_footprint_hole_scalar_vs_vectorized_parity():
+    """The hole ring exists twice (scalar footprint_hole API and the
+    vectorized columns inside synthesize_geoms_pdf); pin them to each
+    other so a change to one can't silently diverge the other."""
+    from geo_sim_processing_a_spark.functions.hashing import xxhash64_long
+    from geo_sim_processing_a_spark.sources.pages import (
+        footprint_hole, geocode_hashes, synthesize_geoms_pdf)
+
+    ids = np.arange(5000, dtype=np.int64)
+    h = xxhash64_long(ids)
+    urls = np.array([f"u{i}" for i in ids], dtype=object)
+    pdf = synthesize_geoms_pdf(urls, h)
+    holed = pdf[(pdf["kind"] == 2) & (pdf["ring_offsets"].map(len) == 2)]
+    assert len(holed) > 0
+    lon, lat, _, side = geocode_hashes(h)
+    by_url = {u: i for i, u in enumerate(urls)}
+    for _, r in holed.head(20).iterrows():
+        i = by_url[r["url"]]
+        exp = footprint_hole(lon[i], lat[i], side[i])
+        off = r["ring_offsets"][1]
+        got = np.column_stack([np.asarray(r["xs"])[off:],
+                               np.asarray(r["ys"])[off:]])
+        assert np.array_equal(got, exp), r["url"]
+
+
 def test_knn_brute_matches_naive_reference():
     """Property check: the chunked argpartition knn_brute equals the
     naive full-lexsort formulation on tie-heavy lattice data, across
