@@ -287,3 +287,15 @@ def point_on_polyline(px: float, py: float, coords: np.ndarray) -> bool:
         if on_segment(coords[k, 0], coords[k, 1], coords[k + 1, 0], coords[k + 1, 1], px, py):
             return True
     return False
+
+
+def split_rings(x, y, offsets):
+    """Flat (xs, ys, ring_offsets) -> list of (n,2) ring arrays — THE
+    decoder for the engine's columnar multi-ring geometry (one
+    definition; the tile kernels and the spatial joins both use it)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    offs = np.asarray(offsets, dtype=np.int64)
+    ends = np.append(offs[1:], len(x))
+    return [np.column_stack([x[offs[k]:ends[k]], y[offs[k]:ends[k]]])
+            for k in range(len(offs))]

@@ -262,11 +262,22 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3,
-                  hot_key_cap: int | None = 1000) -> DataFrame:
-    """Near-dup pairs by SimHash: 4x16-bit band join (guarantees recall
-    for Hamming<=3), exact Hamming verify via bit_count.  Band buckets
-    above ``hot_key_cap`` docs are dropped with a report (skew.py)."""
+                  hot_key_cap: int | None = 1000,
+                  allow_partial_recall: bool = False) -> DataFrame:
+    """Near-dup pairs by SimHash: 4x16-bit band join (pigeonhole:
+    guarantees candidate recall ONLY for Hamming<=3 — pairs differing
+    in >= 4 bits can put one differing bit in every band and share no
+    bucket), exact Hamming verify via bit_count.  ``max_hamming`` > 3
+    therefore RAISES unless ``allow_partial_recall=True`` (the output
+    would be a silently incomplete pair set).  Band buckets above
+    ``hot_key_cap`` docs are dropped with a report (skew.py)."""
     from .skew import frequency_cap
+
+    if max_hamming > 3 and not allow_partial_recall:
+        raise ValueError(
+            f"simhash_pairs: max_hamming={max_hamming} exceeds the 4-band "
+            "recall guarantee (Hamming<=3); pass allow_partial_recall=True "
+            "to accept a best-effort candidate set, or use minhash_lsh_pairs")
 
     sigs = (simhash_signatures(_ensure_parallelism(docs), id_col, text_col)
             .localCheckpoint(eager=False))

@@ -30,11 +30,7 @@ def encode_cell_udf(res: int):
     return _enc
 
 
-def _split_rings(x: np.ndarray, y: np.ndarray, offs) -> list:
-    offs = np.asarray(offs, dtype=np.int64)
-    ends = np.append(offs[1:], len(x))
-    return [np.column_stack([x[offs[k]:ends[k]], y[offs[k]:ends[k]]])
-            for k in range(len(offs))]
+from ..geom.primitives import split_rings as _split_rings  # shared decoder
 
 
 def pip_join(points: DataFrame, polys: DataFrame, res: int = 8) -> DataFrame:

@@ -21,15 +21,24 @@ LANG_MARKERS = {
 
 
 def _marker_hits(col: Column, words: list) -> Column:
-    """Count of marker-word occurrences (space-delimited match)."""
+    """Count of marker-word occurrences (space-delimited match).
+
+    INTEGER-exact per word: each replacement of ``" w "`` with ``" "``
+    removes exactly len(w)+2-1 characters, so dividing the length delta
+    by that gives a whole number — summing per-word integers keeps the
+    Spark expression and the DuckDB oracle bit-identical.  (The old
+    formula divided by len(hay), yielding fractional per-word scores
+    that the two engines floored at DIFFERENT points: Spark truncated
+    the SUM, the oracle floored each word — 'the cat and dog' scored
+    en=1 in Spark but en=0 in DuckDB.)"""
     padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
     expr = F.lit(0)
     for w in words:
         hay = F.concat(F.lit(" "), F.lit(w), F.lit(" "))
-        # occurrences = (len(s) - len(replace(s, w, ''))) / len(w)
-        expr = expr + (F.length(padded) - F.length(F.replace(padded, hay, F.lit(" ")))) \
-            / F.length(hay)
-    return expr.cast("int")
+        removed_per_hit = len(w) + 2 - 1
+        expr = expr + ((F.length(padded) - F.length(F.replace(padded, hay, F.lit(" "))))
+                       / F.lit(removed_per_hit)).cast("int")
+    return expr
 
 
 def lang_id(col: Column) -> Column:

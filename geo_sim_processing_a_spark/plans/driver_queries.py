@@ -187,9 +187,16 @@ ORDER BY event_type, day
 def q_events_sessions(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
-    return (e.withColumn("new_session",
-                         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    # MICROSECOND-exact gap (timestampdiff works on TIMESTAMP_NTZ) to
+    # match the oracle's fractional epoch() comparison —
+    # unix_timestamp() truncates to whole seconds, so a 1800.4 s gap
+    # would not start a session in Spark but would in DuckDB
+    return (e.withColumn("_lag", F.lag("ts").over(w))
+            .withColumn("gap_us", F.expr("timestampdiff(MICROSECOND, _lag, ts)"))
+            .withColumn("new_session",
+                        F.when(F.col("_lag").isNull()
+                               | (F.col("gap_us") > 1800 * 1_000_000), 1)
+                        .otherwise(0))
             .groupBy("user_id")
             .agg(F.sum("new_session").cast("long").alias("n_sessions"),
                  F.count("*").alias("n_events"))
@@ -347,12 +354,15 @@ def q_text_features(spark, sf_dir):
 
 
 def _sql_marker_hits(words):
+    # mirror operators/text._marker_hits exactly: integer occurrence
+    # count per word (length delta / chars-removed-per-hit, which is
+    # len(w)+1 and divides exactly), summed as integers
     terms = []
     for w in words:
         hay = f" {w} "
         terms.append(
-            f"CAST(floor((length(padded) - length(replace(padded, '{hay}', ' ')))"
-            f" / length('{hay}')) AS INT)")
+            f"CAST((length(padded) - length(replace(padded, '{hay}', ' ')))"
+            f" / {len(hay) - 1} AS INT)")
     return " + ".join(terms)
 
 
@@ -378,7 +388,7 @@ WITH base AS (
   FROM base
 ), tok AS (
   SELECT doc_id, text,
-         {_SQL_PICK_PLACEHOLDER} AS lang_pred,
+         {pick} AS lang_pred,
          len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
          length(regexp_replace(text, '[\\w\\s]', '', 'g'))
            / greatest(length(text), 1) AS punct,
@@ -393,11 +403,7 @@ SELECT doc_id, lang_pred, n_tokens,
              6) AS quality
 FROM tok
 ORDER BY doc_id
-""".replace("{_SQL_PICK_PLACEHOLDER}", pick)
-
-
-_SQL_PICK_PLACEHOLDER = "{_SQL_PICK_PLACEHOLDER}"
-SQL_TEXT_FEATURES = None  # resolved lazily (needs LANG_MARKERS); see oracle_sql()
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -818,9 +824,12 @@ def q_minhash_near_dup(spark, sf_dir):
 
 
 def q_simhash_near_dup(spark, sf_dir):
+    """max_hamming=3 — the 4-band scheme's RECALL-GUARANTEED radius
+    (an earlier max_hamming=8 pinned a silently incomplete pair set:
+    pairs with one differing bit per band share no bucket)."""
     from ..operators.dedup import simhash_pairs
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
+    return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
 def q_embedding_near_dup(spark, sf_dir):

@@ -35,7 +35,7 @@ GEOM_SCHEMA = ("url string, h long, kind tinyint, xs array<double>, "
 KERNEL_OUT_SCHEMA = ("cell long, url string, kind tinyint, "
                      "xs array<double>, ys array<double>, ring_offsets array<int>, "
                      "n_in int, n_out int, n_pass int, n_bend_reduced int, "
-                     "n_line_smooth int, n_hole_del int, n_pol_del int")
+                     "n_line_smooth int, n_hole_del int, n_pol_del int, salt int")
 
 # Epsilon for the geo pipeline is fixed from the global lon/lat domain
 # (one R1-style agg would give the same value for any full-domain run;
@@ -125,12 +125,7 @@ def pages_to_covered_geoms(pages: DataFrame, res: int) -> DataFrame:
 # KERNEL: per-tile simplification
 # ---------------------------------------------------------------------------
 
-def _split_rings(x: np.ndarray, y: np.ndarray, offsets) -> list:
-    """Flat (xs, ys, ring_offsets) -> list of (n,2) ring arrays."""
-    offs = np.asarray(offsets, dtype=np.int64)
-    ends = np.append(offs[1:], len(x))
-    return [np.column_stack([x[offs[k]:ends[k]], y[offs[k]:ends[k]]])
-            for k in range(len(offs))]
+from ..geom.primitives import split_rings as _split_rings  # shared decoder
 
 
 def _flatten_rings(rings: list):
@@ -216,7 +211,7 @@ def _dp_tile(cell, urls, kinds, xs, ys, offsets, owners,
 
 _OUT_COLS = ("cell", "url", "kind", "xs", "ys", "ring_offsets", "n_in",
              "n_out", "n_pass", "n_bend_reduced", "n_line_smooth",
-             "n_hole_del", "n_pol_del")
+             "n_hole_del", "n_pol_del", "salt")
 
 
 def _kernel_out_pdf(out: dict) -> pd.DataFrame:
@@ -238,6 +233,7 @@ def _kernel_out_pdf(out: dict) -> pd.DataFrame:
         "n_line_smooth": pd.Series(out.get("n_line_smooth") or zeros, dtype="int32"),
         "n_hole_del": pd.Series(out.get("n_hole_del") or zeros, dtype="int32"),
         "n_pol_del": pd.Series(out.get("n_pol_del") or zeros, dtype="int32"),
+        "salt": pd.Series(out.get("salt") or zeros, dtype="int32"),
     })
 
 
@@ -269,8 +265,12 @@ def _run_bucket(pdf: pd.DataFrame, tile_fn) -> pd.DataFrame:
     bounds = np.concatenate([[0], change, [len(pdf)]])
     for b in range(len(bounds) - 1):
         lo, hi = bounds[b], bounds[b + 1]
+        before = len(out["cell"])
         tile_fn(int(cells[lo]), urls[lo:hi], kinds[lo:hi],
                 xs[lo:hi], ys[lo:hi], offsets[lo:hi], owners[lo:hi], out)
+        # tag each emitted row with its (cell, salt) subgroup so the
+        # manifest can aggregate per-subgroup counters exactly
+        out["salt"].extend([int(salts[lo])] * (len(out["cell"]) - before))
     return _kernel_out_pdf(out)
 
 
@@ -365,14 +365,55 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     data-dependent epsilon from the global bbox of the actual inputs
     (one agg pass, R1); the default pins WORLD_EPS because the
     synthetic geocoder's domain IS the full lon/lat plane."""
+    _check_run_params(out_dir, stage, res=res, diameter_tol=diameter_tol,
+                      kernel=kernel, smooth=smooth,
+                      epsilon=None if epsilon is None
+                      else [epsilon.zero_relative, epsilon.zero_absolute])
     deduped = pages.dropDuplicates(["url"])
     # persisted: reused by the salting count pass and the kernel stage
     # (S4 — the reference's in-memory temp layers, SURVEY.md §2.1)
     covered = pages_to_covered_geoms(deduped, res).persist()
-    covered.count()  # materialize once; multiple AQE stages consume it
-    if epsilon is None:
-        epsilon = derive_epsilon(covered)
+    try:
+        covered.count()  # materialize once; multiple AQE stages consume it
+        if epsilon is None:
+            epsilon = derive_epsilon(covered)
+        return _run_pipeline_body(spark, covered, out_dir, res, diameter_tol,
+                                  kernel, smooth, target_rows_per_task,
+                                  stage, epsilon)
+    finally:
+        # release even on failure: a foreachBatch loop calling
+        # run_pipeline per micro-batch would otherwise pin one cached
+        # frame per (failed) batch for the session's lifetime
+        covered.unpersist()
 
+
+def _check_run_params(out_dir: str, stage: str, **params) -> None:
+    """Resume safety: a stage's manifest prunes on (stage, cell) only,
+    so resuming into the same out_dir/stage with DIFFERENT parameters
+    (kernel, tolerance, res, ...) would silently keep tiles computed
+    under the old ones — or compare incommensurable cell ids across
+    resolutions.  The first run records its parameters; later runs
+    must match or use a fresh out_dir/stage."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(out_dir, f"_params_{stage}.json")
+    fp = _json.dumps(params, sort_keys=True)
+    if _os.path.exists(path):
+        prev = open(path).read()
+        if prev != fp:
+            raise ValueError(
+                f"run_pipeline: out_dir {out_dir!r} stage {stage!r} was "
+                f"written with different parameters {prev}; resuming with "
+                f"{fp} would mix results — use a new out_dir or stage")
+        return
+    _os.makedirs(out_dir, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(fp)
+
+
+def _run_pipeline_body(spark, covered, out_dir, res, diameter_tol, kernel,
+                       smooth, target_rows_per_task, stage, epsilon) -> dict:
     completed = MF.read_completed(spark, out_dir, stage)
     attempt = 0
     if completed is not None:
@@ -400,16 +441,29 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     # tiles and a driver-side collect would be the bottleneck)
     import time as _time
     new_data = spark.read.parquet(f"{out_dir}/data/stage={stage}/attempt={attempt}")
+    # counters are per-(cell, salt) SUBGROUP totals replicated onto each
+    # of the subgroup's rows: take one value per subgroup, then SUM the
+    # additive ones across salts (a plain per-cell max under-reported
+    # hot salted cells by all but the largest subgroup)
+    per_salt = (new_data.groupBy("cell", "salt")
+                .agg(F.count("*").alias("nf"),
+                     F.first("n_bend_reduced").alias("s_bend"),
+                     F.first("n_hole_del").alias("s_hole"),
+                     F.first("n_line_smooth").alias("s_smooth"),
+                     F.first("n_pass").alias("s_pass"),
+                     F.first("n_pol_del").alias("s_pol"),
+                     F.sum("n_in").alias("s_in"),
+                     F.sum("n_out").alias("s_out")))
     counters = F.to_json(F.struct(
-        F.max("n_bend_reduced").alias("n_bend_reduced"),
-        F.max("n_hole_del").alias("n_hole_del"),
-        F.max("n_line_smooth").alias("n_line_smooth"),
-        F.max("n_pass").alias("n_pass"),
-        F.max("n_pol_del").alias("n_pol_del"),
-        F.sum("n_in").alias("v_in"),
-        F.sum("n_out").alias("v_out")))
-    mdf = (new_data.groupBy("cell")
-           .agg(F.count("*").alias("n_features"), counters.alias("counters"))
+        F.sum("s_bend").alias("n_bend_reduced"),
+        F.sum("s_hole").alias("n_hole_del"),
+        F.sum("s_smooth").alias("n_line_smooth"),
+        F.max("s_pass").alias("n_pass"),
+        F.sum("s_pol").alias("n_pol_del"),
+        F.sum("s_in").alias("v_in"),
+        F.sum("s_out").alias("v_out")))
+    mdf = (per_salt.groupBy("cell")
+           .agg(F.sum("nf").alias("n_features"), counters.alias("counters"))
            .select(F.lit(stage).alias("stage"),
                    F.col("cell").alias("tile"),
                    F.lit(attempt).cast("int").alias("attempt"),
@@ -418,15 +472,12 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
                    F.lit(float(_time.time())).alias("ts")))
     MF.append_manifest(mdf, out_dir)
 
-    written = spark.read.option("basePath", f"{out_dir}/data").parquet(f"{out_dir}/data")
+    # stats for THIS stage only (out_dir may host several stages)
+    written = (spark.read.option("basePath", f"{out_dir}/data")
+               .parquet(f"{out_dir}/data/stage={stage}"))
     agg = written.agg(F.count("*").alias("geoms"),
                       F.countDistinct("cell").alias("tiles"),
                       F.sum("n_in").alias("v_in"),
                       F.sum("n_out").alias("v_out")).collect()[0]
-    # every consumer of the cached frame has run (kernel write, salting
-    # count, manifest); release it — a foreachBatch loop calling
-    # run_pipeline per micro-batch would otherwise pin one cached frame
-    # per batch for the session's lifetime
-    covered.unpersist()
     return {"geoms": agg["geoms"], "tiles": agg["tiles"],
             "v_in": int(agg["v_in"] or 0), "v_out": int(agg["v_out"] or 0)}

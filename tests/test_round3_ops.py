@@ -221,6 +221,37 @@ def test_cover_polygon_excludes_untouched_corner():
     assert len(cover) == 8  # 3x3 block minus the untouched corner
 
 
+def test_lang_id_cross_engine_on_multi_marker_text(spark, tmp_path):
+    """Adversarial lang-ID parity: texts where MULTIPLE markers of one
+    language hit (the shipped tables only ever hit one, which masked a
+    real divergence — Spark truncated the fractional SUM while the
+    oracle floored per word)."""
+    import duckdb
+    from geo_sim_processing_a_spark.plans.driver_queries import (
+        _sql_text_features, q_text_features)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat and dog",                      # two en markers
+                 "le chien et la porte et le chat",      # repeated fr markers
+                 "der hund und die katze und der ort",   # repeated de markers
+                 "nothing matching here xyz"],
+        "lang": ["en", "fr", "de", "en"],
+        "source": ["t"] * 4, "n_chars": [10] * 4,
+    })
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in q_text_features(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet/*.parquet'")
+    exp = {row[0]: row[1] for row in con.sql(_sql_text_features()).fetchall()}
+    assert got == exp, (got, exp)
+    assert got[1] == "en" and got[2] == "fr" and got[3] == "de"
+    assert got[4] == "und"
+
+
 def test_footprint_hole_scalar_vs_vectorized_parity():
     """The hole ring exists twice (scalar footprint_hole API and the
     vectorized columns inside synthesize_geoms_pdf); pin them to each
