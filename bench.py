@@ -23,10 +23,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def dram_probe() -> float:
+    """Measured DRAM bandwidth in GB/s (healthy host: ~10-35; throttle
+    episodes observed at 0.15-4 GB/s, NOTES_ROUND2/3)."""
+    import numpy as np
+    a = np.ones(30_000_000)
+    b = np.ones(30_000_000)
+    t0 = time.perf_counter()
+    a = a + b
+    return round(30_000_000 * 8 * 3 / 1e9 / (time.perf_counter() - t0), 2)
+
+
+# Official-artifact gate (VERDICT r3 #1): a bench captured during a host
+# DRAM-throttle episode is noise, not a measurement.  Below this probe
+# reading the run waits for a healthy window; if none arrives the output
+# is loudly annotated host_throttled=true so the artifact self-describes.
+HEALTHY_GBPS = 8.0
+
+
+def wait_for_healthy_host(max_wait_s: float = 180.0) -> tuple[float, bool]:
+    """Return (last probe reading, healthy?).  Retries inside max_wait_s."""
+    deadline = time.monotonic() + max_wait_s
+    g = dram_probe()
+    while g < HEALTHY_GBPS and time.monotonic() < deadline:
+        print(f"bench: host throttled (DRAM probe {g} GB/s < {HEALTHY_GBPS}); "
+              "waiting for a healthy window...", file=sys.stderr)
+        time.sleep(10)
+        g = dram_probe()
+    return g, g >= HEALTHY_GBPS
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+
+    probe_pre, healthy = wait_for_healthy_host()
+    if not healthy:
+        print(f"bench: WARNING — proceeding on a throttled host "
+              f"(probe {probe_pre} GB/s); artifact will carry "
+              "host_throttled=true", file=sys.stderr)
 
     from pyspark.sql import functions as F
 
@@ -116,16 +152,10 @@ def main():
 
     spark.stop()
 
-    # host-health telemetry: this box has external throttle episodes
-    # where DRAM bandwidth drops ~100x (healthy ~10-30 GB/s, observed
-    # 0.15 GB/s on an idle machine, round 3) — record the probe so a
-    # slow bench can be attributed to the host, not the code
-    import numpy as np
-    a = np.ones(30_000_000)
-    b = np.ones(30_000_000)
-    t0 = time.perf_counter()
-    a = a + b
-    dram_gbps = round(30_000_000 * 8 * 3 / 1e9 / (time.perf_counter() - t0), 2)
+    # host-health telemetry: pre-run probe gated the start; the post-run
+    # probe catches a throttle episode that began MID-run.  A clean
+    # official artifact has both >= HEALTHY_GBPS and host_throttled=false.
+    dram_gbps = dram_probe()
 
     print(json.dumps({
         "metric": "tiles_plus_geoms_per_sec",
@@ -137,7 +167,9 @@ def main():
                    "v_in": int(head["v_in"]), "v_out": int(head["v_out"]),
                    "n_line_smooth": int(smooth_row["n_line_smooth"] or 0),
                    "cpus": cpus, "n_pages": n_pages,
-                   "dram_gbps_probe": dram_gbps},
+                   "dram_gbps_probe": dram_gbps,
+                   "dram_gbps_probe_pre": probe_pre,
+                   "host_throttled": (not healthy) or dram_gbps < HEALTHY_GBPS},
     }))
 
 

@@ -33,7 +33,11 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     sort NULLS FIRST and act as an 'earliest prior' for everything);
     (3) several right rows at the SAME (key, time) are ordered by a
     hash of their values, so the winner is arbitrary-but-deterministic
-    across runs and partitionings."""
+    across runs and partitionings.  The hash is only computed for
+    right rows (for left rows it is a constant and to_json would be
+    per-row wasted work).  Determinism caveat: to_json has no
+    canonical key order for MAP-typed value columns — use struct or
+    primitive ``value_cols`` when tie order must be reproducible."""
     lt = F.col(left_time)
     vstruct_type = F.struct(*[F.col(c) for c in value_cols])
     l_tag = left.select(
@@ -52,7 +56,9 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     # strict:     right rows sort AFTER  left rows at equal _t (src 2>1)
     # _tie: deterministic order among right rows tied on (_k, _t)
     w = (Window.partitionBy("_k")
-         .orderBy("_t", "_src", F.xxhash64(F.to_json("_v")))
+         .orderBy("_t", "_src",
+                  F.when(F.col("_src") != 1, F.xxhash64(F.to_json("_v")))
+                  .otherwise(F.lit(0)))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = unioned.select(
         "_src", "_row",

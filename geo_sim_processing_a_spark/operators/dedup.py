@@ -119,7 +119,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 32,
                       bands: int = 8, shingle: int = 3,
                       threshold: float = 0.7,
-                      hot_key_cap: int | None = 1000) -> DataFrame:
+                      hot_key_cap: int | None = None) -> DataFrame:
     """Candidate pairs via banding, then EXACT Jaccard verification on
     the shingle-hash sets — returns (id_a, id_b, jaccard) with
     id_a < id_b, jaccard >= threshold.
@@ -128,13 +128,16 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     the verify stage joins the compact shingle-hash arrays (already
     computed once per doc by the signature kernel) and computes exact
     Jaccard with JVM-side array_intersect/array_union — raw text is
-    never shuffled and nothing is re-shingled per pair.  Band buckets
-    with more than ``hot_key_cap`` docs are dropped WITH a report
-    (operators/skew.py — the self-join is quadratic per bucket); pass
-    None to disable.  NOTE: the cap assumes exact-duplicate mass has
-    been collapsed first (a set of >cap byte-identical docs shares ALL
-    its band buckets and would lose its own pairs) — run
-    :func:`near_dup_clusters` or an exact_dedup pass upstream.
+    never shuffled and nothing is re-shingled per pair.  Capping is
+    OPT-IN on this raw pair API (default None — the documented
+    "all pairs with jaccard >= threshold" contract holds verbatim):
+    with ``hot_key_cap`` set, band buckets holding more docs are
+    dropped WITH a report (operators/skew.py — the self-join is
+    quadratic per bucket).  NOTE: the cap assumes exact-duplicate mass
+    has been collapsed first (a set of >cap byte-identical docs shares
+    ALL its band buckets and would lose its own pairs) —
+    :func:`near_dup_clusters` does that ordering for you and caps by
+    default.
     Signatures are local-checkpointed (computed once, reused by
     banding + both verify sides; blocks are reference-tracked and
     freed with the result — unlike persist(), nothing pins the cache
@@ -181,7 +184,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle: int = 3,
                         threshold: float = 0.7,
-                        hot_key_cap: int | None = 1000) -> DataFrame:
+                        hot_key_cap: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidates (alias of the verified
     MinHash path with enough bands to make recall ~1 at the
     threshold)."""
@@ -262,28 +265,43 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3,
-                  hot_key_cap: int | None = 1000,
+                  hot_key_cap: int | None = None,
                   allow_partial_recall: bool = False) -> DataFrame:
-    """Near-dup pairs by SimHash: 4x16-bit band join (pigeonhole:
-    guarantees candidate recall ONLY for Hamming<=3 — pairs differing
-    in >= 4 bits can put one differing bit in every band and share no
-    bucket), exact Hamming verify via bit_count.  ``max_hamming`` > 3
-    therefore RAISES unless ``allow_partial_recall=True`` (the output
-    would be a silently incomplete pair set).  Band buckets above
-    ``hot_key_cap`` docs are dropped with a report (skew.py)."""
+    """Near-dup pairs by SimHash: banded equi-join + exact Hamming
+    verify via bit_count.  The band scheme is picked from
+    ``max_hamming`` by pigeonhole (a pair differing in d bits shares at
+    least one untouched band iff bands > d):
+
+     - Hamming<=3: 4 bands x 16 bits (tightest buckets, fewest
+       candidates — the default),
+     - Hamming<=7: 8 bands x 8 bits (wider radius a real pipeline
+       often wants; buckets are coarser, so candidate volume rises and
+       the hot-key guard matters more).
+
+    ``max_hamming`` > 7 RAISES unless ``allow_partial_recall=True``
+    (the output would be a silently incomplete pair set).  Capping is
+    OPT-IN (default None keeps the complete pair set); with
+    ``hot_key_cap`` set, band buckets above it are dropped with a
+    report (skew.py)."""
     from .skew import frequency_cap
 
-    if max_hamming > 3 and not allow_partial_recall:
+    if max_hamming <= 3:
+        n_bands, band_bits = 4, 16
+    elif max_hamming <= 7 or allow_partial_recall:
+        n_bands, band_bits = 8, 8
+    else:
         raise ValueError(
-            f"simhash_pairs: max_hamming={max_hamming} exceeds the 4-band "
-            "recall guarantee (Hamming<=3); pass allow_partial_recall=True "
+            f"simhash_pairs: max_hamming={max_hamming} exceeds the 8-band "
+            "recall guarantee (Hamming<=7); pass allow_partial_recall=True "
             "to accept a best-effort candidate set, or use minhash_lsh_pairs")
 
     sigs = (simhash_signatures(_ensure_parallelism(docs), id_col, text_col)
             .localCheckpoint(eager=False))
+    mask = (1 << band_bits) - 1
     band_cols = [F.struct(F.lit(b).alias("band"),
-                          F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
-                 for b in range(4)]
+                          F.shiftright("simhash", band_bits * b)
+                          .bitwiseAND(F.lit(mask)).alias("bh"))
+                 for b in range(n_bands)]
     buckets = (sigs.select("doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb"))
                .select("doc_id", "simhash", F.col("bb.band").alias("band"),
                        F.col("bb.bh").alias("bh")))

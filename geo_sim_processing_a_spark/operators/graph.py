@@ -27,12 +27,27 @@ _LOG = logging.getLogger(__name__)
 
 
 def connected_components(edges: DataFrame, left: str = "id_a",
-                         right: str = "id_b", max_iter: int = 50) -> DataFrame:
+                         right: str = "id_b", max_iter: int = 50,
+                         checkpoint_every: int = 1,
+                         stats: dict | None = None) -> DataFrame:
     """(id, component) for every vertex appearing in ``edges``;
     ``component`` is the smallest vertex id reachable (undirected).
 
     Deterministic: labels are ids, propagation takes minima — no
-    iteration-order dependence, so the fixpoint is unique."""
+    iteration-order dependence, so the fixpoint is unique.
+
+    ``checkpoint_every``: localCheckpoint the label frame every k
+    rounds (default 1).  Each checkpoint truncates iterative lineage
+    (otherwise the plan doubles per round) at the cost of
+    materializing the labels; k>1 trades k rounds of plan growth for
+    fewer materializations — worthwhile when rounds are cheap relative
+    to the label frame's size.  The ``changed`` count still executes
+    every round, so skipped-checkpoint rounds re-run at most k-1
+    rounds of joins inside one plan.
+
+    ``stats``: optional dict; on return carries ``rounds`` (executed
+    propagation rounds) and ``converged`` — lets callers and tests
+    assert the O(log n) round bound of pointer jumping empirically."""
     e = edges.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     e = (e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
          .where(F.col("src") != F.col("dst"))
@@ -43,6 +58,10 @@ def connected_components(edges: DataFrame, left: str = "id_a",
               .withColumn("label", F.col("id"))
               .localCheckpoint(eager=False))
 
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    converged = False
+    rounds = 0
     for it in range(max_iter):
         # smallest label among each vertex's neighbors
         nbr_min = (e.join(labels.withColumnRenamed("id", "src"), "src")
@@ -59,17 +78,23 @@ def connected_components(edges: DataFrame, left: str = "id_a",
         new_labels = (cand.join(jump, "label", "left")
                       .select("id", F.least(
                           F.col("label"),
-                          F.coalesce("ll", F.col("label"))).alias("label"))
-                      .localCheckpoint(eager=False))
+                          F.coalesce("ll", F.col("label"))).alias("label")))
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
         changed = (new_labels.alias("n").join(labels.alias("o"), "id")
                    .where(F.col("n.label") != F.col("o.label")).count())
         labels = new_labels
+        rounds = it + 1
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         _LOG.warning("connected_components: not converged after %d rounds "
                      "(graph diameter exceeds max_iter); labels are an "
                      "upper bound on the true components", max_iter)
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select("id", F.col("label").alias("component"))
 
 

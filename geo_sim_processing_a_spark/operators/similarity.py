@@ -110,10 +110,20 @@ def ivf_build_assignments(vectors: DataFrame, dim: int, n_lists: int = 16,
 
     Returns (assigned DataFrame with ``list_id``, centroids ndarray).
     At 100 TB the assignment is one narrow map stage; the per-list
-    inverted file is just a partition-by-list_id write."""
+    inverted file is just a partition-by-list_id write.
+
+    The training sample is HASH-sampled (pmod(xxhash64(id), stride)==0)
+    rather than first-N-by-id: equally deterministic, but unbiased when
+    ids correlate with crawl segment / time (VERDICT r3 #4).  The
+    stride is derived from a footer-speed count(*) so the expected
+    sample size is ~sample_n regardless of table size."""
+    n_total = vectors.count()
+    stride = max(1, n_total // sample_n)
     sample = np.array(
-        [r[0] for r in vectors.select(vec_col).orderBy(id_col)
-         .limit(sample_n).collect()], dtype=np.float64)
+        [r[0] for r in vectors
+         .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+         .orderBy(id_col).limit(sample_n).select(vec_col)
+         .collect()], dtype=np.float64)
     cent = _kmeans_centroids(sample, n_lists, iters)
     cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
@@ -129,13 +139,15 @@ def ivf_build_assignments(vectors: DataFrame, dim: int, n_lists: int = 16,
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
              n_lists: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+             qid_col: str = "qid", qvec_col: str = "qvec",
+             sample_n: int = 2048) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     lists; exact cosine re-rank inside the probed lists only.  The
     probed-list join is an equi-join on list_id (shuffle on a tiny int
     key); only vectors in probed lists are scored — the brute-force
     crossJoin never happens."""
-    assigned, cent = ivf_build_assignments(vectors, dim, n_lists, id_col, vec_col)
+    assigned, cent = ivf_build_assignments(vectors, dim, n_lists, id_col,
+                                           vec_col, sample_n=sample_n)
     cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -161,14 +173,15 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
 def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_planes: int = 10,
-                      hot_key_cap: int | None = 1000) -> DataFrame:
+                      hot_key_cap: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: bucket by hyperplane sign
     signature, exact cosine within buckets (plus 1-bit-flip neighbor
     buckets for recall), threshold filter.  Returns (id_a, id_b, cos).
 
-    Buckets holding more than ``hot_key_cap`` vectors (a degenerate
-    embedding cluster, e.g. all-zero rows) are dropped from the
-    membership side WITH a report (operators/skew.py) — the bucket
+    Capping is OPT-IN (default None keeps the full candidate recall);
+    with ``hot_key_cap`` set, buckets holding more vectors (a
+    degenerate embedding cluster, e.g. all-zero rows) are dropped from
+    the membership side WITH a report (operators/skew.py) — the bucket
     join is quadratic per bucket; members of a dropped bucket can
     still be recalled as ``id_a`` through their other probes."""
     from .skew import frequency_cap

@@ -40,24 +40,38 @@ MAX_DRIVER_HOT_KEYS = 10_000
 
 def frequency_cap(buckets: DataFrame, key_cols: Sequence[str], cap: int,
                   label: str,
-                  log_fn: Optional[Callable[[str], None]] = None) -> DataFrame:
+                  log_fn: Optional[Callable[[str], None]] = None,
+                  eager: bool = True) -> DataFrame:
     """Drop all rows of join keys occurring in more than ``cap`` rows,
     reporting the drop.  Returns the filtered frame (same schema).
 
-    The hot-key set is evaluated eagerly.  In the expected case it is
-    small (above-cap keys are rare) and is collected and rebuilt as a
-    literal broadcast frame — ONE aggregation pass total, where
+    With ``eager=True`` (default) the hot-key set is evaluated AT CALL
+    TIME — merely constructing a plan through this function runs the
+    count job plus whatever computes ``buckets`` (callers checkpoint
+    their signature frames for this reason).  In the expected case the
+    set is small (above-cap keys are rare) and is collected and rebuilt
+    as a literal broadcast frame — ONE aggregation pass total, where
     embedding the lazy plan would re-run the full count() when the
     caller's action executes.  A degenerate input with more than
     ``MAX_DRIVER_HOT_KEYS`` hot keys falls back to the distributed
     anti-join (the count aggregation runs twice, but nothing unbounded
     ever reaches the driver).
+
+    ``eager=False`` is the plan-only variant (ADVICE r3): no job runs
+    until the caller's action — the hot-key filter is embedded as a
+    distributed broadcast anti-join, the bucket rows are counted twice
+    at execution, and NO drop report can be logged (the counts aren't
+    known driver-side).  Use it when composing plans that may never
+    execute (plan dumps, speculative pipelines).
     """
     if cap <= 0:
         raise ValueError(f"hot-key cap must be positive, got {cap}")
     key_cols = list(key_cols)
     counts = buckets.groupBy(*key_cols).count()
     hot = counts.where(F.col("count") > cap)
+    if not eager:
+        return buckets.join(F.broadcast(hot.select(*key_cols)),
+                            key_cols, "left_anti")
     hot_rows = hot.limit(MAX_DRIVER_HOT_KEYS + 1).collect()
     if not hot_rows:
         return buckets

@@ -151,14 +151,15 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
 def winnow_near_dup_pairs(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 8, w: int = 16,
                           min_shared: int = 3,
-                          hot_key_cap: int | None = 1000) -> DataFrame:
+                          hot_key_cap: int | None = None) -> DataFrame:
     """Near-dup pairs by shared winnowing fingerprints: explode ->
     equi-join on the fingerprint value (candidates only, never
-    all-pairs) -> count shared fingerprints per pair.  Fingerprints
-    shared by more than ``hot_key_cap`` docs (boilerplate) are dropped
-    with a report (operators/skew.py) — the self-join is quadratic per
-    fingerprint; a dropped pair loses at most ``hot_key_cap``-hot
-    fingerprints from its n_shared count."""
+    all-pairs) -> count shared fingerprints per pair.  Capping is
+    OPT-IN (default None keeps the exact n_shared counts); with
+    ``hot_key_cap`` set, fingerprints shared by more docs (boilerplate)
+    are dropped with a report (operators/skew.py) — the self-join is
+    quadratic per fingerprint; a dropped pair loses at most
+    ``hot_key_cap``-hot fingerprints from its n_shared count."""
     from .dedup import _ensure_parallelism
     from .skew import frequency_cap
 

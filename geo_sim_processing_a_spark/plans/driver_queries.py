@@ -221,26 +221,23 @@ def q_hypertable_rollup(spark, sf_dir):
     aggregate over events, materialized per-bucket with dynamic
     partition overwrite; the READ-BACK materialization is what gets
     hash-compared to the direct SQL aggregate."""
+    import atexit
     import shutil
     import tempfile
     from ..operators.hypertable import read_rollup, refresh
     e = _t(spark, sf_dir, "events")
     # local-mode scratch: the operator itself takes a caller-provided
-    # shared out_dir on a real cluster; this QUERY wrapper materializes
-    # the read-back eagerly and removes its scratch (no /tmp leak per
-    # invocation)
+    # shared out_dir on a real cluster.  The read-back is returned LAZY
+    # (no toPandas driver round-trip — on a 100 TB event table the
+    # bucket x type cardinality is unbounded); scratch is reclaimed at
+    # interpreter exit instead of before return (VERDICT r3 #1).
     out = tempfile.mkdtemp(prefix="rollup_q_")
-    try:
-        refresh(spark, e, out, time_col="ts", bucket="hour")
-        result = (read_rollup(spark, out)
-                  .select(F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
-                          "event_type", "n_events", "total_value", "avg_value")
-                  .orderBy("bucket", "event_type"))
-        pdf = result.toPandas()
-        schema = result.schema
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
-    return spark.createDataFrame(pdf, schema).orderBy("bucket", "event_type")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    refresh(spark, e, out, time_col="ts", bucket="hour")
+    return (read_rollup(spark, out)
+            .select(F.date_format("bucket", "yyyy-MM-dd HH:00:00").alias("bucket"),
+                    "event_type", "n_events", "total_value", "avg_value")
+            .orderBy("bucket", "event_type"))
 
 
 SQL_HYPERTABLE_ROLLUP = """
@@ -458,7 +455,9 @@ def q_winnow_near_dup(spark, sf_dir):
     # k=16/w=32 so the short-word synthetic vocabulary doesn't produce
     # indiscriminate k-gram collisions (k=8 matched 36k pairs; these
     # params match the MinHash near-dup scale on the same table)
-    return (winnow_near_dup_pairs(d, k=16, w=32, min_shared=8)
+    return (winnow_near_dup_pairs(d, k=16, w=32, min_shared=8,
+                                  hot_key_cap=1000)  # guard ON in the
+            # driver/bench path (raw API default is now opt-in)
             .orderBy("id_a", "id_b"))
 
 
@@ -633,7 +632,12 @@ def q_knn(spark, sf_dir):
     # ring-1, so res only trades performance.  Conservative density
     # rule: ~2x margin between the expected k-th-neighbor distance and
     # the cell size.  Few cells at coarse res -> salt the query side.
-    n = pts.count()
+    # n is a STATISTICS estimate, not a full count job (VERDICT r3 #3):
+    # count(*) on the bare parquet table decodes no columns (footer-speed)
+    # and the pid % 8 == 0 predicate keeps exactly 1/8 of dense int keys.
+    # res only needs order-of-magnitude n (it shifts every 4x), so the
+    # estimate's rounding can never change correctness, only grouping.
+    n = _t(spark, sf_dir, "orders").count() // 8
     res = max(2, min(8, int(math.log2(0.9 * math.sqrt(max(n, 1))))))
     salts = 8 if res <= 3 else 1
     return (knn_join(pts, k=5, res=res, n_query_salts=salts)
@@ -819,7 +823,7 @@ def q_chordal_triangles(spark, sf_dir):
 def q_minhash_near_dup(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_pairs
     d = _t(spark, sf_dir, "documents")
-    return (minhash_lsh_pairs(d, threshold=0.5)
+    return (minhash_lsh_pairs(d, threshold=0.5, hot_key_cap=1000)
             .orderBy("id_a", "id_b"))
 
 
@@ -829,7 +833,8 @@ def q_simhash_near_dup(spark, sf_dir):
     pairs with one differing bit per band share no bucket)."""
     from ..operators.dedup import simhash_pairs
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=3).orderBy("id_a", "id_b")
+    return (simhash_pairs(d, max_hamming=3, hot_key_cap=1000)
+            .orderBy("id_a", "id_b"))
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -846,7 +851,8 @@ def q_embedding_near_dup(spark, sf_dir):
                        F.transform("embedding",
                                    lambda v: (v * F.lit(1.001)).cast("float"))
                        .alias("embedding")))
-    return (lsh_self_near_dup(emb.unionByName(planted), dim, threshold=0.9)
+    return (lsh_self_near_dup(emb.unionByName(planted), dim, threshold=0.9,
+                              hot_key_cap=1000)
             .orderBy("id_a", "id_b"))
 
 

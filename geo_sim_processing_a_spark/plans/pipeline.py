@@ -365,10 +365,6 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     data-dependent epsilon from the global bbox of the actual inputs
     (one agg pass, R1); the default pins WORLD_EPS because the
     synthetic geocoder's domain IS the full lon/lat plane."""
-    _check_run_params(out_dir, stage, res=res, diameter_tol=diameter_tol,
-                      kernel=kernel, smooth=smooth,
-                      epsilon=None if epsilon is None
-                      else [epsilon.zero_relative, epsilon.zero_absolute])
     deduped = pages.dropDuplicates(["url"])
     # persisted: reused by the salting count pass and the kernel stage
     # (S4 — the reference's in-memory temp layers, SURVEY.md §2.1)
@@ -377,6 +373,13 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
         covered.count()  # materialize once; multiple AQE stages consume it
         if epsilon is None:
             epsilon = derive_epsilon(covered)
+        # params are checked AFTER epsilon resolution so the recorded
+        # fingerprint carries the RESOLVED values — a first run with an
+        # explicit epsilon equal to the derived one no longer mismatches
+        # a later epsilon=None resume (ADVICE r3)
+        _check_run_params(out_dir, stage, res=res, diameter_tol=diameter_tol,
+                          kernel=kernel, smooth=smooth,
+                          epsilon=[epsilon.zero_relative, epsilon.zero_absolute])
         return _run_pipeline_body(spark, covered, out_dir, res, diameter_tol,
                                   kernel, smooth, target_rows_per_task,
                                   stage, epsilon)
@@ -393,22 +396,43 @@ def _check_run_params(out_dir: str, stage: str, **params) -> None:
     (kernel, tolerance, res, ...) would silently keep tiles computed
     under the old ones — or compare incommensurable cell ids across
     resolutions.  The first run records its parameters; later runs
-    must match or use a fresh out_dir/stage."""
+    must match or use a fresh out_dir/stage.
+
+    The params file is created with O_CREAT|O_EXCL and re-read on
+    EEXIST (ADVICE r3): two concurrent first runs into the same
+    out_dir/stage race to create it, exactly one wins, the loser
+    compares against the winner's fingerprint.  Uses driver-local file
+    IO, so non-local out_dir schemes RAISE explicitly rather than
+    silently skipping the check (manifest reads themselves go through
+    the Hadoop FS API and do support remote schemes)."""
     import json as _json
     import os as _os
 
-    path = _os.path.join(out_dir, f"_params_{stage}.json")
+    scheme = out_dir.split("://", 1)[0] if "://" in out_dir else ""
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"run_pipeline: the run-parameter guard uses driver-local file "
+            f"IO and does not support out_dir scheme {scheme!r}; mount the "
+            f"checkpoint dir locally or extend _check_run_params with "
+            f"Hadoop FS atomic-create before using {out_dir!r}")
+    local_dir = out_dir[len("file://"):] if scheme == "file" else out_dir
+    path = _os.path.join(local_dir, f"_params_{stage}.json")
     fp = _json.dumps(params, sort_keys=True)
-    if _os.path.exists(path):
-        prev = open(path).read()
+
+    def _verify(prev: str) -> None:
         if prev != fp:
             raise ValueError(
                 f"run_pipeline: out_dir {out_dir!r} stage {stage!r} was "
                 f"written with different parameters {prev}; resuming with "
                 f"{fp} would mix results — use a new out_dir or stage")
+
+    _os.makedirs(local_dir, exist_ok=True)
+    try:
+        fd = _os.open(path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY, 0o644)
+    except FileExistsError:
+        _verify(open(path).read())
         return
-    _os.makedirs(out_dir, exist_ok=True)
-    with open(path, "w") as f:
+    with _os.fdopen(fd, "w") as f:
         f.write(fp)
 
 

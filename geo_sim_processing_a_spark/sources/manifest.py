@@ -33,13 +33,24 @@ def manifest_path(base_dir: str) -> str:
     return os.path.join(base_dir, "_manifest")
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence via the Hadoop FileSystem API, so resume works for ANY
+    out_dir scheme Spark can write (hdfs://, s3a://, file:, bare local
+    paths).  A driver-local os.path.exists would return False for every
+    remote URI and silently discard all resume state (ADVICE r3)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def read_completed(spark: SparkSession, base_dir: str, stage: str) -> DataFrame | None:
     """None means 'no manifest yet' — ONLY the path-missing case.  A
     manifest that exists but cannot be read (corrupt file, transient FS
     error) RAISES: silently returning None would discard all resume
     state and re-run every tile on top of the masked error."""
     path = manifest_path(base_dir)
-    if not os.path.exists(path):
+    if not fs_exists(spark, path):
         return None
     mf = spark.read.parquet(path)
     return (mf.where(F.col("stage") == stage)

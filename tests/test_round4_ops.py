@@ -1,0 +1,215 @@
+"""Round-4 behaviors: wider SimHash radius (8x8-bit bands, Hamming<=7),
+hash-sampled IVF quantizer (no first-N-by-id bias), connected-components
+checkpoint cadence + empirical O(log n) round bound, run-params race
+hardening, and the lazy frequency_cap variant."""
+
+import math
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 8-band scheme recalls ALL pairs to Hamming<=7 (pigeonhole)
+# ---------------------------------------------------------------------------
+
+def _perturbed_docs(n_base=40, n_tokens=60):
+    """Deterministic corpus: base docs plus token-perturbed variants, so
+    planted pairs land at a spread of small SimHash Hamming distances."""
+    docs = []
+    did = 0
+    for b in range(n_base):
+        base_toks = [f"b{b}w{j}" for j in range(n_tokens)]
+        docs.append((did, " ".join(base_toks))); did += 1
+        for n_swap in (1, 2, 3, 4):
+            toks = list(base_toks)
+            for s in range(n_swap):
+                toks[(7 * s + b) % n_tokens] = f"alt{b}x{s}"
+            docs.append((did, " ".join(toks))); did += 1
+    return docs
+
+
+def test_simhash_8band_complete_to_hamming7(spark):
+    from geo_sim_processing_a_spark.operators.dedup import (
+        simhash_pairs, simhash_signatures)
+
+    docs = _perturbed_docs()
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]),
+                               "doc_id long, text string")
+    # ground truth: brute-force Hamming over the collected signatures
+    sigs = {r["doc_id"]: np.uint64(r["simhash"] & 0xFFFFFFFFFFFFFFFF)
+            for r in simhash_signatures(df).collect()}
+    ids = sorted(sigs)
+    truth7, truth3 = set(), set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(int(sigs[a]) ^ int(sigs[b])).count("1")
+            if h <= 7:
+                truth7.add((a, b))
+            if h <= 3:
+                truth3.add((a, b))
+    assert truth7 - truth3, "corpus must include planted Hamming 4-7 pairs"
+    # spread evidence: at least one pair in the 5-7 range the 4-band
+    # scheme cannot guarantee
+    assert any(bin(int(sigs[a]) ^ int(sigs[b])).count("1") >= 5
+               for a, b in truth7 - truth3)
+
+    got7 = {(r["id_a"], r["id_b"])
+            for r in simhash_pairs(df, max_hamming=7).collect()}
+    assert got7 == truth7  # COMPLETE recall to radius 7 (8-band pigeonhole)
+
+    got3 = {(r["id_a"], r["id_b"])
+            for r in simhash_pairs(df, max_hamming=3).collect()}
+    assert got3 == truth3  # the 4x16 default scheme is untouched
+
+
+def test_simhash_raises_beyond_8band_guarantee(spark):
+    from geo_sim_processing_a_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}),
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="Hamming<=7"):
+        simhash_pairs(df, max_hamming=8)
+    # explicit opt-in to partial recall still constructs
+    simhash_pairs(df, max_hamming=8, allow_partial_recall=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF quantizer: hash-sampled training set is unbiased under id-ordered
+# cluster structure (first-N-by-id would train on ONE cluster only)
+# ---------------------------------------------------------------------------
+
+def test_ivf_recall_survives_id_ordered_clusters(spark):
+    from geo_sim_processing_a_spark.operators.similarity import (
+        brute_topk, ivf_topk)
+
+    # ids strictly ordered by cluster: the first sample_n ids all belong
+    # to cluster 0 (the exact crawl-segment correlation VERDICT r3 #4
+    # warned about); hash sampling must still see every cluster
+    rng_dim, per_cluster, n_clusters, sample_n = 16, 256, 8, 128
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        base = np.zeros(rng_dim); base[c % rng_dim] = 1.0; base[(c + 3) % rng_dim] = 0.5
+        for i in range(per_cluster):
+            jit = base + 0.01 * np.array(
+                [((vid * 2654435761 + j * 40503) % 1000) / 1000.0 - 0.5
+                 for j in range(rng_dim)])
+            rows.append((vid, [float(x) for x in jit])); vid += 1
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+                                "vec_id long, embedding array<float>")
+    queries = (emb.where(F.col("vec_id") % 64 == 0)
+               .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")))
+    exact = {(r["qid"], r["vec_id"])
+             for r in brute_topk(emb, queries, k=5).collect()}
+    approx = {(r["qid"], r["vec_id"])
+              for r in ivf_topk(emb, queries, k=5, dim=rng_dim, n_lists=8,
+                                nprobe=2, sample_n=sample_n).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall} under id-ordered clusters"
+
+
+# ---------------------------------------------------------------------------
+# connected components: cadence + empirical O(log n) rounds on a 1k path
+# ---------------------------------------------------------------------------
+
+def test_cc_1k_path_logarithmic_rounds(spark):
+    from geo_sim_processing_a_spark.operators.graph import connected_components
+
+    n = 1024  # diameter 1023: plain hash-min propagation would need
+    # ~1023 rounds and fail max_iter=50 — pointer jumping must not
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": np.arange(1, n), "id_b": np.arange(0, n - 1)}),
+        "id_a long, id_b long")
+    stats = {}
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges, max_iter=50,
+                                         checkpoint_every=2,
+                                         stats=stats).collect()}
+    assert len(got) == n and set(got.values()) == {0}
+    assert stats["converged"]
+    bound = 2 * math.log2(n) + 4
+    assert stats["rounds"] <= bound, (stats, bound)
+
+
+def test_cc_checkpoint_every_validation(spark):
+    from geo_sim_processing_a_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(pd.DataFrame({"id_a": [1], "id_b": [2]}),
+                                  "id_a long, id_b long")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        connected_components(edges, checkpoint_every=0)
+
+
+# ---------------------------------------------------------------------------
+# run-params guard: O_EXCL create, EEXIST verify, non-local scheme raises
+# ---------------------------------------------------------------------------
+
+def test_check_run_params_excl_and_mismatch(tmp_path):
+    from geo_sim_processing_a_spark.plans.pipeline import _check_run_params
+
+    out = str(tmp_path / "run")
+    _check_run_params(out, "s1", res=6, tol=0.004)
+    # identical params: fine (the EEXIST re-read path)
+    _check_run_params(out, "s1", res=6, tol=0.004)
+    with pytest.raises(ValueError, match="different parameters"):
+        _check_run_params(out, "s1", res=7, tol=0.004)
+    # a different stage is independent
+    _check_run_params(out, "s2", res=7, tol=0.004)
+    # file: scheme maps to the same local path
+    _check_run_params(f"file://{out}", "s1", res=6, tol=0.004)
+
+
+def test_check_run_params_rejects_remote_scheme(tmp_path):
+    from geo_sim_processing_a_spark.plans.pipeline import _check_run_params
+
+    with pytest.raises(NotImplementedError, match="s3a"):
+        _check_run_params("s3a://bucket/run", "s1", res=6)
+
+
+def test_fs_exists_local(spark, tmp_path):
+    from geo_sim_processing_a_spark.sources.manifest import fs_exists
+
+    p = tmp_path / "x"
+    assert not fs_exists(spark, str(p))
+    p.mkdir()
+    assert fs_exists(spark, str(p))
+    assert fs_exists(spark, f"file://{p}")
+
+
+# ---------------------------------------------------------------------------
+# frequency_cap: lazy variant drops the same rows without a call-time job
+# ---------------------------------------------------------------------------
+
+def test_frequency_cap_lazy_matches_eager(spark):
+    from geo_sim_processing_a_spark.operators.skew import frequency_cap
+
+    pdf = pd.DataFrame({"doc_id": list(range(500)) + [9001, 9002, 9003],
+                        "fp": [42] * 500 + [7, 7, 9]})
+    df = spark.createDataFrame(pdf, "doc_id long, fp long")
+    eager = {(r["doc_id"], r["fp"])
+             for r in frequency_cap(df, ["fp"], cap=100, label="t").collect()}
+    lazy = {(r["doc_id"], r["fp"])
+            for r in frequency_cap(df, ["fp"], cap=100, label="t",
+                                   eager=False).collect()}
+    assert eager == lazy == {(9001, 7), (9002, 7), (9003, 9)}
+
+
+# ---------------------------------------------------------------------------
+# raw pair APIs: capping is opt-in (contract holds verbatim by default)
+# ---------------------------------------------------------------------------
+
+def test_minhash_default_uncapped_keeps_hot_pairs(spark):
+    """300 exact duplicates: the default (no cap) returns their pairs —
+    the documented contract; capping is what near_dup_clusters adds."""
+    from geo_sim_processing_a_spark.operators.dedup import minhash_lsh_pairs
+
+    same = "identical text body for every row " * 3
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(60), "text": [same] * 60}),
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, threshold=0.9).count()
+    assert pairs == 60 * 59 // 2
