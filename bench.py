@@ -41,15 +41,25 @@ def dram_probe() -> float:
 HEALTHY_GBPS = 8.0
 
 
-def wait_for_healthy_host(max_wait_s: float = 180.0) -> tuple[float, bool]:
-    """Return (last probe reading, healthy?).  Retries inside max_wait_s."""
+def wait_for_healthy_host(max_wait_s: float | None = None) -> tuple[float, bool]:
+    """Return (last probe reading, healthy?).  Retries inside max_wait_s
+    (env SPARK_GRAFT_BENCH_MAX_WAIT, default 180 s); requires TWO
+    consecutive healthy probes so a single flap doesn't green-light a
+    run that starts mid-throttle."""
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "180"))
     deadline = time.monotonic() + max_wait_s
-    g = dram_probe()
-    while g < HEALTHY_GBPS and time.monotonic() < deadline:
-        print(f"bench: host throttled (DRAM probe {g} GB/s < {HEALTHY_GBPS}); "
-              "waiting for a healthy window...", file=sys.stderr)
-        time.sleep(10)
+    streak, g = 0, 0.0
+    while time.monotonic() < deadline:
         g = dram_probe()
+        streak = streak + 1 if g >= HEALTHY_GBPS else 0
+        if streak >= 2:
+            return g, True
+        if streak == 0:
+            print(f"bench: host throttled (DRAM probe {g} GB/s < "
+                  f"{HEALTHY_GBPS}); waiting for a healthy window...",
+                  file=sys.stderr)
+        time.sleep(10)
     return g, g >= HEALTHY_GBPS
 
 

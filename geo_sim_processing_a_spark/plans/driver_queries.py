@@ -837,6 +837,17 @@ def q_simhash_near_dup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_simhash_near_dup7(spark, sf_dir):
+    """Wider-radius variant: the 8x8-bit band scheme whose pigeonhole
+    recall guarantee extends to Hamming<=7 — the radius a real
+    dedup pipeline typically wants (round-3 VERDICT #5).  Output is a
+    superset of q_simhash_near_dup on the same table."""
+    from ..operators.dedup import simhash_pairs
+    d = _t(spark, sf_dir, "documents")
+    return (simhash_pairs(d, max_hamming=7, hot_key_cap=1000)
+            .orderBy("id_a", "id_b"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Near-duplicate embedding pairs.  Deterministic near-dups are
     PLANTED (every 97th vector gets a scaled twin at vec_id+10^7, same
@@ -945,6 +956,7 @@ def all_queries():
         "q_chordal_triangles": q_chordal_triangles,
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_near_dup": q_simhash_near_dup,
+        "q_simhash_near_dup7": q_simhash_near_dup7,
         "q_winnow_near_dup": q_winnow_near_dup,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_ivf_topk": q_ivf_topk,

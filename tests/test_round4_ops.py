@@ -213,3 +213,41 @@ def test_minhash_default_uncapped_keeps_hot_pairs(spark):
         "doc_id long, text string")
     pairs = minhash_lsh_pairs(df, threshold=0.9).count()
     assert pairs == 60 * 59 // 2
+
+
+# ---------------------------------------------------------------------------
+# end-to-end boilerplate skew: 20% of the real documents table shares one
+# boilerplate paragraph; the guarded pipeline stays bounded, reports its
+# drops, and still clusters planted TRUE near-dup pairs (VERDICT r3 #6;
+# the sf0.1 measurement lives in tools/boilerplate_skew_proof.py + notes)
+# ---------------------------------------------------------------------------
+
+def test_near_dup_clusters_boilerplate_20pct_documents(spark, caplog):
+    import logging
+
+    from geo_sim_processing_a_spark.operators.dedup import near_dup_clusters
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip("testdata not present")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    boiler = " ".join(f"boilerplate legal footer token{i} all rights reserved"
+                      for i in range(30))
+    docs = docs.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.lit(boiler + " "), F.col("text")))
+        .otherwise(F.col("text")))
+    twins = (docs.where(F.col("doc_id") % 97 == 0)
+             .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" twinsuffix")).alias("text")))
+    expected = [int(r["doc_id"]) for r in
+                docs.where(F.col("doc_id") % 97 == 0).select("doc_id").collect()]
+    with caplog.at_level(logging.WARNING,
+                         logger="geo_sim_processing_a_spark.operators.skew"):
+        cmap = {r["doc_id"]: r["cluster_id"]
+                for r in near_dup_clusters(docs.unionByName(twins),
+                                           threshold=0.5,
+                                           hot_key_cap=20).collect()}
+    assert any("hot-key guard" in r.message for r in caplog.records)
+    for a in expected:
+        assert cmap[a] == cmap[a + 10_000_000], a
