@@ -70,6 +70,12 @@ def main():
 
     probe_pre, healthy = wait_for_healthy_host()
     if not healthy:
+        if os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_HEALTHY"):
+            print(f"bench: REFUSING official run — no healthy window "
+                  f"inside the wait budget (last probe {probe_pre} GB/s); "
+                  "set SPARK_GRAFT_BENCH_REQUIRE_HEALTHY= to force an "
+                  "annotated run", file=sys.stderr)
+            sys.exit(3)
         print(f"bench: WARNING — proceeding on a throttled host "
               f"(probe {probe_pre} GB/s); artifact will carry "
               "host_throttled=true", file=sys.stderr)
