@@ -1,0 +1,54 @@
+"""Deterministic, engine-portable sampling and train/valid/test
+splitting for corpus curation.
+
+The bucket is the integer value of the first ``nibbles`` hex characters
+of md5 of the row content — byte-identical in every engine with an
+md5-hex function (Spark, DuckDB, Trino, BigQuery), so a 100-TB split is
+reproducible across systems, stable under repartitioning (it is
+content-addressed, not position- or RNG-based), and needs no shuffle:
+the bucket is a narrow scalar expression evaluated inside the scan
+stage with whole-stage codegen (no UDF, no exchange).
+
+Contrast with ``DataFrame.sample``: Spark's sampler is seeded per
+partition, so the selected rows CHANGE whenever the partitioning does —
+unusable for a durable held-out set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_bucket(col: Column, nibbles: int = 3) -> Column:
+    """Integer in [0, 16**nibbles) from the first ``nibbles`` hex chars
+    of md5(utf-8 bytes of ``col``).  DuckDB twin:
+    ``('0x' || substr(md5(x), 1, nibbles))::UBIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, nibbles),
+                  16, 10).cast("long")
+
+
+def deterministic_sample(df: DataFrame, col: str, frac: float,
+                         nibbles: int = 3) -> DataFrame:
+    """Keep ~``frac`` of rows, chosen by content hash of ``col``.
+    Exact membership is a pure function of the row content."""
+    buckets = 16 ** nibbles
+    return df.where(md5_bucket(F.col(col), nibbles) < int(buckets * frac))
+
+
+def deterministic_split(df: DataFrame, col: str = "text",
+                        test_frac: float = 0.1, valid_frac: float = 0.1,
+                        nibbles: int = 3,
+                        out_col: str = "split") -> DataFrame:
+    """Adds ``out_col`` in {'test','valid','train'} — a durable
+    content-addressed split (identical rows always land in the same
+    split, on any engine, at any scale)."""
+    buckets = 16 ** nibbles
+    n_test = int(buckets * test_frac)
+    n_valid = int(buckets * valid_frac)
+    b = md5_bucket(F.col(col), nibbles)
+    return df.withColumn(
+        out_col,
+        F.when(b < n_test, F.lit("test"))
+         .when(b < n_test + n_valid, F.lit("valid"))
+         .otherwise(F.lit("train")))

@@ -183,3 +183,32 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("n_tokens", token_count(c))
             .withColumn("quality", quality_score(c))
             .withColumn("fp", fingerprint(c)))
+
+
+def word_ngrams(col: Column, n: int, sep: str = " ") -> Column:
+    """Array of space-joined word n-grams, fully JVM-side
+    (split -> transform(sequence) -> slice -> concat_ws; no UDF, stays
+    inside whole-stage codegen).  Tokenization is a literal split on
+    ``sep`` so the DuckDB ``string_split`` twin is byte-identical.
+    Docs with fewer than ``n`` tokens yield an empty array."""
+    toks = F.split(col, F.lit(sep).cast("string"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # short docs: F.sequence(1, k) with k < 1 would DESCEND; guard with
+    # a lazily-evaluated branch (CASE WHEN short-circuits per row)
+    return F.when(F.size(toks) >= n, grams).otherwise(F.slice(toks, 1, 0))
+
+
+def ngram_topk(docs: DataFrame, n: int = 3, k: int = 50,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k word n-grams with counts (vocab building,
+    benchmark-contamination checks, boilerplate discovery).
+
+    Scale shape: explode is pipelined inside the scan stage, the only
+    shuffle is ONE partial+final hash-agg on the gram, and the top-k is
+    TakeOrdered (per-partition partial top-k, never a full sort).
+    Deterministic tie-break: count desc, gram asc."""
+    g = docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    return (g.groupBy("gram").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("gram")).limit(k))

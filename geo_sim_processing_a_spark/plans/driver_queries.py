@@ -265,6 +265,52 @@ FROM documents GROUP BY lang, source ORDER BY lang, source
 """
 
 
+def q_ngram_topk(spark, sf_dir):
+    """Corpus top-50 word trigrams (vocab/contamination/boilerplate
+    statistics; operators/text.py ngram_topk).  Explode is pipelined in
+    the scan stage; the only shuffle is one partial+final hash-agg on
+    the gram; top-k is TakeOrdered, never a full sort."""
+    from ..operators.text import ngram_topk
+    return ngram_topk(_t(spark, sf_dir, "documents"), n=3, k=50)
+
+
+SQL_NGRAM_TOPK = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT array_to_string(t[i:i+2], ' ') AS gram
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+)
+SELECT gram, count(*) AS n FROM grams
+GROUP BY gram ORDER BY n DESC, gram LIMIT 50
+"""
+
+
+def q_doc_split(spark, sf_dir):
+    """Deterministic content-addressed train/valid/test split counts
+    per language (operators/sampling.py).  The split is a pure function
+    of md5(text) — reproducible on any engine at any scale, stable
+    under repartitioning, no shuffle beyond the final tiny agg."""
+    from ..operators.sampling import deterministic_split
+    d = deterministic_split(_t(spark, sf_dir, "documents"))
+    return (d.groupBy("split", "lang")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("n_chars"), 6).alias("avg_chars"))
+            .orderBy("split", "lang"))
+
+
+SQL_DOC_SPLIT = """
+WITH b AS (SELECT lang, n_chars,
+                  ('0x' || substr(md5(text), 1, 3))::UBIGINT AS bucket
+           FROM documents)
+SELECT CASE WHEN bucket < 409 THEN 'test'
+            WHEN bucket < 818 THEN 'valid'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+FROM b GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
 def q_rollup_revenue(spark, sf_dir):
     """ROLLUP aggregate (multi-level totals in one pass — the engine
     surface for hierarchical rollups).  Group keys are coalesced to a
@@ -936,6 +982,8 @@ def all_queries():
         "q_customers_without_orders": q_customers_without_orders,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_lang_dist": q_lang_dist,
+        "q_ngram_topk": q_ngram_topk,
+        "q_doc_split": q_doc_split,
         "q_dedup_exact": q_dedup_exact,
         "q_fingerprint": q_fingerprint,
         "q_token_stats": q_token_stats,
@@ -982,6 +1030,8 @@ def all_oracles():
         "q_customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "q_hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
         "q_lang_dist": SQL_LANG_DIST,
+        "q_ngram_topk": SQL_NGRAM_TOPK,
+        "q_doc_split": SQL_DOC_SPLIT,
         "q_dedup_exact": SQL_DEDUP_EXACT,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_token_stats": SQL_TOKEN_STATS,

@@ -251,3 +251,51 @@ def test_near_dup_clusters_boilerplate_20pct_documents(spark, caplog):
     assert any("hot-key guard" in r.message for r in caplog.records)
     for a in expected:
         assert cmap[a] == cmap[a + 10_000_000], a
+
+
+# ---------------------------------------------------------------------------
+# n-gram corpus stats + deterministic content-addressed sampling/split
+# ---------------------------------------------------------------------------
+
+def test_word_ngrams_edges(spark):
+    from geo_sim_processing_a_spark.operators.text import word_ngrams
+    df = spark.createDataFrame(
+        [("",), ("a",), ("a b",), ("a b c",), ("a b c d",)], ["text"])
+    rows = df.select(F.col("text"),
+                     word_ngrams(F.col("text"), 3).alias("g")).collect()
+    got = {r["text"]: r["g"] for r in rows}
+    assert got[""] == [] and got["a"] == [] and got["a b"] == []
+    assert got["a b c"] == ["a b c"]
+    assert got["a b c d"] == ["a b c", "b c d"]
+
+
+def test_ngram_topk_counts_and_tiebreak(spark):
+    from geo_sim_processing_a_spark.operators.text import ngram_topk
+    df = spark.createDataFrame(
+        [("x y z x y z",), ("x y z q r s",), ("q r s t u v",)], ["text"])
+    rows = ngram_topk(df, n=3, k=4).collect()
+    # "x y z": doc1 has 2 ("x y z" at 0 and 3)? tokens: x y z x y z ->
+    # grams: xyz yzx zxy xyz -> "x y z" twice; doc2 once -> 3 total
+    assert rows[0]["gram"] == "x y z" and rows[0]["n"] == 3
+    assert rows[1]["n"] == 2 and rows[1]["gram"] == "q r s"
+    # ties broken lexically
+    tied = [r["gram"] for r in rows if r["n"] == rows[2]["n"]]
+    assert tied == sorted(tied)
+
+
+def test_deterministic_split_content_addressed(spark):
+    """Split membership is a pure function of content: unchanged by
+    repartitioning (unlike DataFrame.sample) and disjoint+complete."""
+    from geo_sim_processing_a_spark.operators.sampling import (
+        deterministic_sample, deterministic_split)
+    df = spark.range(500).select(
+        F.col("id"), F.concat(F.lit("doc "), F.col("id")).alias("text"))
+    a = {(r["id"], r["split"]) for r in deterministic_split(df).collect()}
+    b = {(r["id"], r["split"])
+         for r in deterministic_split(df.repartition(13)).collect()}
+    assert a == b and len(a) == 500
+    n_test = sum(1 for _, s in a if s == "test")
+    assert 20 <= n_test <= 90  # ~10% of 500, content-hash variance
+    # sample(frac) == the rows whose bucket is under the threshold
+    s = {r["id"] for r in deterministic_sample(df, "text", 0.1).collect()}
+    assert s == {i for i, sp in a if sp == "test"}
