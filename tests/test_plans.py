@@ -143,3 +143,25 @@ def test_range_join_plans_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_topk_single_shuffle_takeordered(spark):
+    """Corpus n-gram stats: explode pipelines inside the scan stage,
+    exactly ONE exchange (the gram hash-agg), top-k via TakeOrdered —
+    never a full sort of the gram distribution."""
+    from geo_sim_processing_a_spark.plans.driver_queries import q_ngram_topk
+    plan = plan_of(q_ngram_topk(spark, SF_DIR))
+    assert plan.count("Exchange") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<text:string>" in plan  # pruned to 1 col
+
+
+def test_doc_split_bucket_in_scan_stage(spark):
+    """Deterministic split: the md5 bucket is a scalar Project fused
+    with the scan (no UDF, no extra exchange beyond the agg + the
+    final tiny ordered output)."""
+    from geo_sim_processing_a_spark.plans.driver_queries import q_doc_split
+    plan = plan_of(q_doc_split(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 2  # agg + output ordering only
+    assert "partial_count" in plan  # map-side combine
