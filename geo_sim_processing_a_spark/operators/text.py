@@ -212,3 +212,51 @@ def ngram_topk(docs: DataFrame, n: int = 3, k: int = 50,
     g = docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
     return (g.groupBy("gram").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("gram")).limit(k))
+
+
+def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination screen: per document, how many of its
+    word n-grams appear anywhere in the (small) ``probes`` table — the
+    standard n-gram-collision test for benchmark leakage into training
+    corpora.
+
+    Scale shape: the probe gram set is tiny and BROADCAST, so the
+    corpus-side explode joins map-side with no shuffle; the only
+    exchange is the per-doc hash-agg.  Documents with fewer than ``n``
+    tokens produce no grams and are absent from the output (they cannot
+    be contaminated)."""
+    probe_grams = (probes
+                   .select(F.explode(word_ngrams(F.col(text_col), n))
+                           .alias("gram"))
+                   .distinct()
+                   .withColumn("_hit", F.lit(1)))
+    doc_grams = docs.select(F.col(id_col).alias("doc_id"),
+                            F.explode(word_ngrams(F.col(text_col), n))
+                            .alias("gram"))
+    return (doc_grams
+            .join(F.broadcast(probe_grams), "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"))
+            .withColumn("frac",
+                        F.round(F.col("n_hits") / F.col("n_grams"), 6)))
+
+
+def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signal (Gopher-style quality rule): the share
+    of the document's n-grams taken by its single most frequent n-gram.
+    Degenerate/boilerplate text scores high; natural text low.
+
+    Two-level hash-agg — (doc, gram) counts then per-doc max/sum — both
+    partial-aggregated map-side; no UDF anywhere."""
+    g = docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    per_gram = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    return (per_gram.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_grams"),
+                 F.max("c").alias("top_gram_n"))
+            .withColumn("top_share",
+                        F.round(F.col("top_gram_n") / F.col("n_grams"), 6)))

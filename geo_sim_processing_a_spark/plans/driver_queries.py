@@ -311,6 +311,60 @@ FROM b GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark-leakage screen: 5-gram contamination of every document
+    against a deterministic ~2% 'benchmark' slice of the corpus (the
+    md5-bucket test slice — in production this is an external benchmark
+    table).  Probe grams broadcast; one shuffle (per-doc agg)."""
+    from ..operators.sampling import md5_bucket
+    from ..operators.text import ngram_contamination
+    d = _t(spark, sf_dir, "documents")
+    probes = d.where(md5_bucket(F.col("text")) < 82)
+    return (ngram_contamination(d, probes, n=5)
+            .orderBy("doc_id"))
+
+
+SQL_CONTAMINATION = """
+WITH probe AS (
+  SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
+  FROM (SELECT string_split(text, ' ') AS t FROM documents
+        WHERE ('0x' || substr(md5(text), 1, 3))::UBIGINT < 82),
+       UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5),
+dg AS (
+  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN p.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN p.gram IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS frac
+FROM dg LEFT JOIN probe p USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality rule: per-doc share of the most
+    frequent trigram.  Two partial-aggregated hash-aggs, no UDF."""
+    from ..operators.text import repetition_stats
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=3).orderBy("doc_id")
+
+
+SQL_REPETITION = """
+WITH dg AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM dg GROUP BY doc_id, gram)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, max(c) AS top_gram_n,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share
+FROM pg GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_rollup_revenue(spark, sf_dir):
     """ROLLUP aggregate (multi-level totals in one pass — the engine
     surface for hierarchical rollups).  Group keys are coalesced to a
@@ -984,6 +1038,8 @@ def all_queries():
         "q_lang_dist": q_lang_dist,
         "q_ngram_topk": q_ngram_topk,
         "q_doc_split": q_doc_split,
+        "q_contamination": q_contamination,
+        "q_repetition": q_repetition,
         "q_dedup_exact": q_dedup_exact,
         "q_fingerprint": q_fingerprint,
         "q_token_stats": q_token_stats,
@@ -1032,6 +1088,8 @@ def all_oracles():
         "q_lang_dist": SQL_LANG_DIST,
         "q_ngram_topk": SQL_NGRAM_TOPK,
         "q_doc_split": SQL_DOC_SPLIT,
+        "q_contamination": SQL_CONTAMINATION,
+        "q_repetition": SQL_REPETITION,
         "q_dedup_exact": SQL_DEDUP_EXACT,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_token_stats": SQL_TOKEN_STATS,

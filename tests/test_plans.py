@@ -165,3 +165,14 @@ def test_doc_split_bucket_in_scan_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 2  # agg + output ordering only
     assert "partial_count" in plan  # map-side combine
+
+
+def test_contamination_broadcasts_probe_grams(spark):
+    """The probe-gram set is broadcast (tiny side), so the corpus-side
+    explode joins map-side: no shuffle before the per-doc agg and no
+    Python evaluator anywhere."""
+    from geo_sim_processing_a_spark.plans.driver_queries import q_contamination
+    plan = plan_of(q_contamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan

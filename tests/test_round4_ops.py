@@ -299,3 +299,34 @@ def test_deterministic_split_content_addressed(spark):
     # sample(frac) == the rows whose bucket is under the threshold
     s = {r["id"] for r in deterministic_sample(df, "text", 0.1).collect()}
     assert s == {i for i, sp in a if sp == "test"}
+
+
+def test_contamination_semantics(spark):
+    """Planted leak: doc 2 shares an exact 5-gram run with probe doc 0;
+    doc 3 shares nothing; short docs are absent from the output."""
+    from geo_sim_processing_a_spark.operators.text import ngram_contamination
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (2, "x y alpha beta gamma delta epsilon q"),
+         (3, "p q r s t u v w"),
+         (4, "too short")],
+        ["doc_id", "text"])
+    probes = docs.where(F.col("doc_id") == 0)
+    got = {r["doc_id"]: (r["n_grams"], r["n_hits"])
+           for r in ngram_contamination(docs, probes, n=5).collect()}
+    assert got[0] == (2, 2)           # probe doc: fully contaminated
+    assert got[2] == (4, 1)           # exactly one shared 5-gram window
+    assert got[3] == (4, 0)
+    assert 4 not in got               # < 5 tokens -> no grams
+
+
+def test_repetition_stats(spark):
+    from geo_sim_processing_a_spark.operators.text import repetition_stats
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),       # degenerate
+         (2, "one two three four five six seven")],  # all trigrams unique
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=3).collect()}
+    assert got[1]["top_gram_n"] == 4 and got[1]["n_grams"] == 4
+    assert got[1]["top_share"] == 1.0
+    assert got[2]["top_gram_n"] == 1 and abs(got[2]["top_share"] - 0.2) < 1e-9
