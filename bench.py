@@ -60,7 +60,10 @@ def wait_for_healthy_host(max_wait_s: float | None = None) -> tuple[float, bool]
                   f"{HEALTHY_GBPS}); waiting for a healthy window...",
                   file=sys.stderr)
         time.sleep(10)
-    return g, g >= HEALTHY_GBPS
+    # Deadline hit without ever reaching a 2-probe streak (the loop
+    # returns early when it does) — a single last-second healthy flap
+    # must NOT green-light the run.
+    return g, False
 
 
 def main():

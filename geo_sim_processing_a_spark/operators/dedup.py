@@ -278,6 +278,23 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
        often wants; buckets are coarser, so candidate volume rises and
        the hot-key guard matters more).
 
+    SCALE ENVELOPE (read before running radius 7 on a big corpus): a
+    w-bit band has only 2**w bucket values, so the per-band self-join
+    generates Theta(n^2 / 2**w) candidate rows on hash-uniform data.
+    At w=8 that is n^2/256: fine at n=100k (~2e7 rows/band), heavy but
+    distributable at n=1M (~2e9), and unrunnable at web scale — this
+    is NOT an implementation artifact but the LSH bands/width/radius
+    trade-off (guaranteeing radius d needs d+1 bands, so 64-bit
+    signatures leave only 64/(d+1) bits of bucket entropy; wider
+    signatures would tighten the effective similarity threshold, not
+    relax the trade-off).  For corpora beyond ~1M docs either shard
+    the input (e.g. per language/domain) before calling, or use
+    minhash_lsh_pairs — whose banded-Jaccard shape keeps bucket
+    entropy independent of the radius — as the scale path.  Setting
+    ``hot_key_cap`` bounds the join but DROPS whole buckets (logged),
+    which voids the recall guarantee once average occupancy n/2**w
+    exceeds the cap (n > ~256k at w=8, cap=1000).
+
     ``max_hamming`` > 7 RAISES unless ``allow_partial_recall=True``
     (the output would be a silently incomplete pair set).  Capping is
     OPT-IN (default None keeps the complete pair set); with

@@ -112,18 +112,16 @@ def ivf_build_assignments(vectors: DataFrame, dim: int, n_lists: int = 16,
     At 100 TB the assignment is one narrow map stage; the per-list
     inverted file is just a partition-by-list_id write.
 
-    The training sample is HASH-sampled (pmod(xxhash64(id), stride)==0)
-    rather than first-N-by-id: equally deterministic, but unbiased when
-    ids correlate with crawl segment / time (VERDICT r3 #4).  The
-    stride is derived from a footer-speed count(*) so the expected
-    sample size is ~sample_n regardless of table size."""
-    n_total = vectors.count()
-    stride = max(1, n_total // sample_n)
+    The training sample is HASH-ordered (first sample_n by
+    xxhash64(id)) rather than first-N-by-id: equally deterministic, but
+    unbiased when ids correlate with crawl segment / time (VERDICT r3
+    #4).  TakeOrdered keeps only sample_n rows per partition, so this
+    is ONE pass with no count() job and no full sort — works unchanged
+    on filtered/derived inputs where a count() would be a full scan."""
     sample = np.array(
         [r[0] for r in vectors
-         .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
-         .orderBy(id_col).limit(sample_n).select(vec_col)
-         .collect()], dtype=np.float64)
+         .orderBy(F.xxhash64(F.col(id_col)), id_col).limit(sample_n)
+         .select(vec_col).collect()], dtype=np.float64)
     cent = _kmeans_centroids(sample, n_lists, iters)
     cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 

@@ -70,8 +70,10 @@ def frequency_cap(buckets: DataFrame, key_cols: Sequence[str], cap: int,
     counts = buckets.groupBy(*key_cols).count()
     hot = counts.where(F.col("count") > cap)
     if not eager:
-        return buckets.join(F.broadcast(hot.select(*key_cols)),
-                            key_cols, "left_anti")
+        # no broadcast HINT: the hot set is unbounded here, and an
+        # explicit hint bypasses autoBroadcastJoinThreshold (driver
+        # OOM on degenerate inputs); AQE still broadcasts when small
+        return buckets.join(hot.select(*key_cols), key_cols, "left_anti")
     hot_rows = hot.limit(MAX_DRIVER_HOT_KEYS + 1).collect()
     if not hot_rows:
         return buckets
@@ -94,4 +96,5 @@ def frequency_cap(buckets: DataFrame, key_cols: Sequence[str], cap: int,
            f"{MAX_DRIVER_HOT_KEYS} — degenerate input); dropping "
            f"{stats['dropped']} bucket rows via a distributed anti-join")
     (log_fn or _LOG.warning)(msg)
-    return buckets.join(F.broadcast(hot.select(*key_cols)), key_cols, "left_anti")
+    # same: unbounded hot set -> no broadcast hint (AQE decides)
+    return buckets.join(hot.select(*key_cols), key_cols, "left_anti")

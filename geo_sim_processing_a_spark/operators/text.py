@@ -191,7 +191,11 @@ def word_ngrams(col: Column, n: int, sep: str = " ") -> Column:
     inside whole-stage codegen).  Tokenization is a literal split on
     ``sep`` so the DuckDB ``string_split`` twin is byte-identical.
     Docs with fewer than ``n`` tokens yield an empty array."""
-    toks = F.split(col, F.lit(sep).cast("string"))
+    import re as _re
+    # F.split takes a Java REGEX — escape so sep is LITERAL (a sep of
+    # '.' or '|' would otherwise split on every position and silently
+    # break the promised DuckDB string_split byte-identity)
+    toks = F.split(col, _re.escape(sep))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)))

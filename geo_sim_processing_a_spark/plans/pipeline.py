@@ -365,6 +365,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
     data-dependent epsilon from the global bbox of the actual inputs
     (one agg pass, R1); the default pins WORLD_EPS because the
     synthetic geocoder's domain IS the full lon/lat plane."""
+    # fail FAST on a non-epsilon param mismatch — before the expensive
+    # covered materialization (the epsilon part of the fingerprint can
+    # only be checked after resolution below)
+    _precheck_run_params(out_dir, stage, res=res, diameter_tol=diameter_tol,
+                         kernel=kernel, smooth=smooth)
     deduped = pages.dropDuplicates(["url"])
     # persisted: reused by the salting count pass and the kernel stage
     # (S4 — the reference's in-memory temp layers, SURVEY.md §2.1)
@@ -390,22 +395,11 @@ def run_pipeline(spark: SparkSession, pages: DataFrame, out_dir: str,
         covered.unpersist()
 
 
-def _check_run_params(out_dir: str, stage: str, **params) -> None:
-    """Resume safety: a stage's manifest prunes on (stage, cell) only,
-    so resuming into the same out_dir/stage with DIFFERENT parameters
-    (kernel, tolerance, res, ...) would silently keep tiles computed
-    under the old ones — or compare incommensurable cell ids across
-    resolutions.  The first run records its parameters; later runs
-    must match or use a fresh out_dir/stage.
-
-    The params file is created with O_CREAT|O_EXCL and re-read on
-    EEXIST (ADVICE r3): two concurrent first runs into the same
-    out_dir/stage race to create it, exactly one wins, the loser
-    compares against the winner's fingerprint.  Uses driver-local file
-    IO, so non-local out_dir schemes RAISE explicitly rather than
-    silently skipping the check (manifest reads themselves go through
-    the Hadoop FS API and do support remote schemes)."""
-    import json as _json
+def _params_path(out_dir: str, stage: str) -> tuple:
+    """(params-file path, local dir) for the run-parameter guard; RAISES
+    on non-local schemes (the guard uses driver-local file IO — manifest
+    reads themselves go through the Hadoop FS API and support remote
+    schemes)."""
     import os as _os
 
     scheme = out_dir.split("://", 1)[0] if "://" in out_dir else ""
@@ -416,7 +410,52 @@ def _check_run_params(out_dir: str, stage: str, **params) -> None:
             f"checkpoint dir locally or extend _check_run_params with "
             f"Hadoop FS atomic-create before using {out_dir!r}")
     local_dir = out_dir[len("file://"):] if scheme == "file" else out_dir
-    path = _os.path.join(local_dir, f"_params_{stage}.json")
+    return _os.path.join(local_dir, f"_params_{stage}.json"), local_dir
+
+
+def _precheck_run_params(out_dir: str, stage: str, **non_eps_params) -> None:
+    """Early subset check: if a params file already exists, verify the
+    NON-epsilon parameters match before any heavy work runs (the full
+    fingerprint — including resolved epsilon — is verified/recorded by
+    `_check_run_params` after epsilon resolution).  Never creates the
+    file; silently returns when none exists yet."""
+    import json as _json
+    import os as _os
+
+    path, _ = _params_path(out_dir, stage)
+    if not _os.path.exists(path):
+        return
+    prev = _json.loads(open(path).read())
+    mismatched = {k: (prev.get(k), v) for k, v in non_eps_params.items()
+                  if prev.get(k) != v}
+    if mismatched:
+        raise ValueError(
+            f"run_pipeline: out_dir {out_dir!r} stage {stage!r} was written "
+            f"with different parameters {mismatched} — use a new out_dir or "
+            f"stage")
+
+
+def _check_run_params(out_dir: str, stage: str, **params) -> None:
+    """Resume safety: a stage's manifest prunes on (stage, cell) only,
+    so resuming into the same out_dir/stage with DIFFERENT parameters
+    (kernel, tolerance, res, ...) would silently keep tiles computed
+    under the old ones — or compare incommensurable cell ids across
+    resolutions.  The first run records its parameters; later runs
+    must match or use a fresh out_dir/stage.
+
+    The fingerprint is written to a unique temp file first and then
+    PUBLISHED atomically with os.link (which fails EEXIST if another
+    run won): the loser can only ever read a fully-written winner file,
+    and a crash mid-write leaves no half-written/empty params file to
+    poison later runs (a plain O_CREAT|O_EXCL create-then-write had
+    both of those races).  Uses driver-local file IO, so non-local
+    out_dir schemes RAISE explicitly rather than silently skipping the
+    check (manifest reads themselves go through the Hadoop FS API and
+    do support remote schemes)."""
+    import json as _json
+    import os as _os
+
+    path, local_dir = _params_path(out_dir, stage)
     fp = _json.dumps(params, sort_keys=True)
 
     def _verify(prev: str) -> None:
@@ -427,13 +466,20 @@ def _check_run_params(out_dir: str, stage: str, **params) -> None:
                 f"{fp} would mix results — use a new out_dir or stage")
 
     _os.makedirs(local_dir, exist_ok=True)
-    try:
-        fd = _os.open(path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY, 0o644)
-    except FileExistsError:
+    if _os.path.exists(path):
         _verify(open(path).read())
         return
-    with _os.fdopen(fd, "w") as f:
+    tmp = f"{path}.tmp.{_os.getpid()}"
+    with open(tmp, "w") as f:
         f.write(fp)
+        f.flush()
+        _os.fsync(f.fileno())
+    try:
+        _os.link(tmp, path)
+    except FileExistsError:
+        _verify(open(path).read())
+    finally:
+        _os.unlink(tmp)
 
 
 def _run_pipeline_body(spark, covered, out_dir, res, diameter_tol, kernel,

@@ -19,12 +19,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    yield df
+    df.unpersist()  # don't leak cache-manager state into other modules
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_exact_dedup(spark, docs):

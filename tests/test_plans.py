@@ -14,6 +14,19 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _no_foreign_cache(spark):
+    """Plan-shape assertions (ReadSchema pruning, Exchange counts) are
+    about the COLD plan; a cached relation left behind by another test
+    module (e.g. test_dataops' module-scoped .cache() fixtures) would
+    be substituted by the cache manager and change the shapes."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_filter_pushdown_to_parquet(spark):
     l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     q = l.where(F.col("l_shipdate") <= "1995-01-01").select("l_quantity", "l_shipdate")

@@ -54,13 +54,18 @@ def main():
         .otherwise(F.col("text")))
 
     # planted TRUE near-dups: 10 docs get a twin (id + 10^7) whose text
-    # shares the full non-boilerplate body plus a one-token suffix
-    twins = (docs.where(F.col("doc_id") % 499 == 0).limit(10)
+    # shares the full non-boilerplate body plus a one-token suffix.
+    # Collect the twin ids ONCE (sorted — limit without orderBy is not
+    # deterministic across executions) and reuse the literal list for
+    # both the planted frame and the assertion set, so they can never
+    # diverge between the two plan executions.
+    twin_ids = sorted(int(r["doc_id"]) for r in
+                      docs.where(F.col("doc_id") % 499 == 0)
+                      .select("doc_id").collect())[:10]
+    twins = (docs.where(F.col("doc_id").isin(twin_ids))
              .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
                      F.concat(F.col("text"), F.lit(" twinsuffix")).alias("text")))
-    expected_pairs = [(int(r["doc_id"]), int(r["doc_id"]) + 10_000_000)
-                      for r in docs.where(F.col("doc_id") % 499 == 0)
-                      .limit(10).select("doc_id").collect()]
+    expected_pairs = [(i, i + 10_000_000) for i in twin_ids]
     full = docs.unionByName(twins)
 
     # --- candidate-volume measurement (aggregation, never the join) ---
