@@ -166,7 +166,11 @@ def main():
                  "q_window_top_orders", "q_events_sessions", "q_dedup_exact",
                  "q_text_features", "q_cell_encode", "q_pip_join",
                  "q_embedding_topk", "q_ivf_topk", "q_minhash_near_dup",
-                 "q_chordal_axis", "q_raster_tiles", "q_knn"]:
+                 "q_chordal_axis", "q_raster_tiles", "q_knn",
+                 # round-4 curation ops (new keys; r2/r3-comparable
+                 # lines above are unchanged)
+                 "q_ngram_topk", "q_doc_split", "q_contamination",
+                 "q_repetition"]:
         run(name, count_of(Q.all_queries()[name]))
 
     spark.stop()
