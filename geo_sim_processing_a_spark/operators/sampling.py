@@ -52,3 +52,27 @@ def deterministic_split(df: DataFrame, col: str = "text",
         F.when(b < n_test, F.lit("test"))
          .when(b < n_test + n_valid, F.lit("valid"))
          .otherwise(F.lit("train")))
+
+
+def domain_mix(df: DataFrame, fractions: dict, source_col: str = "source",
+               content_col: str = "text", default: float = 1.0,
+               nibbles: int = 3) -> DataFrame:
+    """Deterministic per-source reweighting toward a target training
+    mixture: keep a content-addressed ``fractions[source]`` of each
+    source's rows (``default`` for unlisted sources).
+
+    The per-source threshold is a literal CASE expression over the
+    md5 bucket — a scalar predicate evaluated inside the scan stage
+    (zero shuffle, no UDF), reproducible on any engine and under any
+    partitioning.  Downsampling only (fractions > 1 raise): upsampling
+    duplicates rows and belongs to the loader, not the corpus."""
+    bad = {k: v for k, v in {**fractions, "default": default}.items()
+           if not (0.0 <= v <= 1.0)}
+    if bad:
+        raise ValueError(f"domain_mix fractions must be in [0, 1]: {bad}")
+    buckets = 16 ** nibbles
+    thr = F.lit(int(buckets * default))
+    for src, frac in sorted(fractions.items()):
+        thr = F.when(F.col(source_col) == src,
+                     F.lit(int(buckets * frac))).otherwise(thr)
+    return df.where(md5_bucket(F.col(content_col), nibbles) < thr)

@@ -322,6 +322,29 @@ FROM b GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def q_domain_mix(spark, sf_dir):
+    """Deterministic training-mixture reweighting: downsample three
+    sources to target fractions (content-addressed md5 buckets —
+    operators/sampling.py), keep the rest; per-source surviving counts."""
+    from ..operators.sampling import domain_mix
+    d = _t(spark, sf_dir, "documents")
+    mixed = domain_mix(d, {"src0": 0.5, "src1": 0.25, "src2": 0.0})
+    return (mixed.groupBy("source").agg(F.count("*").alias("n"))
+            .orderBy("source"))
+
+
+SQL_DOMAIN_MIX = """
+SELECT source, count(*) AS n
+FROM documents
+WHERE ('0x' || substr(md5(text), 1, 3))::UBIGINT <
+      CASE WHEN source = 'src2' THEN 0
+           WHEN source = 'src1' THEN 1024
+           WHEN source = 'src0' THEN 2048
+           ELSE 4096 END
+GROUP BY source ORDER BY source
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-leakage screen: 5-gram contamination of every document
     against a deterministic ~2% 'benchmark' slice of the corpus (the
@@ -1049,6 +1072,7 @@ def all_queries():
         "q_lang_dist": q_lang_dist,
         "q_ngram_topk": q_ngram_topk,
         "q_doc_split": q_doc_split,
+        "q_domain_mix": q_domain_mix,
         "q_contamination": q_contamination,
         "q_repetition": q_repetition,
         "q_dedup_exact": q_dedup_exact,
@@ -1099,6 +1123,7 @@ def all_oracles():
         "q_lang_dist": SQL_LANG_DIST,
         "q_ngram_topk": SQL_NGRAM_TOPK,
         "q_doc_split": SQL_DOC_SPLIT,
+        "q_domain_mix": SQL_DOMAIN_MIX,
         "q_contamination": SQL_CONTAMINATION,
         "q_repetition": SQL_REPETITION,
         "q_dedup_exact": SQL_DEDUP_EXACT,

@@ -330,3 +330,23 @@ def test_repetition_stats(spark):
     assert got[1]["top_gram_n"] == 4 and got[1]["n_grams"] == 4
     assert got[1]["top_share"] == 1.0
     assert got[2]["top_gram_n"] == 1 and abs(got[2]["top_share"] - 0.2) < 1e-9
+
+
+def test_domain_mix(spark):
+    from geo_sim_processing_a_spark.operators.sampling import domain_mix
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"doc number {i}") for i in range(300)],
+        ["doc_id", "source", "text"])
+    out = domain_mix(df, {"s0": 0.0, "s1": 0.5})
+    got = {r["source"]: r["n"]
+           for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "s0" not in got                 # fraction 0 -> fully dropped
+    assert got["s2"] == 100                # unlisted -> default keeps all
+    assert 25 <= got["s1"] <= 75           # ~half, content-hash variance
+    # membership is content-addressed: repartitioning changes nothing
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"]
+               for r in domain_mix(df.repartition(7), {"s0": 0.0, "s1": 0.5}).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        domain_mix(df, {"s0": 1.5})
