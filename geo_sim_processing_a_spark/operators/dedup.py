@@ -235,8 +235,11 @@ def near_dup_clusters(docs: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """64-bit SimHash of token crc32-seeded splitmix hashes."""
+                       text_col: str = "text",
+                       keep_cols: tuple = ()) -> DataFrame:
+    """64-bit SimHash of token crc32-seeded splitmix hashes.
+    ``keep_cols`` are carried through (e.g. shard keys for
+    simhash_pairs' sharded mode) so no join-back is needed."""
     @F.pandas_udf("long")
     def sim_udf(texts: pd.Series) -> pd.Series:
         out = np.empty(len(texts), dtype=np.int64)
@@ -260,13 +263,15 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         return pd.Series(out)
 
     return docs.select(F.col(id_col).alias("doc_id"),
-                       sim_udf(F.col(text_col)).alias("simhash"))
+                       sim_udf(F.col(text_col)).alias("simhash"),
+                       *[F.col(c) for c in keep_cols])
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3,
                   hot_key_cap: int | None = None,
-                  allow_partial_recall: bool = False) -> DataFrame:
+                  allow_partial_recall: bool = False,
+                  shard_cols: tuple = ()) -> DataFrame:
     """Near-dup pairs by SimHash: banded equi-join + exact Hamming
     verify via bit_count.  The band scheme is picked from
     ``max_hamming`` by pigeonhole (a pair differing in d bits shares at
@@ -295,6 +300,14 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     which voids the recall guarantee once average occupancy n/2**w
     exceeds the cap (n > ~256k at w=8, cap=1000).
 
+    ``shard_cols`` is the executable form of the sharding mitigation:
+    the shard key(s) — e.g. language or domain — join with the band
+    bucket, so candidates are generated only WITHIN a shard and the
+    n^2/2**w volume applies per shard, not to the whole corpus.  Pairs
+    spanning shards are by definition not returned (a cross-language
+    "near-dup" is rarely a dup); recall within each shard keeps the
+    full pigeonhole guarantee.
+
     ``max_hamming`` > 7 RAISES unless ``allow_partial_recall=True``
     (the output would be a silently incomplete pair set).  Capping is
     OPT-IN (default None keeps the complete pair set); with
@@ -312,19 +325,24 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
             "recall guarantee (Hamming<=7); pass allow_partial_recall=True "
             "to accept a best-effort candidate set, or use minhash_lsh_pairs")
 
-    sigs = (simhash_signatures(_ensure_parallelism(docs), id_col, text_col)
+    shard_cols = list(shard_cols)
+    sigs = (simhash_signatures(_ensure_parallelism(docs), id_col, text_col,
+                               keep_cols=tuple(shard_cols))
             .localCheckpoint(eager=False))
     mask = (1 << band_bits) - 1
     band_cols = [F.struct(F.lit(b).alias("band"),
                           F.shiftright("simhash", band_bits * b)
                           .bitwiseAND(F.lit(mask)).alias("bh"))
                  for b in range(n_bands)]
-    buckets = (sigs.select("doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bb"))
-               .select("doc_id", "simhash", F.col("bb.band").alias("band"),
+    buckets = (sigs.select("doc_id", "simhash", *shard_cols,
+                           F.explode(F.array(*band_cols)).alias("bb"))
+               .select("doc_id", "simhash", *shard_cols,
+                       F.col("bb.band").alias("band"),
                        F.col("bb.bh").alias("bh")))
+    join_keys = shard_cols + ["band", "bh"]
     if hot_key_cap is not None:
-        buckets = frequency_cap(buckets, ["band", "bh"], hot_key_cap, "simhash")
-    return (buckets.alias("l").join(buckets.alias("r"), ["band", "bh"])
+        buckets = frequency_cap(buckets, join_keys, hot_key_cap, "simhash")
+    return (buckets.alias("l").join(buckets.alias("r"), join_keys)
             .where(F.col("l.doc_id") < F.col("r.doc_id"))
             .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"),
                     F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))

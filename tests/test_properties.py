@@ -100,3 +100,45 @@ def test_cover_polygon_superset_of_sampled_interior(coords, res):
     xmin, ymin, xmax, ymax = P.bbox(ring)
     assert (lon1 >= xmin).all() and (lon0 <= xmax).all()
     assert (lat1 >= ymin).all() and (lat0 <= ymax).all()
+
+
+# ---------------------------------------------------------------------------
+# round-4 curation ops: pure-Python reference parity (no Spark session —
+# the Column expressions are exercised end-to-end by the oracle queries;
+# these pin the SEMANTICS against an independent reference)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=8),
+                min_size=0, max_size=12),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=200, deadline=None)
+def test_word_ngrams_matches_python_reference(words, n):
+    """word_ngrams == the trivial sliding-window reference on the same
+    literal single-space split, for arbitrary (messy) token content."""
+    import duckdb
+    text = " ".join(w.replace(" ", "_") or "x" for w in words)
+    toks = text.split(" ")
+    expect = ([" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+              if len(toks) >= n else [])
+    # DuckDB twin of the documented SQL shape — the engines must agree
+    got = duckdb.sql(f"""
+        SELECT coalesce(list(array_to_string(t[i:i+{n - 1}], ' ')), [])
+        FROM (SELECT string_split('{text}', ' ') AS t),
+             UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+        WHERE len(t) >= {n}""").fetchone()[0]
+    assert got == expect
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=300),
+               min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_md5_bucket_engine_parity(text):
+    """The md5-hex bucket is byte-identical between Python's hashlib
+    and DuckDB for arbitrary unicode content (the Spark side is pinned
+    by the q_doc_split/q_domain_mix oracle hashes)."""
+    import duckdb
+    import hashlib
+    expect = int(hashlib.md5(text.encode("utf-8")).hexdigest()[:3], 16)
+    got = duckdb.execute(
+        "SELECT ('0x' || substr(md5(?), 1, 3))::UBIGINT", [text]).fetchone()[0]
+    assert got == expect

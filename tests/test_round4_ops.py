@@ -350,3 +350,24 @@ def test_domain_mix(spark):
     assert a == b
     with pytest.raises(ValueError):
         domain_mix(df, {"s0": 1.5})
+
+
+def test_simhash_sharded(spark):
+    """shard_cols: candidates only within a shard (per-shard n^2/2^w
+    volume); identical in-shard recall, cross-shard pairs excluded."""
+    from geo_sim_processing_a_spark.operators.dedup import simhash_pairs
+    base = " ".join(f"tok{j}" for j in range(60))
+    rows = []
+    for i, lang in enumerate(["en", "en", "fr", "fr"]):
+        rows.append((i, lang, base + (" extra" if i % 2 else "")))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    unsharded = {(r["id_a"], r["id_b"])
+                 for r in simhash_pairs(df, max_hamming=7).collect()}
+    sharded = {(r["id_a"], r["id_b"])
+               for r in simhash_pairs(df, max_hamming=7,
+                                      shard_cols=("lang",)).collect()}
+    assert (0, 2) in unsharded          # identical text across langs
+    # sharded pairs are exactly the unsharded ones whose docs share a lang
+    lang_of = {i: l for i, l, _ in rows}
+    assert sharded == {p for p in unsharded if lang_of[p[0]] == lang_of[p[1]]}
+    assert len(sharded) < len(unsharded)
