@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 def md5_bucket(col: Column, nibbles: int = 3) -> Column:
     """Integer in [0, 16**nibbles) from the first ``nibbles`` hex chars
     of md5(utf-8 bytes of ``col``).  DuckDB twin:
-    ``('0x' || substr(md5(x), 1, nibbles))::UBIGINT``."""
+    ``('0x' || substr(md5(x), 1, nibbles))::UBIGINT``.
+
+    NULL content propagates: the bucket is NULL, so NULL rows are
+    DROPPED by deterministic_sample/domain_mix (NULL < t is not true)
+    and assigned 'train' by deterministic_split (no WHEN matches) —
+    identical semantics in Spark and DuckDB.  Filter NULLs first if
+    they must be handled differently."""
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, nibbles),
                   16, 10).cast("long")
 

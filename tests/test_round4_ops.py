@@ -371,3 +371,17 @@ def test_simhash_sharded(spark):
     lang_of = {i: l for i, l, _ in rows}
     assert sharded == {p for p in unsharded if lang_of[p[0]] == lang_of[p[1]]}
     assert len(sharded) < len(unsharded)
+
+
+def test_sampling_null_semantics(spark):
+    """NULL content: dropped by sample/mix, 'train' in split — the
+    documented (and cross-engine-identical) propagation."""
+    from geo_sim_processing_a_spark.operators.sampling import (
+        deterministic_sample, deterministic_split, domain_mix)
+    df = spark.createDataFrame(
+        [(1, "s0", "some text"), (2, "s0", None)],
+        ["doc_id", "source", "text"])
+    assert deterministic_sample(df, "text", 1.0).count() == 1
+    assert domain_mix(df, {"s0": 1.0}).count() == 1
+    got = {r["doc_id"]: r["split"] for r in deterministic_split(df).collect()}
+    assert got[2] == "train"
