@@ -80,8 +80,25 @@ def main():
     # best-of-3 per level: standard practice to suppress host noise
     # (round 2 observed 41-72 s walls for the IDENTICAL 8-core job —
     # external tenant noise; min is the least-contaminated sample)
-    low = min((run_at(n_low, n_pages) for _ in range(3)), key=lambda r: r["sec"])
-    high = min((run_at(n_high, n_pages) for _ in range(3)), key=lambda r: r["sec"])
+    def probe():
+        import numpy as _np
+        a = _np.zeros(512 * 1024 * 1024 // 8)
+        t0 = time.perf_counter()
+        a.sum()
+        return round(a.nbytes / (time.perf_counter() - t0) / 1e9, 2)
+
+    probe_pre = probe()
+    # INTERLEAVED A/B (low, high, low, high, ...) rather than 3+3
+    # blocks: the host's noise episodes last minutes, so a block design
+    # can hand one level an entirely-throttled window; interleaving
+    # gives both levels the same exposure (NOTES_ROUND2 lesson).
+    lows, highs = [], []
+    for _ in range(3):
+        lows.append(run_at(n_low, n_pages))
+        highs.append(run_at(n_high, n_pages))
+    low = min(lows, key=lambda r: r["sec"])
+    high = min(highs, key=lambda r: r["sec"])
+    probe_post = probe()
     assert low["tiles"] == high["tiles"] and low["geoms"] == high["geoms"], \
         "parallelism changed results — determinism violation"
     assert low["v_out"] == high["v_out"]
@@ -108,12 +125,21 @@ Output identity across parallelism levels asserted
 {eff:.3f}** (target >= 0.8, BASELINE.json north_rule; sandbox
 substitution for N vs 4N executors per the task brief).
 
+Host DRAM-bandwidth probe: {probe_pre} GB/s before / {probe_post}
+GB/s after (healthy >= 8; the efficiency is a RATIO of interleaved
+samples, so a stable throttle handicaps both levels equally, but
+treat sub-healthy absolute walls as lower bounds).
+
 Spark confs (plans/session.py): AQE on with 1m advisory partition
 size (byte-advised coalescing starves CPU-bound kernel stages),
 Arrow batches 10k, shuffle.partitions = cores, kernel buckets =
 4 x shuffle partitions.
 """)
-    print(json.dumps({"low": low, "high": high, "efficiency": round(eff, 4)}))
+    print(json.dumps({"low": low, "high": high, "efficiency": round(eff, 4),
+                      "dram_gbps_pre": probe_pre,
+                      "dram_gbps_post": probe_post,
+                      "all_lows": [r["sec"] for r in lows],
+                      "all_highs": [r["sec"] for r in highs]}))
 
 
 if __name__ == "__main__":
