@@ -136,3 +136,35 @@ def test_dedup_pages_stream(spark, tmp_path):
     ).collect()[0]
     assert got["n"] == 60, "each duplicated text must survive exactly once"
     assert got["d"] == 60
+
+
+def test_curation_columns_on_stream(spark, tmp_path):
+    """The curation expressions (deterministic split/bucket, text
+    features) are stateless scalar columns, so they run UNCHANGED on a
+    stream — and produce byte-identical assignments to the batch path
+    (content-addressed, so arrival order / micro-batching can't matter)."""
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.sampling import (
+        deterministic_split, md5_bucket)
+
+    src = str(tmp_path / "docs_in")
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(300),
+                      "text": [f"streaming doc {i}" for i in range(300)]}),
+        "doc_id long, text string")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .parquet(src))
+    out = deterministic_split(stream).withColumn(
+        "bucket", md5_bucket(F.col("text")))
+    q = (out.writeStream.format("memory").queryName("cur")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r["doc_id"]: (r["split"], r["bucket"])
+           for r in spark.sql("select * from cur").collect()}
+    expect = {r["doc_id"]: (r["split"], r["bucket"])
+              for r in deterministic_split(docs)
+              .withColumn("bucket", md5_bucket(F.col("text"))).collect()}
+    assert got == expect and len(got) == 300
