@@ -1,0 +1,52 @@
+"""End-to-end corpus curation: exact dedup -> quality filter ->
+deterministic split, composed entirely from the oracle-verified
+building blocks (dedup md5 aggregation, repetition_stats,
+deterministic_split) — and itself ANSI-SQL-expressible, so the WHOLE
+composition is hash-verified against DuckDB (q_curation).
+
+Scale shape: the dedup representative is a groupBy(md5).min_by
+aggregate — partial-aggregated map-side (a window row_number would
+shuffle AND sort every row); repetition joins on the doc id; the split
+is a scan-stage scalar.  One corpus-wide shuffle for the dedup, one
+for the per-doc gram agg, one equi-join — no UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import deterministic_split
+from .text import repetition_stats
+
+
+def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", min_tokens: int = 20,
+                  max_top_share: float = 0.12,
+                  ngram_n: int = 3) -> DataFrame:
+    """One call from raw corpus to training-ready rows:
+
+    1. exact dedup — keep the min-id representative per distinct text;
+    2. quality filter — at least ``min_tokens`` (literal-space) tokens
+       and a top-``ngram_n``-gram share at most ``max_top_share``
+       (Gopher-style repetition rule; docs with fewer than ``ngram_n``
+       tokens cannot be assessed and are dropped — subsumed by any
+       ``min_tokens`` >= ``ngram_n``);
+    3. deterministic content-addressed train/valid/test split.
+
+    Returns the surviving rows with ``n_tokens``, ``top_share`` and
+    ``split`` columns added."""
+    rep_struct = F.struct(*[F.col(c) for c in docs.columns])
+    reps = (docs
+            .groupBy(F.md5(F.col(text_col).cast("binary")).alias("_text_md5"))
+            .agg(F.min_by(rep_struct, F.col(id_col)).alias("_rep"))
+            .select("_rep.*"))
+    reps = reps.withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long"))
+    rep = repetition_stats(reps, n=ngram_n, id_col=id_col,
+                           text_col=text_col).select("doc_id", "top_share")
+    out = (reps.join(rep, reps[id_col] == rep["doc_id"])
+           .drop(rep["doc_id"])
+           .where((F.col("n_tokens") >= min_tokens)
+                  & (F.col("top_share") <= max_top_share)))
+    return deterministic_split(out, col=text_col)

@@ -345,6 +345,45 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_curation(spark, sf_dir):
+    """The full curation pipeline in one oracle-verified composition
+    (operators/curation.py): exact dedup -> length + repetition quality
+    filter -> deterministic split; per-(split, lang) survivor stats."""
+    from ..operators.curation import curate_corpus
+    d = _t(spark, sf_dir, "documents")
+    return (curate_corpus(d)
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("n_tokens"), 6).alias("avg_tokens"))
+            .orderBy("split", "lang"))
+
+
+SQL_CURATION = """
+WITH reps AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                              ORDER BY doc_id) AS rn
+                 FROM documents) WHERE rn = 1),
+toks AS (SELECT doc_id, lang, text,
+                len(string_split(text, ' ')) AS n_tokens FROM reps),
+rep_stats AS (
+  SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_share
+  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, count(*) AS c
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM toks),
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3 GROUP BY doc_id, g) pg
+  GROUP BY doc_id),
+kept AS (
+  SELECT t.*, ('0x' || substr(md5(text), 1, 3))::UBIGINT AS bucket
+  FROM toks t JOIN rep_stats USING (doc_id)
+  WHERE n_tokens >= 20 AND top_share <= 0.12)
+SELECT CASE WHEN bucket < 409 THEN 'test'
+            WHEN bucket < 818 THEN 'valid'
+            ELSE 'train' END AS split,
+       lang, count(*) AS n, round(avg(n_tokens), 6) AS avg_tokens
+FROM kept GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-leakage screen: 5-gram contamination of every document
     against a deterministic ~2% 'benchmark' slice of the corpus (the
@@ -1073,6 +1112,7 @@ def all_queries():
         "q_ngram_topk": q_ngram_topk,
         "q_doc_split": q_doc_split,
         "q_domain_mix": q_domain_mix,
+        "q_curation": q_curation,
         "q_contamination": q_contamination,
         "q_repetition": q_repetition,
         "q_dedup_exact": q_dedup_exact,
@@ -1124,6 +1164,7 @@ def all_oracles():
         "q_ngram_topk": SQL_NGRAM_TOPK,
         "q_doc_split": SQL_DOC_SPLIT,
         "q_domain_mix": SQL_DOMAIN_MIX,
+        "q_curation": SQL_CURATION,
         "q_contamination": SQL_CONTAMINATION,
         "q_repetition": SQL_REPETITION,
         "q_dedup_exact": SQL_DEDUP_EXACT,

@@ -385,3 +385,21 @@ def test_sampling_null_semantics(spark):
     assert domain_mix(df, {"s0": 1.0}).count() == 1
     got = {r["doc_id"]: r["split"] for r in deterministic_split(df).collect()}
     assert got[2] == "train"
+
+
+def test_curate_corpus_semantics(spark):
+    from geo_sim_processing_a_spark.operators.curation import curate_corpus
+    good = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, "en", good),                          # kept (rep of the dup pair)
+        (2, "en", good),                          # exact dup of 1 -> dropped
+        (3, "en", "too short text"),              # < min_tokens -> dropped
+        (4, "en", " ".join(["spam"] * 40)),       # top_share 1.0 -> dropped
+        (5, "fr", " ".join(f"v{i}" for i in range(25))),  # kept
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = curate_corpus(df)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 5}
+    assert got[1]["n_tokens"] == 30 and got[1]["split"] in ("train", "valid", "test")
+    assert got[5]["lang"] == "fr"
