@@ -189,3 +189,14 @@ def test_contamination_broadcasts_probe_grams(spark):
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_udf_free_mapside_dedup(spark):
+    """The whole curation composition stays JVM-side, and the exact
+    dedup is a partial-aggregated min_by (map-side combine), not a
+    window sort over every row."""
+    from geo_sim_processing_a_spark.plans.driver_queries import q_curation
+    plan = plan_of(q_curation(spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "partial_min_by" in plan
+    assert "Window" not in plan
