@@ -26,7 +26,9 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
                   ngram_n: int = 3) -> DataFrame:
     """One call from raw corpus to training-ready rows:
 
-    1. exact dedup — keep the min-id representative per distinct text;
+    1. exact dedup — keep the min-id representative per distinct text
+       (NULL texts group together as the NULL md5 key, like
+       exact_dedup — and are then dropped by the min_tokens filter);
     2. quality filter — at least ``min_tokens`` (literal-space) tokens
        and a top-``ngram_n``-gram share at most ``max_top_share``
        (Gopher-style repetition rule; docs with fewer than ``ngram_n``

@@ -30,7 +30,10 @@ MERSENNE = (1 << 61) - 1
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per distinct text: canonical (min) id + dup count."""
+    """One row per distinct text: canonical (min) id + dup count.
+    NULL texts form their OWN group (md5(NULL) is NULL) — distinct
+    from the empty string; near_dup_clusters instead keys NULL as ""
+    to match its signature kernel (each choice documented there)."""
     return (docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
             .agg(F.min(id_col).alias("canonical_id"),
                  F.count("*").alias("n_dups"))
@@ -147,6 +150,14 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     long jobs should persist+unpersist around the call instead)."""
     from .skew import frequency_cap
 
+    if bands < 1 or n_hashes % bands != 0:
+        # bands > n_hashes would make every band hash the constant
+        # xxhash64('') — the candidate join silently degenerates to
+        # all-pairs; non-divisible values silently ignore hashes and
+        # change recall.  Both are caller bugs: fail loudly.
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must divide "
+            f"n_hashes={n_hashes} with rows_per_band >= 1")
     rows_per_band = n_hashes // bands
     sigs = (minhash_signatures(_ensure_parallelism(docs), id_col, text_col,
                                n_hashes, shingle, keep_shingles=True)

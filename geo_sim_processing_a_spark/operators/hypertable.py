@@ -47,10 +47,19 @@ def _with_bucket(events: DataFrame, time_col: str, bucket: str) -> DataFrame:
 
 
 def _read_state(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """None ONLY when the state path does not exist yet (first refresh).
+    Any other read failure — corrupt footer, transient FS error —
+    PROPAGATES: swallowing it would silently restart at generation 0,
+    overwrite every bucket, and append duplicate state rows whose stale
+    max-generation counts re-trigger full recomputes forever after."""
+    from pyspark.errors import AnalysisException
     try:
         return spark.read.parquet(_state_path(out_dir))
-    except Exception:
-        return None
+    except AnalysisException as ex:
+        msg = str(ex)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
 
 
 def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
@@ -61,7 +70,12 @@ def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
         raise ValueError(f"unsupported bucket unit {bucket!r}; "
                          f"one of {sorted(_BUCKET_KEY_FMT)}")
     bucketed = _with_bucket(events, time_col, bucket)
-    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n_raw"))
+    # persisted: consumed by the changed-bucket diff, the state write
+    # AND buckets_total — without it each re-evaluation re-scans and
+    # re-aggregates the full raw table, defeating the operator's
+    # cost-proportional-to-changed-data contract
+    counts = (bucketed.groupBy("bucket").agg(F.count("*").alias("n_raw"))
+              .persist())
 
     state = _read_state(spark, out_dir)
     if state is None:
@@ -101,6 +115,7 @@ def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
          .write.mode("append").parquet(_state_path(out_dir)))
     changed_buckets.unpersist()
     total = counts.count()
+    counts.unpersist()
     return {"buckets_total": total, "buckets_refreshed": int(n_changed),
             "generation": generation}
 

@@ -28,9 +28,18 @@ def _norm(a):
                               lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+def _cosine(a, b):
+    """Zero-norm-GUARDED cosine (the JVM twin of the Python kernels'
+    np.maximum(norm, 1e-12)): an all-zero vector scores 0.0.  Without
+    the guard the expression yields NaN, which Spark SQL orders ABOVE
+    every double — a zero vector would rank top-1 for every query and
+    pass every >= threshold filter.  The DuckDB oracle applies the
+    same greatest(..., 1e-12) guard."""
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+
+
 def with_cosine(df: DataFrame, left: str, right: str, out: str = "cos") -> DataFrame:
-    return df.withColumn(out, _dot(F.col(left), F.col(right))
-                         / (_norm(F.col(left)) * _norm(F.col(right))))
+    return df.withColumn(out, _cosine(F.col(left), F.col(right)))
 
 
 def brute_topk(vectors: DataFrame, queries: DataFrame, k: int,
@@ -41,8 +50,7 @@ def brute_topk(vectors: DataFrame, queries: DataFrame, k: int,
     vec_id.  All JVM-side."""
     joined = vectors.crossJoin(F.broadcast(queries))
     scored = joined.withColumn(
-        "cos", _dot(F.col(vec_col), F.col(qvec_col))
-        / (_norm(F.col(vec_col)) * _norm(F.col(qvec_col))))
+        "cos", _cosine(F.col(vec_col), F.col(qvec_col)))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -85,18 +93,27 @@ def _kmeans_centroids(sample: np.ndarray, k: int, iters: int = 10) -> np.ndarray
     n = len(sample)
     k = min(k, n)
     cent = sample[:k].copy()
+    # sample never changes: normalize ONCE outside the loop
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     for _ in range(iters):
-        # cosine assignment: normalize once, argmax dot
-        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
         cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(sn @ cn.T, axis=1)
+        # re-seed empty clusters from DISTINCT farthest points: two
+        # empties in one round each take their own rank in the farthest
+        # order (a shared argmax would duplicate a centroid, leaving
+        # one cluster permanently empty under lower-index-wins argmax)
+        far_order = None
+        n_reseeded = 0
         for c in range(k):
             members = sample[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
-            else:  # re-seed from the point farthest from its centroid
-                d = 1.0 - (sn * cn[assign]).sum(axis=1)
-                cent[c] = sample[int(np.argmax(d))]
+            else:
+                if far_order is None:
+                    d = 1.0 - (sn * cn[assign]).sum(axis=1)
+                    far_order = np.argsort(-d)
+                cent[c] = sample[int(far_order[min(n_reseeded, n - 1)])]
+                n_reseeded += 1
     return cent
 
 
@@ -159,8 +176,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, dim: int,
     probed = (queries.withColumn("list_id", F.explode(probes_udf(F.col(qvec_col)))))
     joined = probed.join(assigned, "list_id")
     scored = joined.withColumn(
-        "cos", _dot(F.col(vec_col), F.col(qvec_col))
-        / (_norm(F.col(vec_col)) * _norm(F.col(qvec_col))))
+        "cos", _cosine(F.col(vec_col), F.col(qvec_col)))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -208,7 +224,6 @@ def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
     va = b.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     scored = (cand.join(va, "id_a").join(vb, "id_b")
-              .withColumn("cos", _dot(F.col("va"), F.col("vb"))
-                          / (_norm(F.col("va")) * _norm(F.col("vb")))))
+              .withColumn("cos", _cosine(F.col("va"), F.col("vb"))))
     return (scored.where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

@@ -175,8 +175,7 @@ def knn_join(points: DataFrame, k: int, res: int = 6,
         mat.sort(axis=1)
         return pd.Series(mat.tolist())
 
-    cands = (pts.withColumn("home", F.col("cell"))
-             .withColumn("cell", F.explode(nbrs_udf("cell")))
+    cands = (pts.withColumn("cell", F.explode(nbrs_udf("cell")))
              .select(F.col("pid").alias("cid"), F.col("lon").alias("clon"),
                      F.col("lat").alias("clat"), "cell"))
     queries = pts.select("pid", "lon", "lat", "cell")

@@ -101,7 +101,8 @@ def with_cell_cover(geoms: DataFrame, res: int) -> DataFrame:
 
 def salt_by_cell(df: DataFrame, key_col: str = "url", cell_col: str = "cell",
                  target_rows_per_task: int = 20_000,
-                 replicate_context: bool = True) -> DataFrame:
+                 replicate_context: bool = True,
+                 broadcast_counts: bool = True) -> DataFrame:
     """Two-pass skew salting; adds ``salt`` and repartitions on
     (cell, salt).
 
@@ -110,14 +111,22 @@ def salt_by_cell(df: DataFrame, key_col: str = "url", cell_col: str = "cell",
     to each salt replica as read-only context, and ``is_owner`` stays
     true only in the row's home salt — each replica sees the full
     constraint context, outputs stay exact, and ownership is disjoint.
-    Independent-feature kernels (DP/VW) can skip replication."""
+    Independent-feature kernels (DP/VW) can skip replication.
+
+    ``broadcast_counts`` (default True) hints the per-cell counts join:
+    correct for coarse grids where the count table is bounded by the
+    cell space (res 6 -> <= 4096 rows, the flagship path).  Pass False
+    at FINE resolutions (res > ~12), where distinct cells grow with the
+    data and an explicit broadcast hint would bypass
+    autoBroadcastJoinThreshold — let AQE pick the join strategy."""
     counts = (df.groupBy(cell_col).count()
                 .withColumn("n_salt",
                             F.greatest(F.lit(1),
                                        F.ceil(F.col("count") / F.lit(target_rows_per_task))
                                        .cast("int")))
                 .drop("count"))
-    base = (df.join(F.broadcast(counts), on=cell_col, how="left")
+    counts_side = F.broadcast(counts) if broadcast_counts else counts
+    base = (df.join(counts_side, on=cell_col, how="left")
               .withColumn("n_salt", F.coalesce(F.col("n_salt"), F.lit(1)))
               .withColumn("home_salt",
                           F.pmod(F.xxhash64(F.col(key_col)), F.col("n_salt")).cast("int")))

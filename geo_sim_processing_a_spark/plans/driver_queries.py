@@ -366,7 +366,11 @@ WITH reps AS (
 toks AS (SELECT doc_id, lang, text,
                 len(string_split(text, ' ')) AS n_tokens FROM reps),
 rep_stats AS (
-  SELECT doc_id, max(c) / CAST(sum(c) AS DOUBLE) AS top_share
+  -- rounded EXACTLY like repetition_stats' top_share output, so the
+  -- <= 0.12 filter compares the same value in both engines (an
+  -- unrounded oracle filter would diverge on shares in
+  -- (0.12, 0.1200005))
+  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share
   FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, count(*) AS c
         FROM (SELECT doc_id, string_split(text, ' ') AS t FROM toks),
              UNNEST(generate_series(1, len(t) - 2)) AS u(i)
@@ -848,12 +852,12 @@ WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
 SELECT qid, vec_id, cos + 0.0 AS cos, rank FROM (
   SELECT q.qid, v.vec_id,
          round(list_dot_product(v.embedding::DOUBLE[], q.qvec)
-               / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos,
+               / greatest(sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec)), 1e-12), 6) AS cos,
          row_number() OVER (PARTITION BY q.qid ORDER BY
             list_dot_product(v.embedding::DOUBLE[], q.qvec)
-               / (sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(q.qvec, q.qvec))) DESC, v.vec_id) AS rank
+               / greatest(sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qvec, q.qvec)), 1e-12) DESC, v.vec_id) AS rank
   FROM embeddings v, q) t
 WHERE rank <= 5
 ORDER BY qid, rank
