@@ -403,3 +403,64 @@ def test_curate_corpus_semantics(spark):
     assert set(got) == {1, 5}
     assert got[1]["n_tokens"] == 30 and got[1]["split"] in ("train", "valid", "test")
     assert got[5]["lang"] == "fr"
+
+
+# ---------------------------------------------------------------------------
+# operator-review regression tests: NaN cosine, banding validation,
+# hypertable state-read propagation
+# ---------------------------------------------------------------------------
+
+def test_zero_vector_does_not_rank_top(spark):
+    """An all-zero embedding must score 0.0 (guarded), not NaN — Spark
+    orders NaN above every double, so unguarded it would rank top-1
+    for every query and pass every threshold."""
+    from geo_sim_processing_a_spark.operators.similarity import (
+        brute_topk, with_cosine)
+    rows = [(0, [0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        pd.DataFrame([(100, [1.0, 0.0, 0.0])], columns=["qid", "qvec"]),
+        "qid long, qvec array<float>")
+    top = brute_topk(emb, queries, k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]   # zero vector NOT first
+    cos0 = (with_cosine(emb.crossJoin(queries), "embedding", "qvec")
+            .where("vec_id = 0").collect()[0]["cos"])
+    assert cos0 == 0.0 and not math.isnan(cos0)
+
+
+def test_minhash_bands_validation(spark):
+    from geo_sim_processing_a_spark.operators.dedup import minhash_lsh_pairs
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}),
+                               "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, n_hashes=32, bands=64)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, n_hashes=32, bands=7)
+
+
+def test_hypertable_state_corruption_raises(spark, tmp_path):
+    """A corrupt state file must RAISE, not silently restart at
+    generation 0 (which would overwrite every bucket and poison the
+    change detection with duplicate state rows)."""
+    from geo_sim_processing_a_spark.operators.hypertable import refresh
+    out = str(tmp_path / "ht")
+    e = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1, 2], "user_id": [1, 1],
+                      "event_type": ["a", "b"],
+                      "ts": pd.to_datetime(["2024-01-01 10:05",
+                                            "2024-01-01 11:10"]),
+                      "value": [1.0, 2.0]}))
+    refresh(spark, e, out, bucket="hour")
+    # corrupt the state dir: a parquet file with garbage bytes
+    state_dir = f"{out}/_rollup_state"
+    victim = next(p for p in os.listdir(state_dir) if p.endswith(".parquet"))
+    with open(os.path.join(state_dir, victim), "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception) as exc:
+        refresh(spark, e, out, bucket="hour")
+    assert "PATH_NOT_FOUND" not in str(exc.value)
