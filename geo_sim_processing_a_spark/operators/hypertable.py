@@ -5,10 +5,11 @@ names).
 Semantics:
  - the raw events table is bucketed on event time (``date_trunc``);
  - the rollup materializes one aggregate row per (bucket, event_type);
- - ``refresh`` recomputes ONLY buckets whose raw row count changed
-   since the last refresh (new buckets, or buckets that received late
-   data) and overwrites exactly those partitions (dynamic partition
-   overwrite) — untouched buckets are never rewritten;
+ - ``refresh`` recomputes ONLY buckets whose raw content changed
+   since the last refresh — detected by (row count, order-independent
+   content checksum), so in-place value edits with unchanged counts
+   are caught too — and overwrites exactly those partitions (dynamic
+   partition overwrite); untouched buckets are never rewritten;
  - the per-bucket state (raw row count, refresh generation) lives in a
    parquet manifest, so refresh is idempotent and restartable.
 
@@ -25,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-STATE_SCHEMA = "bucket timestamp, n_raw long, generation int"
+STATE_SCHEMA = "bucket timestamp, n_raw long, chk decimal(38,0), generation int"
 
 # Partition-key format PER bucket unit: the key must be unique at the
 # bucket's own granularity, else dynamic partition overwrite of one
@@ -74,7 +75,14 @@ def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
     # AND buckets_total — without it each re-evaluation re-scans and
     # re-aggregates the full raw table, defeating the operator's
     # cost-proportional-to-changed-data contract
-    counts = (bucketed.groupBy("bucket").agg(F.count("*").alias("n_raw"))
+    # chk: EXACT decimal sum of per-row xxhash64 — order-independent
+    # (decimal addition is associative) and content-sensitive, so a
+    # bucket whose values changed but whose row count did not still
+    # registers as changed
+    row_hash = F.xxhash64(*[F.col(c) for c in events.columns]).cast("decimal(38,0)")
+    counts = (bucketed.groupBy("bucket")
+              .agg(F.count("*").alias("n_raw"),
+                   F.sum(row_hash).alias("chk"))
               .persist())
 
     state = _read_state(spark, out_dir)
@@ -84,11 +92,14 @@ def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
     else:
         latest = (state.groupBy("bucket")
                   .agg(F.max("generation").alias("generation"),
-                       F.max_by("n_raw", "generation").alias("n_raw")))
+                       F.max_by("n_raw", "generation").alias("n_raw"),
+                       F.max_by("chk", "generation").alias("chk")))
         joined = counts.alias("c").join(latest.alias("s"), "bucket", "left")
         changed = (joined.where(F.col("s.n_raw").isNull()
-                                | (F.col("c.n_raw") != F.col("s.n_raw")))
-                   .select("bucket", F.col("c.n_raw").alias("n_raw")))
+                                | (F.col("c.n_raw") != F.col("s.n_raw"))
+                                | (F.col("c.chk") != F.col("s.chk")))
+                   .select("bucket", F.col("c.n_raw").alias("n_raw"),
+                           F.col("c.chk").alias("chk")))
         generation = (state.agg(F.max("generation")).collect()[0][0] or 0) + 1
 
     changed_buckets = changed.select("bucket").persist()
@@ -111,7 +122,7 @@ def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
          .partitionBy("bucket_key")
          .parquet(os.path.join(out_dir, "rollup")))
         (changed.withColumn("generation", F.lit(generation).cast("int"))
-         .select("bucket", "n_raw", "generation")
+         .select("bucket", "n_raw", "chk", "generation")
          .write.mode("append").parquet(_state_path(out_dir)))
     changed_buckets.unpersist()
     total = counts.count()

@@ -1027,15 +1027,20 @@ def q_simhash_near_dup7(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     """Near-duplicate embedding pairs.  Deterministic near-dups are
-    PLANTED (every 97th vector gets a scaled twin at vec_id+10^7, same
+    PLANTED (every 97th vector gets a scaled twin at -vec_id-1, same
     direction => cos 1.0) so the expected output is provably non-empty
     and the row count is meaningful evidence of LSH recall — a broken
-    LSH would miss the planted pairs."""
+    LSH would miss the planted pairs.  Twin ids are NEGATIVE, which can
+    never collide with a real non-negative vec_id at ANY table size
+    (the old +10^7 offset collided beyond 10M rows)."""
     from ..operators.similarity import lsh_self_near_dup
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(emb.select("embedding").first()[0])
+    first = emb.select("embedding").first()
+    if first is None or first[0] is None:
+        raise ValueError("q_embedding_near_dup: embeddings table is empty")
+    dim = len(first[0])
     planted = (emb.where(F.col("vec_id") % 97 == 0)
-               .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+               .select((-F.col("vec_id") - 1).alias("vec_id"),
                        F.transform("embedding",
                                    lambda v: (v * F.lit(1.001)).cast("float"))
                        .alias("embedding")))

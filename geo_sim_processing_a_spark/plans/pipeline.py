@@ -92,7 +92,11 @@ def pages_to_geoms(pages: DataFrame) -> DataFrame:
     one batch-vectorized Arrow kernel (sources/pages.py)."""
     with_h = (pages
               .withColumn("doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
-              .withColumn("h", F.xxhash64("doc_id")))
+              .withColumn("h", F.xxhash64("doc_id"))
+              # Spark cannot column-prune INTO mapInPandas: without this
+              # select the corpus's biggest columns (html, text) would
+              # round-trip JVM->Arrow->Python just to be dropped
+              .select("url", "h"))
 
     def gen(batches):
         for pdf in batches:
@@ -111,7 +115,9 @@ def pages_to_covered_geoms(pages: DataFrame, res: int) -> DataFrame:
 
     with_h = (pages
               .withColumn("doc_id", F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long"))
-              .withColumn("h", F.xxhash64("doc_id")))
+              .withColumn("h", F.xxhash64("doc_id"))
+              # prune BEFORE the Arrow boundary (see pages_to_geoms)
+              .select("url", "h"))
 
     def gen(batches):
         for pdf in batches:
@@ -318,19 +324,45 @@ def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
 
     # ONE shuffle: hash-partition by (cell, salt) — every tile lands
-    # wholly in one partition — then run the kernel with mapInPandas
-    # over whole partitions.  (groupBy().applyInPandas would add a
-    # second shuffle after the salting repartition.)
-    keys = [F.col("cell"), F.col("salt")] if has_salt else [F.col("cell")]
-    parted = geoms_with_cells.repartition(n_buckets, *keys)
+    # wholly in one partition — then run the kernel with mapInPandas,
+    # CARVING tiles incrementally.  (groupBy().applyInPandas would add
+    # a second shuffle after the salting repartition.)
+    #
+    # The partition-local sort makes each tile's rows CONTIGUOUS, so
+    # the Python worker holds at most (current tile + one Arrow batch)
+    # in memory — salting bounds a TILE (~2x target_rows_per_task), but
+    # nothing bounds a PARTITION (~total/(4P) rows: gathering it whole,
+    # as this stage originally did, OOMs the worker once rows-per-
+    # partition outgrow memory at scale).  Tungsten sort spills to disk;
+    # per-tile outputs are unchanged (the kernel re-sorts each bucket
+    # internally with a stable mergesort).
+    key_names = ["cell", "salt"] if has_salt else ["cell"]
+    keys = [F.col(k) for k in key_names]
+    parted = (geoms_with_cells.repartition(n_buckets, *keys)
+              .sortWithinPartitions(*keys))
 
     def run(batches):
-        # a tile must not straddle Arrow batches: gather the partition.
-        # Partition size is bounded by salting's target_rows_per_task.
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        yield bucket_fn(pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0])
+        import numpy as _np
+        pending = None  # open tail: the final (possibly incomplete) tile
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            kc = pdf[key_names].to_numpy()
+            tail = (kc == kc[-1]).all(axis=1)
+            not_tail = _np.nonzero(~tail)[0]
+            # sorted input => rows of the last key form the contiguous
+            # suffix; everything before it is complete tiles
+            cut = int(not_tail[-1]) + 1 if len(not_tail) else 0
+            if cut > 0:
+                yield bucket_fn(pdf.iloc[:cut].reset_index(drop=True))
+                pending = pdf.iloc[cut:].reset_index(drop=True)
+            else:
+                pending = pdf
+        if pending is not None and len(pending):
+            yield bucket_fn(pending)
 
     return parted.mapInPandas(run, KERNEL_OUT_SCHEMA)
 

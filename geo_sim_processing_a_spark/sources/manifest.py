@@ -18,16 +18,10 @@ manifest is a parquet directory implementing the same semantics:
 
 from __future__ import annotations
 
-import json
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-MANIFEST_SCHEMA = ("stage string, tile long, attempt int, n_features long, "
-                   "counters string, ts double")
-
 
 def manifest_path(base_dir: str) -> str:
     return os.path.join(base_dir, "_manifest")
@@ -65,16 +59,6 @@ def prune_completed(work: DataFrame, completed: DataFrame | None,
         return work
     return work.join(F.broadcast(completed.select(F.col("tile").alias(tile_col)).distinct()),
                      on=tile_col, how="left_anti")
-
-
-def manifest_rows_for_partition(stage: str, tiles_and_counts, attempt: int = 0):
-    """Build manifest rows inside a kernel task (one per tile)."""
-    now = time.time()
-    return [
-        {"stage": stage, "tile": int(t), "attempt": attempt,
-         "n_features": int(n), "counters": json.dumps(c, sort_keys=True), "ts": now}
-        for t, n, c in tiles_and_counts
-    ]
 
 
 def append_manifest(df: DataFrame, base_dir: str) -> None:

@@ -165,14 +165,6 @@ def geocode_columns(h_col):
     return lon, lat
 
 
-def footprint_square(lon: float, lat: float, side: float) -> np.ndarray:
-    half = side / 2.0
-    return np.array([
-        (lon - half, lat - half), (lon + half, lat - half),
-        (lon + half, lat + half), (lon - half, lat + half),
-        (lon - half, lat - half)], dtype=np.float64)
-
-
 def footprint_hole(lon: float, lat: float, side: float) -> np.ndarray:
     """Interior ring (hole) of a holed footprint: concentric square of
     side/4, wound opposite to the exterior (clockwise).  Exists where

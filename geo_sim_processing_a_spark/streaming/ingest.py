@@ -110,7 +110,10 @@ def stateful_cell_counts(pages_stream: DataFrame, res: int = 6) -> DataFrame:
         yield pd.DataFrame({"cell": [key[0]], "n_pages": [total],
                             "n_batches": [batches]})
 
-    return (with_cell.groupBy("cell")
+    # prune to the one column update() reads BEFORE the state shuffle /
+    # Arrow boundary (mapInPandas-family stages get no column pruning
+    # from Catalyst; html/text would otherwise ride the state exchange)
+    return (with_cell.select("cell").groupBy("cell")
             .applyInPandasWithState(update, CELL_STATS_OUTPUT, CELL_STATS_STATE,
                                     "update", GroupStateTimeout.NoTimeout))
 
@@ -121,8 +124,31 @@ def run_incremental_pipeline(spark: SparkSession, in_path: str, out_dir: str,
     """availableNow trigger: drain all currently-visible files through
     the tile pipeline batch-by-batch, then stop.  Each micro-batch goes
     through the manifest-gated pipeline, so tiles completed by earlier
-    batches are not recomputed within a batch's scope."""
+    batches are not recomputed within a batch's scope.
+
+    Manifest stages are keyed on (stream checkpoint identity, batch id),
+    NOT batch id alone: Structured Streaming restarts batch numbering
+    at 0 for a NEW checkpoint, so a fresh stream over an existing
+    out_dir (checkpoint deleted/replaced) would otherwise see the OLD
+    stream's 'simplify_b0' tiles as already complete and silently skip
+    pages that landed in them.  The identity is a marker written INTO
+    the checkpoint dir before start: resuming the same checkpoint
+    reuses it (batch numbering continues, matching stages resume),
+    while a new/recreated checkpoint gets a fresh id and therefore
+    fresh stage keys."""
+    import os
+    import uuid
+
     from ..plans.pipeline import run_pipeline
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    marker = os.path.join(checkpoint_dir, "_pipeline_stream_id")
+    if os.path.exists(marker):
+        sid = open(marker).read().strip()
+    else:
+        sid = uuid.uuid4().hex[:12]
+        with open(marker, "w") as f:
+            f.write(sid)
 
     stream = stream_pages(spark, in_path)
 
@@ -130,7 +156,7 @@ def run_incremental_pipeline(spark: SparkSession, in_path: str, out_dir: str,
         if batch_df.isEmpty():
             return
         run_pipeline(spark, batch_df, out_dir, res=res, diameter_tol=diameter_tol,
-                     stage=f"simplify_b{batch_id}")
+                     stage=f"simplify_{sid}_b{batch_id}")
 
     q = (stream.writeStream
          .foreachBatch(process_batch)

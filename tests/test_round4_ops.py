@@ -464,3 +464,27 @@ def test_hypertable_state_corruption_raises(spark, tmp_path):
     with pytest.raises(Exception) as exc:
         refresh(spark, e, out, bucket="hour")
     assert "PATH_NOT_FOUND" not in str(exc.value)
+
+
+def test_hypertable_detects_value_change_same_count(spark, tmp_path):
+    """A bucket whose values changed but whose row count did not must
+    still refresh (content checksum, not count-only detection)."""
+    from geo_sim_processing_a_spark.operators.hypertable import (
+        read_rollup, refresh)
+    out = str(tmp_path / "ht2")
+
+    def events(v):
+        return spark.createDataFrame(
+            pd.DataFrame({"event_id": [1], "user_id": [1],
+                          "event_type": ["a"],
+                          "ts": pd.to_datetime(["2024-01-01 10:05"]),
+                          "value": [v]}))
+
+    r1 = refresh(spark, events(1.0), out, bucket="hour")
+    assert r1["buckets_refreshed"] == 1
+    r2 = refresh(spark, events(2.0), out, bucket="hour")  # same count!
+    assert r2["buckets_refreshed"] == 1
+    got = read_rollup(spark, out).collect()[0]
+    assert got["total_value"] == 2.0
+    r3 = refresh(spark, events(2.0), out, bucket="hour")  # unchanged
+    assert r3["buckets_refreshed"] == 0
