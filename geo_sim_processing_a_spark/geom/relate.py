@@ -50,7 +50,10 @@ def simplicity_violated_chord(ax0, ay0, ax1, ay1, seg_b: np.ndarray) -> bool:
             a_lo, a_hi = (ay0, ay1) if ay0 <= ay1 else (ay1, ay0)
             b_lo, b_hi = (b0y, b1y) if b0y <= b1y else (b1y, b0y)
         if min(a_hi, b_hi) > max(a_lo, b_lo):
-            return False  # dim-1 overlap: pattern[0]=='1', allowed
+            # dim-1 overlap: pattern[0]=='1' (allowed) — but a B
+            # endpoint STRICTLY inside A's interval is pattern[1]=='0'
+            # ("extremity touching the interior"): violation
+            return (a_lo < b_lo < a_hi) or (a_lo < b_hi < a_hi)
         # degenerate collinear touching handled by the generic machinery
         return simplicity_violated(np.array([[ax0, ay0], [ax1, ay1]]), seg_b)
     p = P.segment_intersection_point((ax0, ay0), (ax1, ay1), (b0x, b0y), (b1x, b1y))
@@ -69,7 +72,10 @@ def simplicity_violated(line_a: np.ndarray, seg_b: np.ndarray) -> bool:
 
     ``line_a``: (m,2) replacement sub line (2 pts for a chord, 4 pts for
     a smooth line).  ``seg_b``: (2,2) segment of the same source line.
-    Collinear 1-D overlaps give pattern[0]=='1' and do NOT violate.
+    A collinear 1-D overlap gives pattern[0]=='1' (allowed) — but still
+    violates via pattern[1]=='0' when a B endpoint lies in A's interior
+    (GEOS records the 0-dim boundary touch separately from the 1-dim
+    interior overlap).
     """
     a_start = line_a[0]
     a_end = line_a[-1]
@@ -82,6 +88,16 @@ def simplicity_violated(line_a: np.ndarray, seg_b: np.ndarray) -> bool:
         s0, s1 = line_a[k], line_a[k + 1]
         if collinear_overlap(s0, s1, b0, b1):
             has_overlap = True
+            # pattern[1]=='0' applies INSIDE an overlap too: a B
+            # endpoint lying in A's interior (GEOS: II dim 1 with a
+            # 0-dim I(A)-boundary(B) entry — "extremity touching the
+            # interior").  B's endpoints are on the carrier line here;
+            # in-interval and not a global A endpoint => in interior(A).
+            for b in (b0, b1):
+                if (min(s0[0], s1[0]) <= b[0] <= max(s0[0], s1[0])
+                        and min(s0[1], s1[1]) <= b[1] <= max(s0[1], s1[1])
+                        and not (_pt_eq(b, a_start) or _pt_eq(b, a_end))):
+                    return True
             continue
         p = segment_intersection_point(s0, s1, b0, b1)
         if p is None:
@@ -98,8 +114,9 @@ def simplicity_violated(line_a: np.ndarray, seg_b: np.ndarray) -> bool:
 
     if point_ii and not has_overlap:
         return True
-    # If a collinear overlap exists, dim(II)==1 so pattern[0]=='1':
-    # not a violation per the reference's test.
+    # A collinear overlap makes dim(II)==1, so a point-II elsewhere no
+    # longer yields pattern[0]=='0'; the interior-touch case inside the
+    # overlap was already handled above.
     return False
 
 
@@ -121,7 +138,10 @@ def chord_violated_f(ax0: float, ay0: float, ax1: float, ay1: float,
             a_lo, a_hi = (ay0, ay1) if ay0 <= ay1 else (ay1, ay0)
             b_lo, b_hi = (by0, by1) if by0 <= by1 else (by1, by0)
         if min(a_hi, b_hi) > max(a_lo, b_lo):
-            return False  # dim-1 overlap: pattern[0]=='1', allowed
+            # dim-1 overlap: pattern[0]=='1' (allowed) — but a B
+            # endpoint STRICTLY inside A's interval is pattern[1]=='0'
+            # ("extremity touching the interior"): violation
+            return (a_lo < b_lo < a_hi) or (a_lo < b_hi < a_hi)
         return simplicity_violated(np.array([[ax0, ay0], [ax1, ay1]]),
                                    np.array([[bx0, by0], [bx1, by1]]))
     d1 = (bx1 - bx0) * (ay0 - by0) - (by1 - by0) * (ax0 - bx0)

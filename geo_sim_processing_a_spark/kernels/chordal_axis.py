@@ -214,7 +214,6 @@ class Triangle:
                 mp = [mids[i] for i, a in enumerate(self.adjacent) if a is not None]
                 lines.append(np.vstack([mp[0], mp[1]]))
             elif t == JUNCTION:
-                centroid = p.mean(axis=0)
                 # reference computes (x0+x1+x2)/3. exactly (:1382-1384)
                 centroid = np.array([(p[0, 0] + p[1, 0] + p[2, 0]) / 3.,
                                      (p[0, 1] + p[1, 1] + p[2, 1]) / 3.])

@@ -67,10 +67,12 @@ def _ring_self_intersects(ring: np.ndarray) -> bool:
                 continue
             p = P.segment_intersection_point(r[i], r[i + 1], r[j], r[j + 1])
             if p is not None:
-                # shared endpoint of adjacent-through-closure segments is fine
-                if (p[0] == r[i, 0] and p[1] == r[i, 1]) or \
-                        (p[0] == r[i + 1, 0] and p[1] == r[i + 1, 1]):
-                    continue
+                # NON-adjacent segments of a simple ring share no point
+                # at all (adjacency and closure pairs are excluded by
+                # the loop bounds), so ANY intersection — including one
+                # at a vertex (a pinched/self-touching ring) — is a
+                # violation.  The old endpoint-skip silently accepted
+                # vertex-on-edge pinches.
                 return True
             if P.collinear_overlap(r[i], r[i + 1], r[j], r[j + 1]):
                 return True
@@ -151,11 +153,48 @@ def visvalingam_whyatt_ring(ring: np.ndarray, area_tol: float) -> np.ndarray:
 # invalid-polygon repair (simplify_algorithm.py:218-246, fixed intent)
 # ---------------------------------------------------------------------------
 
+def _ring_within(ring: np.ndarray, outer: np.ndarray) -> bool:
+    """GEOS-``within``-style containment of a closed hole ring in a
+    closed exterior ring: every vertex inside-or-ON the exterior
+    (touching the boundary is allowed, as ``inner.within(outer)``
+    allows), AND no hole edge properly crossing an exterior edge
+    (an all-vertices-inside ring can still poke outside a concave
+    exterior between vertices).  Quadratic edge sweep — rings are
+    small post-simplification."""
+    if len(ring) <= 1:
+        return False
+    sides = [P.point_in_ring(x, y, outer) for x, y in ring[:-1]]
+    if any(s < 0 for s in sides):
+        return False
+    for i in range(len(ring) - 1):
+        h0, h1 = ring[i], ring[i + 1]
+        for j in range(len(outer) - 1):
+            o0, o1 = outer[j], outer[j + 1]
+            if P.collinear_overlap(h0, h1, o0, o1):
+                continue  # running along the boundary is within
+            p = P.segment_intersection_point(h0, h1, o0, o1)
+            if p is None:
+                continue
+            endpoint = ((p[0] == h0[0] and p[1] == h0[1])
+                        or (p[0] == h1[0] and p[1] == h1[1])
+                        or (p[0] == o0[0] and p[1] == o0[1])
+                        or (p[0] == o1[0] and p[1] == o1[1]))
+            if not endpoint:
+                return False  # proper crossing: pokes outside
+    if any(s > 0 for s in sides):
+        return True
+    # every vertex ON the boundary: decide by an edge midpoint
+    mx = (ring[0, 0] + ring[1, 0]) / 2.0
+    my = (ring[0, 1] + ring[1, 1]) / 2.0
+    return P.point_in_ring(mx, my, outer) >= 0
+
+
 def repair_polygon(rings: list) -> tuple[list, int]:
     """Re-assemble a possibly-invalid simplified polygon: the largest
-    ring becomes the exterior; interior rings are kept only if their
-    representative vertex lies strictly inside the exterior. Returns
-    (rings, nbr_holes_deleted)."""
+    ring becomes the exterior; interior rings are kept iff they are
+    within the exterior (GEOS-``within`` semantics, the reference's
+    ``inner.within(outer)`` — boundary touching allowed, edge
+    crossings rejected).  Returns (rings, nbr_holes_deleted)."""
     if len(rings) <= 1:
         return rings, 0
     order = sorted(range(len(rings)), key=lambda i: P.ring_area(rings[i]))
@@ -163,11 +202,8 @@ def repair_polygon(rings: list) -> tuple[list, int]:
     kept = [outer]
     deleted = 0
     for i in reversed(order[:-1]):
-        ring = rings[i]
-        inside = all(P.point_in_ring(x, y, outer) > 0 for x, y in ring[:-1]) \
-            if len(ring) > 1 else False
-        if inside:
-            kept.append(ring)
+        if _ring_within(rings[i], outer):
+            kept.append(rings[i])
         else:
             deleted += 1
     return kept, deleted

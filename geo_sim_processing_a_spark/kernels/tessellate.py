@@ -180,20 +180,33 @@ def tessellate(rings: list) -> list[np.ndarray]:
     """Triangulate a polygon (list of rings, exterior first, closed or
     open).  Returns a list of (3,2) float64 triangle arrays."""
     outer = _ring_open(np.asarray(rings[0], dtype=np.float64))
-    holes = [_ring_open(np.asarray(r, dtype=np.float64)) for r in rings[1:]]
+    # normalize winding: outer CCW, holes CW (the bridge splice and the
+    # ear tests assume opposite windings — a hole wound LIKE the outer
+    # ring was silently triangulated as filled area).  Reverse-then-roll
+    # keeps the start vertex, so correctly-wound input is bit-unchanged.
+    if P.signed_area(outer) < 0.0:
+        outer = np.roll(outer[::-1], 1, axis=0)
+    holes = []
+    for r in rings[1:]:
+        h = _ring_open(np.asarray(r, dtype=np.float64))
+        if P.signed_area(h) > 0.0:
+            h = np.roll(h[::-1], 1, axis=0)
+        holes.append(h)
     if holes:
         ring = _bridge_holes(outer, holes)
     else:
         ring = outer
-    n0 = len(ring)
-    # drop exact duplicate consecutive vertices (bridge splices create them)
-    keep = [0]
-    for k in range(1, n0):
-        if ring[k, 0] != ring[keep[-1], 0] or ring[k, 1] != ring[keep[-1], 1]:
-            keep.append(k)
-    # bridged rings legitimately repeat non-consecutive vertices; ear
-    # clipping below works on indices so that is fine
-    pts = ring[keep] if holes else ring
+    if holes:
+        # drop exact duplicate consecutive vertices (bridge splices
+        # create them); bridged rings legitimately repeat
+        # non-consecutive vertices — ear clipping works on indices
+        keep = [0]
+        for k in range(1, len(ring)):
+            if ring[k, 0] != ring[keep[-1], 0] or ring[k, 1] != ring[keep[-1], 1]:
+                keep.append(k)
+        pts = ring[keep]
+    else:
+        pts = ring
     tris = _ear_clip(pts)
     constrained = set()
     m = len(pts)

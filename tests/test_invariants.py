@@ -92,3 +92,20 @@ def test_multipart_explode_normalization(spark):
     single = (df.select("fid", F.posexplode("parts").alias("part_idx", "coords")))
     got = sorted((r["fid"], r["part_idx"]) for r in single.collect())
     assert got == [(1, 0), (1, 1), (2, 0)]
+
+
+def test_collinear_overlap_interior_touch_violates():
+    """Reference pattern[1]=='0' inside a collinear overlap: an
+    endpoint of the other segment lying in the chord's INTERIOR is a
+    simplicity violation even though the interiors overlap in dim 1."""
+    import numpy as np
+    from geo_sim_processing_a_spark.geom.relate import (
+        chord_violated_f, simplicity_violated)
+    assert chord_violated_f(0, 0, 10, 0, 5, 0, 15, 0)
+    assert not chord_violated_f(0, 0, 10, 0, 10, 0, 15, 0)
+    assert not chord_violated_f(0, 0, 10, 0, -5, 0, 15, 0)
+    assert chord_violated_f(0, 0, 10, 0, 2, 0, 8, 0)
+    assert not chord_violated_f(0, 0, 10, 0, 0, 0, 10, 0)
+    a = np.array([[0.0, 0.0], [10.0, 0.0]])
+    assert simplicity_violated(a, np.array([[5.0, 0.0], [15.0, 0.0]]))
+    assert not simplicity_violated(a, np.array([[-5.0, 0.0], [15.0, 0.0]]))

@@ -84,3 +84,37 @@ def test_simplify_feature_polygon():
     rings, deleted = simplify_feature([outer], kind=2, tolerance=1.0)
     assert np.array_equal(rings[0], arr([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]))
     assert deleted == 0
+
+
+def test_pinched_ring_detected():
+    """Vertex-on-edge self-touch (pinched ring) counts as
+    self-intersecting: simplification must fall back to the input."""
+    import numpy as np
+    from geo_sim_processing_a_spark.kernels.simplify import (
+        _ring_self_intersects)
+    pinched = np.array([[0, 0], [2, 2], [4, 0], [4, 2], [0, 2]], float)
+    assert _ring_self_intersects(pinched)
+
+
+def test_repair_keeps_touching_hole_drops_crossing():
+    """within-semantics: a hole touching the exterior boundary at a
+    vertex is VALID and kept; a hole whose edge crosses the exterior is
+    deleted — including the concave case where every hole vertex is
+    inside but an edge pokes outside."""
+    import numpy as np
+    from geo_sim_processing_a_spark.kernels.simplify import repair_polygon
+
+    def ring(pts):
+        return np.array(pts + [pts[0]], float)
+
+    outer = ring([[0, 0], [10, 0], [10, 10], [0, 10]])
+    touch = ring([[0, 0], [2, 0.5], [1, 2]])
+    kept, ndel = repair_polygon([outer, touch])
+    assert ndel == 0 and len(kept) == 2
+    cross = ring([[8, 8], [12, 8], [12, 9], [8, 9]])
+    kept, ndel = repair_polygon([outer, cross])
+    assert ndel == 1 and len(kept) == 1
+    concave = ring([[0, 0], [10, 0], [10, 10], [5, 2], [0, 10]])
+    poke = ring([[2, 3], [8, 3], [8, 4], [2, 4]])
+    kept, ndel = repair_polygon([concave, poke])
+    assert ndel == 1

@@ -32,3 +32,22 @@ def test_skeleton_of_holed_polygon_runs():
     for l in lines:
         for x, y in l:
             assert P.point_in_ring(x, y, outer) >= 0
+
+
+def test_hole_orientation_normalized():
+    """A hole wound the SAME way as the outer ring must still be cut
+    out (winding is normalized at entry — same-wound input previously
+    triangulated the hole as filled area)."""
+    import numpy as np
+    from geo_sim_processing_a_spark.geom.primitives import ring_area
+    from geo_sim_processing_a_spark.kernels.tessellate import tessellate
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+    hole_ccw = np.array([[1, 5], [3, 5], [3, 7], [1, 7]], float)
+    for hole in (hole_ccw, hole_ccw[::-1].copy()):
+        tris = tessellate([outer, hole])
+        area = sum(ring_area(t) for t in tris)
+        assert abs(area - 96.0) < 1e-9
+        # no triangle centroid inside the hole
+        for t in tris:
+            cx, cy = t.mean(axis=0)
+            assert not (1 < cx < 3 and 5 < cy < 7)
