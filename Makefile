@@ -1,4 +1,4 @@
-.PHONY: test verify bench scaling dist plans lint
+.PHONY: test verify bench scaling capacity dist plans lint
 
 test:
 	python -m pytest tests/ -q
@@ -11,6 +11,9 @@ bench:
 
 scaling:
 	python tools/bench_scaling.py 480000 2
+
+capacity:
+	python tools/bench_capacity.py 1000000 32 2
 
 dist:
 	python tools/build_dist.py
