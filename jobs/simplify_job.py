@@ -14,6 +14,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# importable under spark-submit --py-files AND under a bare
+# `python jobs/simplify_job.py` from a repo checkout
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
