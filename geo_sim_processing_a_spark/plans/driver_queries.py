@@ -1157,6 +1157,57 @@ def all_queries():
     }
 
 
+# ---------------------------------------------------------------------------
+# Pinned golden-file oracles for the non-SQL-expressible kernels.
+#
+# The geometry / LSH / decode queries below have no ANSI-SQL twin (the
+# greedy bend order, CDT, banded LSH joins and BMP/PCM decoding ARE the
+# spec), so their oracle is the pinned expected output itself: a
+# parquet file under tests/data/expected/<sf>/ generated once by
+# tools/make_golden_oracles.py from kernels that are themselves gated
+# by the 43 reference-golden pytest cases (exact vertex sequences) and
+# the property suites, then determinism-checked at two parallelism
+# levels (local[8] vs local[32], bit-identical multisets).  Provenance
+# and regeneration protocol: FIXTURES.md "Golden oracles".
+#
+# DuckDB reads the file via read_parquet(); the driver's
+# rows+schema+hash compare then acts as a real regression gate for the
+# geometry layer instead of the weaker rows-only check.  The driver
+# correctness gate runs at sf0.01; local verification at other SFs
+# selects the matching pinned set via SPARK_GRAFT_GOLDEN_SF
+# (tools/verify_oracles.py sets it from the sf_dir basename).
+# ---------------------------------------------------------------------------
+
+GOLDEN_ORACLE_QUERIES = [
+    "q_reduce_bend_tiles",
+    "q_reduce_bend_smooth",
+    "q_dp_simplify",
+    "q_vw_simplify",
+    "q_chordal_axis",
+    "q_chordal_triangles",
+    "q_minhash_near_dup",
+    "q_simhash_near_dup",
+    "q_simhash_near_dup7",
+    "q_winnow_near_dup",
+    "q_embedding_near_dup",
+    "q_ivf_topk",
+    "q_raster_tiles",
+    "q_media_features",
+    "q_text_extract_parity",
+    "q_dedup_clusters",
+]
+
+
+def _golden_sql(name: str) -> str:
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
+    sf_name = _os.environ.get("SPARK_GRAFT_GOLDEN_SF", "sf0.01")
+    path = _os.path.join(repo, "tests", "data", "expected", sf_name,
+                         f"{name}.parquet")
+    return f"SELECT * FROM read_parquet('{path}')"
+
+
 def all_oracles():
     return {
         "q01_pricing_summary": SQL_Q01,
@@ -1188,6 +1239,8 @@ def all_oracles():
         "q_embedding_topk": SQL_EMBEDDING_TOPK,
         "q_asof_events": SQL_ASOF_EVENTS,
         "q_connected_components": SQL_CONNECTED_COMPONENTS,
+        # pinned golden-file oracles (see GOLDEN_ORACLE_QUERIES above)
+        **{name: _golden_sql(name) for name in GOLDEN_ORACLE_QUERIES},
     }
 
 

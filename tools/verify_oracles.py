@@ -36,6 +36,9 @@ def canon_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    # pinned golden-file oracles are per-SF: select the matching set
+    # (the real driver runs at sf0.01, the env default)
+    os.environ["SPARK_GRAFT_GOLDEN_SF"] = os.path.basename(sf_dir.rstrip("/"))
 
     import __spark_entry__ as entrymod
     from geo_sim_processing_a_spark.plans.session import get_spark
