@@ -189,12 +189,59 @@ def _ring_within(ring: np.ndarray, outer: np.ndarray) -> bool:
     return P.point_in_ring(mx, my, outer) >= 0
 
 
+def _ring_intersects_hole_interior(ring: np.ndarray, hole: np.ndarray) -> bool:
+    """Does ``ring``'s area reach into ``hole``'s OPEN interior?  Used
+    for within-semantics against a polygon-under-construction: a hole's
+    interior is OUTSIDE the polygon, so a candidate ring poking into it
+    is not ``within``.  Touching the hole from outside (shared vertex /
+    shared boundary run) is fine — that leaves the candidate inside the
+    polygon's closure."""
+    if len(ring) <= 1:
+        return False
+    sides = [P.point_in_ring(x, y, hole) for x, y in ring[:-1]]
+    if any(s > 0 for s in sides):
+        return True  # a vertex strictly inside the hole
+    for i in range(len(ring) - 1):
+        h0, h1 = ring[i], ring[i + 1]
+        # chord across the hole: both endpoints ON its boundary, edge
+        # body through the interior
+        if sides[i] == 0 and sides[(i + 1) % len(sides)] == 0:
+            mx, my = (h0[0] + h1[0]) / 2.0, (h0[1] + h1[1]) / 2.0
+            if P.point_in_ring(mx, my, hole) > 0:
+                return True
+        for j in range(len(hole) - 1):
+            o0, o1 = hole[j], hole[j + 1]
+            if P.collinear_overlap(h0, h1, o0, o1):
+                continue  # running along the hole boundary is allowed
+            p = P.segment_intersection_point(h0, h1, o0, o1)
+            if p is None:
+                continue
+            endpoint = ((p[0] == h0[0] and p[1] == h0[1])
+                        or (p[0] == h1[0] and p[1] == h1[1])
+                        or (p[0] == o0[0] and p[1] == o0[1])
+                        or (p[0] == o1[0] and p[1] == o1[1]))
+            if not endpoint:
+                return True  # proper crossing: slices into the hole
+    if sides and all(s == 0 for s in sides):
+        # every vertex on the hole boundary: decide by an edge midpoint
+        mx = (ring[0, 0] + ring[1, 0]) / 2.0
+        my = (ring[0, 1] + ring[1, 1]) / 2.0
+        return P.point_in_ring(mx, my, hole) > 0
+    return False
+
+
 def repair_polygon(rings: list) -> tuple[list, int]:
     """Re-assemble a possibly-invalid simplified polygon: the largest
     ring becomes the exterior; interior rings are kept iff they are
-    within the exterior (GEOS-``within`` semantics, the reference's
-    ``inner.within(outer)`` — boundary touching allowed, edge
-    crossings rejected).  Returns (rings, nbr_holes_deleted)."""
+    within the POLYGON UNDER CONSTRUCTION — the reference's
+    ``inner.within(s_geom_outer)`` where s_geom_outer already includes
+    previously-accepted holes (``sim_geom_algorithm`` repair loop).
+    Concretely: within the exterior (boundary touching allowed, proper
+    edge crossings rejected) AND not reaching into the open interior of
+    any already-kept hole — a kept hole's interior is outside the
+    polygon, so a ring nested inside one is deleted (ADVICE r4; holes
+    are processed largest-first so the container hole is always seen
+    before its nested candidate).  Returns (rings, nbr_holes_deleted)."""
     if len(rings) <= 1:
         return rings, 0
     order = sorted(range(len(rings)), key=lambda i: P.ring_area(rings[i]))
@@ -202,8 +249,11 @@ def repair_polygon(rings: list) -> tuple[list, int]:
     kept = [outer]
     deleted = 0
     for i in reversed(order[:-1]):
-        if _ring_within(rings[i], outer):
-            kept.append(rings[i])
+        cand = rings[i]
+        if (_ring_within(cand, outer)
+                and not any(_ring_intersects_hole_interior(cand, hole)
+                            for hole in kept[1:])):
+            kept.append(cand)
         else:
             deleted += 1
     return kept, deleted

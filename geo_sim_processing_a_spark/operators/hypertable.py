@@ -55,12 +55,23 @@ def _read_state(spark: SparkSession, out_dir: str) -> DataFrame | None:
     max-generation counts re-trigger full recomputes forever after."""
     from pyspark.errors import AnalysisException
     try:
-        return spark.read.parquet(_state_path(out_dir))
+        # mergeSchema: a migrated dir holds legacy (no-chk) AND current
+        # state files — a single arbitrary footer would drop chk for
+        # every row and re-trigger full refreshes forever
+        state = (spark.read.option("mergeSchema", "true")
+                 .parquet(_state_path(out_dir)))
     except AnalysisException as ex:
         msg = str(ex)
         if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
             return None
         raise
+    # state-schema migration: out_dirs written before the chk column
+    # existed read back as chk=NULL; the changed-bucket diff treats a
+    # NULL stored chk as "changed", so old state dirs refresh once and
+    # self-migrate instead of failing max_by("chk", ...) resolution
+    if "chk" not in state.columns:
+        state = state.withColumn("chk", F.lit(None).cast("decimal(38,0)"))
+    return state
 
 
 def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
@@ -96,6 +107,9 @@ def refresh(spark: SparkSession, events: DataFrame, out_dir: str,
                        F.max_by("chk", "generation").alias("chk")))
         joined = counts.alias("c").join(latest.alias("s"), "bucket", "left")
         changed = (joined.where(F.col("s.n_raw").isNull()
+                                # NULL stored chk = pre-migration state
+                                # row: recompute once to materialize it
+                                | F.col("s.chk").isNull()
                                 | (F.col("c.n_raw") != F.col("s.n_raw"))
                                 | (F.col("c.chk") != F.col("s.chk")))
                    .select("bucket", F.col("c.n_raw").alias("n_raw"),

@@ -224,7 +224,16 @@ def q_hypertable_rollup(spark, sf_dir):
     """Hypertable rollup: incrementally-refreshed hourly continuous
     aggregate over events, materialized per-bucket with dynamic
     partition overwrite; the READ-BACK materialization is what gets
-    hash-compared to the direct SQL aggregate."""
+    hash-compared to the direct SQL aggregate.
+
+    CONSUME-IMMEDIATELY CONTRACT (ADVICE r4): the returned DataFrame is
+    a lazy read over a session-scoped scratch dir that a LATER
+    invocation's refresh() rewrites with dynamic partition overwrite —
+    execute (collect/write) it before calling this query again in the
+    same process, or the held plan can hit deleted-file errors /
+    mixed-generation reads.  The driver harness and bench both consume
+    eagerly; callers wanting a durable handle should pass their own
+    out_dir to the operator and snapshot (e.g. localCheckpoint)."""
     import atexit
     import shutil
     import tempfile

@@ -491,11 +491,34 @@ def _check_run_params(out_dir: str, stage: str, **params) -> None:
     fp = _json.dumps(params, sort_keys=True)
 
     def _verify(prev: str) -> None:
-        if prev != fp:
-            raise ValueError(
-                f"run_pipeline: out_dir {out_dir!r} stage {stage!r} was "
-                f"written with different parameters {prev}; resuming with "
-                f"{fp} would mix results — use a new out_dir or stage")
+        if prev == fp:
+            return
+        # legacy compatibility: params files written before the
+        # resolved-epsilon change recorded "epsilon": null for
+        # epsilon=None runs.  The resumed run resolves a concrete
+        # epsilon from the SAME inputs, so a null on disk with every
+        # other key equal is the same run — accept it and upgrade the
+        # file in place (atomic replace) so the resolved value is
+        # pinned from now on (ADVICE r4).
+        try:
+            prev_d = _json.loads(prev)
+        except ValueError:
+            prev_d = None
+        if (isinstance(prev_d, dict) and prev_d.get("epsilon") is None
+                and params.get("epsilon") is not None
+                and {k: v for k, v in prev_d.items() if k != "epsilon"}
+                == {k: v for k, v in params.items() if k != "epsilon"}):
+            tmp2 = f"{path}.tmp.{_os.getpid()}.upgrade"
+            with open(tmp2, "w") as f2:
+                f2.write(fp)
+                f2.flush()
+                _os.fsync(f2.fileno())
+            _os.replace(tmp2, path)
+            return
+        raise ValueError(
+            f"run_pipeline: out_dir {out_dir!r} stage {stage!r} was "
+            f"written with different parameters {prev}; resuming with "
+            f"{fp} would mix results — use a new out_dir or stage")
 
     _os.makedirs(local_dir, exist_ok=True)
     if _os.path.exists(path):

@@ -38,6 +38,34 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    """Small-file text read through the Hadoop FS API (works for any
+    scheme the cluster can reach, unlike driver-local open())."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        return str(jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create-exclusive small-file text write through the Hadoop FS API
+    (overwrite=False: a concurrent creator loses with a
+    FileAlreadyExistsException rather than silently clobbering)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, False)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def read_completed(spark: SparkSession, base_dir: str, stage: str) -> DataFrame | None:
     """None means 'no manifest yet' — ONLY the path-missing case.  A
     manifest that exists but cannot be read (corrupt file, transient FS

@@ -136,19 +136,22 @@ def run_incremental_pipeline(spark: SparkSession, in_path: str, out_dir: str,
     reuses it (batch numbering continues, matching stages resume),
     while a new/recreated checkpoint gets a fresh id and therefore
     fresh stage keys."""
-    import os
+    import posixpath
     import uuid
 
     from ..plans.pipeline import run_pipeline
+    from ..sources.manifest import fs_exists, fs_read_text, fs_write_text
 
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    marker = os.path.join(checkpoint_dir, "_pipeline_stream_id")
-    if os.path.exists(marker):
-        sid = open(marker).read().strip()
+    # marker I/O through the Hadoop FS API: a remote checkpoint URI
+    # (hdfs://, s3a://) must read/write the SAME marker from any driver
+    # host — driver-local open() would mint a fresh sid per host and
+    # change the manifest stage keys mid-stream (ADVICE r4)
+    marker = posixpath.join(checkpoint_dir, "_pipeline_stream_id")
+    if fs_exists(spark, marker):
+        sid = fs_read_text(spark, marker).strip()
     else:
         sid = uuid.uuid4().hex[:12]
-        with open(marker, "w") as f:
-            f.write(sid)
+        fs_write_text(spark, marker, sid)
 
     stream = stream_pages(spark, in_path)
 

@@ -1,0 +1,195 @@
+"""Round-5 regression tests: ADVICE r4 fixes (hypertable state
+migration, Hadoop-FS stream marker, epsilon-null params upgrade,
+hole-in-hole repair semantics) and the pinned golden-oracle layer."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# hypertable: pre-chk state dirs self-migrate (ADVICE r4 #1)
+# ---------------------------------------------------------------------------
+
+def test_hypertable_pre_chk_state_migrates(spark, tmp_path):
+    """An out_dir whose _rollup_state predates the chk column must
+    refresh once (NULL chk = changed) and self-migrate, not fail
+    max_by('chk', ...) resolution."""
+    from geo_sim_processing_a_spark.operators.hypertable import (
+        read_rollup, refresh)
+    out = str(tmp_path / "ht_legacy")
+    e = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1, 2], "user_id": [1, 1],
+                      "event_type": ["a", "b"],
+                      "ts": pd.to_datetime(["2024-01-01 10:05",
+                                            "2024-01-01 11:10"]),
+                      "value": [1.0, 2.0]}))
+    refresh(spark, e, out, bucket="hour")
+    # rewrite the state WITHOUT the chk column (legacy layout)
+    state_path = f"{out}/_rollup_state"
+    legacy = spark.read.parquet(state_path).drop("chk").toPandas()
+    import shutil
+    shutil.rmtree(state_path)
+    spark.createDataFrame(legacy).write.parquet(state_path)
+
+    r2 = refresh(spark, e, out, bucket="hour")  # must not raise
+    assert r2["buckets_refreshed"] == 2          # NULL chk → recompute once
+    r3 = refresh(spark, e, out, bucket="hour")
+    assert r3["buckets_refreshed"] == 0          # migrated: stable again
+    vals = {(r["event_type"]): r["total_value"]
+            for r in read_rollup(spark, out).collect()}
+    assert vals == {"a": 1.0, "b": 2.0}
+
+
+# ---------------------------------------------------------------------------
+# Hadoop-FS text marker helpers (ADVICE r4 #2)
+# ---------------------------------------------------------------------------
+
+def test_fs_text_marker_roundtrip(spark, tmp_path):
+    from geo_sim_processing_a_spark.sources.manifest import (
+        fs_exists, fs_read_text, fs_write_text)
+    marker = str(tmp_path / "ckpt" / "_pipeline_stream_id")
+    assert not fs_exists(spark, marker)
+    fs_write_text(spark, marker, "abc123")
+    assert fs_exists(spark, marker)
+    assert fs_read_text(spark, marker) == "abc123"
+    # exclusive create: a second writer must fail loudly, not clobber
+    with pytest.raises(Exception):
+        fs_write_text(spark, marker, "other")
+    assert fs_read_text(spark, marker) == "abc123"
+
+
+def test_stream_marker_via_hadoop_fs(spark, tmp_path):
+    """run_incremental_pipeline's stream-identity marker goes through
+    the Hadoop FS API: a file:// checkpoint URI reads/writes the real
+    local path, not a literal './file:/...' directory."""
+    from geo_sim_processing_a_spark.sources.manifest import (
+        fs_read_text, fs_write_text)
+    ckpt = tmp_path / "ckpt_uri"
+    marker_uri = f"file://{ckpt}/_pipeline_stream_id"
+    fs_write_text(spark, marker_uri, "sid42")
+    # visible at the plain local path — no './file:' literal dir
+    assert (ckpt / "_pipeline_stream_id").read_text() == "sid42"
+    assert fs_read_text(spark, marker_uri) == "sid42"
+    assert not os.path.exists("./file:")
+
+
+# ---------------------------------------------------------------------------
+# params-file epsilon-null upgrade (ADVICE r4 #4)
+# ---------------------------------------------------------------------------
+
+def test_params_epsilon_null_upgrade(tmp_path):
+    """A pre-existing params file with "epsilon": null (written before
+    resolved-epsilon recording) must be accepted when every other key
+    matches, and upgraded in place with the resolved value."""
+    from geo_sim_processing_a_spark.plans.pipeline import _check_run_params
+    out = str(tmp_path / "run")
+    os.makedirs(out)
+    legacy = {"res": 6, "diameter_tol": 0.004, "kernel": "sherbend",
+              "smooth": False, "epsilon": None}
+    path = os.path.join(out, "_params_simplify.json")
+    with open(path, "w") as f:
+        f.write(json.dumps(legacy, sort_keys=True))
+    resolved = dict(legacy, epsilon=[1e-12, 1e-13])
+    _check_run_params(out, "simplify", **resolved)  # must not raise
+    stored = json.loads(open(path).read())
+    assert stored["epsilon"] == [1e-12, 1e-13]      # upgraded in place
+    # and a REAL mismatch still raises (other key differs)
+    with pytest.raises(ValueError):
+        _check_run_params(out, "simplify", **dict(resolved, res=7))
+    # re-resume with the now-recorded resolved epsilon: fine
+    _check_run_params(out, "simplify", **resolved)
+
+
+# ---------------------------------------------------------------------------
+# repair_polygon: hole-in-hole (ADVICE r4 #5)
+# ---------------------------------------------------------------------------
+
+def _sq(x0, y0, s):
+    return np.array([(x0, y0), (x0 + s, y0), (x0 + s, y0 + s),
+                     (x0, y0 + s), (x0, y0)], dtype=float)
+
+
+def test_repair_polygon_nested_hole_deleted():
+    """A ring nested inside an already-kept hole is OUTSIDE the polygon
+    under construction — the reference's inner.within(s_geom_outer)
+    deletes it."""
+    from geo_sim_processing_a_spark.kernels.simplify import repair_polygon
+    exterior = _sq(0, 0, 100)
+    hole = _sq(10, 10, 40)
+    nested = _sq(20, 20, 10)          # strictly inside `hole`
+    kept, deleted = repair_polygon([exterior, hole, nested])
+    assert deleted == 1
+    assert len(kept) == 2
+    assert np.array_equal(kept[1], hole)
+
+
+def test_repair_polygon_touching_holes_kept():
+    """Two holes touching at a boundary point/edge both survive (the
+    round-4 within-semantics: touching allowed)."""
+    from geo_sim_processing_a_spark.kernels.simplify import repair_polygon
+    exterior = _sq(0, 0, 100)
+    hole_a = _sq(10, 10, 20)
+    hole_b = _sq(30, 10, 15)          # shares the x=30 edge with hole_a
+    kept, deleted = repair_polygon([exterior, hole_a, hole_b])
+    assert deleted == 0
+    assert len(kept) == 3
+
+
+def test_repair_polygon_hole_crossing_into_hole_deleted():
+    """A ring partially overlapping a kept hole's interior pokes
+    outside the polygon closure — deleted."""
+    from geo_sim_processing_a_spark.kernels.simplify import repair_polygon
+    exterior = _sq(0, 0, 100)
+    hole = _sq(10, 10, 40)
+    crossing = _sq(45, 20, 10)        # straddles hole's x=50 edge
+    kept, deleted = repair_polygon([exterior, hole, crossing])
+    assert deleted == 1
+    assert [len(r) for r in kept] == [5, 5]
+
+
+def test_repair_polygon_disjoint_holes_unaffected():
+    from geo_sim_processing_a_spark.kernels.simplify import repair_polygon
+    exterior = _sq(0, 0, 100)
+    holes = [_sq(10, 10, 10), _sq(40, 40, 10), _sq(70, 70, 10)]
+    kept, deleted = repair_polygon([exterior] + holes)
+    assert deleted == 0
+    assert len(kept) == 4
+
+
+# ---------------------------------------------------------------------------
+# golden-oracle layer
+# ---------------------------------------------------------------------------
+
+def test_golden_oracle_files_exist():
+    """Every non-SQL-expressible query ships a pinned expected-output
+    parquet for the driver SF (sf0.01) and the test SFs."""
+    from geo_sim_processing_a_spark.plans.driver_queries import (
+        GOLDEN_ORACLE_QUERIES, all_oracles, all_queries)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for sf in ("sf0.001", "sf0.01"):
+        for name in GOLDEN_ORACLE_QUERIES:
+            path = os.path.join(repo, "tests", "data", "expected", sf,
+                                f"{name}.parquet")
+            assert os.path.exists(path), f"missing golden {sf}/{name}"
+    # every query now carries SOME oracle: union of SQL + golden = all
+    assert set(all_oracles()) == set(all_queries())
+
+
+def test_golden_oracle_matches_live_run(spark):
+    """Spot-check (cheap queries at sf0.001): the live kernel output
+    equals the pinned golden multiset, through the same canonical form
+    the generator uses."""
+    import pyarrow.parquet as pq
+    from geo_sim_processing_a_spark.plans.driver_queries import all_queries
+    from tools.make_golden_oracles import canon_multiset, expected_dir
+    qs = all_queries()
+    for name in ("q_raster_tiles", "q_dedup_clusters",
+                 "q_text_extract_parity"):
+        live = qs[name](spark, "/root/testdata/sf0.001").toArrow()
+        pinned = pq.read_table(
+            os.path.join(expected_dir("sf0.001"), f"{name}.parquet"))
+        assert canon_multiset(live) == canon_multiset(pinned), name
