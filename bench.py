@@ -23,6 +23,48 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def proc_tree_cpu_sec() -> float:
+    """Cumulative user+system CPU seconds of this process and every
+    descendant (the Spark JVM and its pyspark.daemon workers) read from
+    /proc/<pid>/stat.  Live descendants contribute utime+stime; reaped
+    children are folded into their parent's cutime/cstime — both paths
+    are summed, so a window delta is exact even across worker churn.
+
+    Why: the secondary per-query metric VERDICT r4 asked for.  Wall
+    time on this host swings 2-3x with the external-tenant throttle;
+    task CPU time is unaffected by scheduler preemption (the dominant
+    observed mode — cache-resident work stays normal during episodes)
+    and only mildly inflated by pure DRAM-bandwidth stalls, so
+    cross-round comparisons can be settled without waiting for a
+    healthy wall-clock window."""
+    hz = os.sysconf("SC_CLK_TCK")
+    stats: dict[int, tuple[int, float]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                st = f.read()
+        except OSError:
+            continue  # raced a process exit
+        rest = st[st.rindex(")") + 2:].split()
+        ppid = int(rest[1])
+        cpu = sum(int(rest[i]) for i in (11, 12, 13, 14))  # u,s,cu,cs
+        stats[int(d)] = (ppid, cpu)
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in stats.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0.0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in stats:
+            continue
+        seen.add(p)
+        total += stats[p][1]
+        stack.extend(children.get(p, []))
+    return total / hz
+
+
 def dram_probe() -> float:
     """Measured DRAM bandwidth in GB/s (healthy host: ~10-35; throttle
     episodes observed at 0.15-4 GB/s, NOTES_ROUND2/3)."""
@@ -105,18 +147,25 @@ def main():
               "region", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     timings: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
 
     def run(name, fn, reps: int = 1):
         # reps>1: best-of-N — this host has external noise episodes
         # (NOTES_ROUND2/3) and a single shot can be 2-3x off; the
-        # headline pipelines are worth the extra pass
-        best, out = None, None
+        # headline pipelines are worth the extra pass.  cpu_sec is the
+        # process-tree CPU delta of the SAME rep that won on wall, so
+        # the two lines describe one run.
+        best, best_cpu, out = None, None, None
         for _ in range(reps):
+            c0 = proc_tree_cpu_sec()
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            dc = proc_tree_cpu_sec() - c0
+            if best is None or dt < best:
+                best, best_cpu = dt, dc
         timings[name] = round(best, 3)
+        cpu_secs[name] = round(best_cpu, 3)
         return out
 
     # ---- headline: flagship geo pipeline over synthetic pages ----
@@ -185,6 +234,7 @@ def main():
         "value": round(throughput, 3),
         "unit": "sec",
         "queries": timings,
+        "cpu_sec": cpu_secs,
         "sf": sf_dir,
         "detail": {"tiles": int(head["tiles"]), "geoms": int(head["geoms"]),
                    "v_in": int(head["v_in"]), "v_out": int(head["v_out"]),
