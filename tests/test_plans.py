@@ -200,3 +200,57 @@ def test_curation_udf_free_mapside_dedup(spark):
     assert "EvalPython" not in plan
     assert "partial_min_by" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-5 plan-lint sweep: EVERY driver query, automatically
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from geo_sim_processing_a_spark.plans.driver_queries import all_queries as _all_q
+
+# brute-force exact top-k is INTENTIONALLY a broadcast nested-loop of a
+# tiny query set against the corpus (the IVF query is the scale path);
+# everything else must never plan one.
+_ALLOW_BNLJ = {"q_embedding_topk"}
+
+
+def _tree_nodes(plan: str):
+    """(depth, text) per physical-plan tree line; depth from the 3-char
+    tree markers ('+- ', ':- ', ':  ', '   ')."""
+    nodes = []
+    for raw in plan.splitlines():
+        if not raw.strip() or raw.startswith("=="):
+            continue
+        m = _re.match(r"^((?:\s{3}|:\s{2}|\+- |:- )*)(.+)$", raw)
+        if not m:
+            continue
+        text = _re.sub(r"^\*\(\d+\) ", "", m.group(2).strip())
+        nodes.append((len(m.group(1)) // 3, text))
+    return nodes
+
+
+@pytest.mark.parametrize("name", sorted(_all_q()))
+def test_plan_lint_sweep(spark, name):
+    """Scale-killer lint over the FULL query battery (VERDICT r4 #4):
+    no CartesianProduct, no BroadcastNestedLoopJoin (allowlisted brute
+    top-k excepted), no row-at-a-time Python evaluator, and no Exchange
+    whose direct child is another Exchange (a shuffle feeding a
+    shuffle = a misplaced repartition that re-shuffles 100% of rows)."""
+    df = _all_q()[name](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+    if name not in _ALLOW_BNLJ:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}:\n{plan}"
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF:\n{plan}"
+    nodes = _tree_nodes(plan)
+    for i, (d, text) in enumerate(nodes):
+        if not text.startswith("Exchange"):
+            continue
+        for d2, t2 in nodes[i + 1:]:
+            if d2 <= d:
+                break
+            if d2 == d + 1:
+                assert not t2.startswith("Exchange"), \
+                    f"Exchange directly feeding Exchange in {name}:\n{plan}"
