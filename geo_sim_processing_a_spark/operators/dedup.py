@@ -278,6 +278,59 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        *[F.col(c) for c in keep_cols])
 
 
+def _simhash_buckets(docs: DataFrame, id_col: str, text_col: str,
+                     n_bands: int, band_bits: int,
+                     shard_cols: list) -> DataFrame:
+    """(doc_id, simhash, *shard_cols, band, bh): one row per doc per
+    band — the exploded LSH bucket assignment both the pair join and
+    the analytic volume estimator consume."""
+    sigs = (simhash_signatures(_ensure_parallelism(docs), id_col, text_col,
+                               keep_cols=tuple(shard_cols))
+            .localCheckpoint(eager=False))
+    mask = (1 << band_bits) - 1
+    band_cols = [F.struct(F.lit(b).alias("band"),
+                          F.shiftright("simhash", band_bits * b)
+                          .bitwiseAND(F.lit(mask)).alias("bh"))
+                 for b in range(n_bands)]
+    return (sigs.select("doc_id", "simhash", *shard_cols,
+                        F.explode(F.array(*band_cols)).alias("bb"))
+            .select("doc_id", "simhash", *shard_cols,
+                    F.col("bb.band").alias("band"),
+                    F.col("bb.bh").alias("bh")))
+
+
+def simhash_candidate_volume(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", max_hamming: int = 7,
+                             shard_cols: tuple = ()) -> DataFrame:
+    """Analytic candidate volume of the SimHash LSH self-join WITHOUT
+    executing it: per band, sum over buckets of c*(c-1)/2 — exactly
+    the pair rows the banded equi-join would generate (before Hamming
+    verify / dedup).  One aggregation over the bucket assignment, so a
+    capacity planner can check the Theta(n^2/2**w) envelope (see
+    simhash_pairs' SCALE ENVELOPE note) against the REAL bucket
+    occupancy — and quantify what sharding (``shard_cols``) buys —
+    before committing a cluster to the join.
+
+    Returns one row per band: (band, n_buckets, max_bucket, candidates).
+    Sharded calls measure per-(shard, band) occupancy and roll it up
+    to the same per-band totals for direct comparison."""
+    if max_hamming <= 3:
+        n_bands, band_bits = 4, 16
+    else:
+        n_bands, band_bits = 8, 8
+    shard_cols = list(shard_cols)
+    buckets = _simhash_buckets(docs, id_col, text_col, n_bands, band_bits,
+                               shard_cols)
+    occ = (buckets.groupBy(*shard_cols, "band", "bh")
+           .agg(F.count("*").alias("c")))
+    return (occ.groupBy("band")
+            .agg(F.count("*").alias("n_buckets"),
+                 F.max("c").alias("max_bucket"),
+                 F.sum(F.expr("c * (c - 1) / 2")).cast("long")
+                 .alias("candidates"))
+            .orderBy("band"))
+
+
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3,
                   hot_key_cap: int | None = None,
@@ -337,19 +390,8 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
             "to accept a best-effort candidate set, or use minhash_lsh_pairs")
 
     shard_cols = list(shard_cols)
-    sigs = (simhash_signatures(_ensure_parallelism(docs), id_col, text_col,
-                               keep_cols=tuple(shard_cols))
-            .localCheckpoint(eager=False))
-    mask = (1 << band_bits) - 1
-    band_cols = [F.struct(F.lit(b).alias("band"),
-                          F.shiftright("simhash", band_bits * b)
-                          .bitwiseAND(F.lit(mask)).alias("bh"))
-                 for b in range(n_bands)]
-    buckets = (sigs.select("doc_id", "simhash", *shard_cols,
-                           F.explode(F.array(*band_cols)).alias("bb"))
-               .select("doc_id", "simhash", *shard_cols,
-                       F.col("bb.band").alias("band"),
-                       F.col("bb.bh").alias("bh")))
+    buckets = _simhash_buckets(docs, id_col, text_col, n_bands, band_bits,
+                               shard_cols)
     join_keys = shard_cols + ["band", "bh"]
     if hot_key_cap is not None:
         buckets = frequency_cap(buckets, join_keys, hot_key_cap, "simhash")
