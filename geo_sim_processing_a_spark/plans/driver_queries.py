@@ -1034,6 +1034,22 @@ def q_simhash_near_dup7(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_simhash_near_dup7_sharded(spark, sf_dir):
+    """Sharded radius-7 SimHash — the documented scale mitigation for
+    the 8-bit-band Θ(n²/2^w) candidate envelope, first-class in the
+    driver battery (VERDICT r4 #3): shard_cols=('lang',) generates
+    candidates only WITHIN a language, cutting volume to Θ(Σ n_l²/2^w)
+    while keeping the full pigeonhole recall guarantee per shard
+    (measured at sf0.1: 6.47M → 1.66M candidates, all planted
+    Hamming-4..7 twins recalled; BENCH/simhash_shard_proof_r05.json).
+    Output = the per-lang subset of q_simhash_near_dup7's pairs."""
+    from ..operators.dedup import simhash_pairs
+    d = _t(spark, sf_dir, "documents")
+    return (simhash_pairs(d, max_hamming=7, hot_key_cap=1000,
+                          shard_cols=("lang",))
+            .orderBy("id_a", "id_b"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Near-duplicate embedding pairs.  Deterministic near-dups are
     PLANTED (every 97th vector gets a scaled twin at -vec_id-1, same
@@ -1154,6 +1170,7 @@ def all_queries():
         "q_minhash_near_dup": q_minhash_near_dup,
         "q_simhash_near_dup": q_simhash_near_dup,
         "q_simhash_near_dup7": q_simhash_near_dup7,
+        "q_simhash_near_dup7_sharded": q_simhash_near_dup7_sharded,
         "q_winnow_near_dup": q_winnow_near_dup,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_ivf_topk": q_ivf_topk,
@@ -1197,6 +1214,7 @@ GOLDEN_ORACLE_QUERIES = [
     "q_minhash_near_dup",
     "q_simhash_near_dup",
     "q_simhash_near_dup7",
+    "q_simhash_near_dup7_sharded",
     "q_winnow_near_dup",
     "q_embedding_near_dup",
     "q_ivf_topk",
