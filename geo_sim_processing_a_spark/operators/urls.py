@@ -1,0 +1,147 @@
+"""URL canonicalization and per-domain capping — the crawl-curation
+stage between raw page ingest and dedup/mixing: normalize each page's
+URL (so trivially-distinct aliases collapse), extract the registrable
+domain, and cap the number of documents any one domain contributes to
+a training mix (boilerplate farms / SEO mills otherwise dominate).
+
+Everything is JVM-side SQL expressions (regexp + string functions —
+whole-stage codegen, zero UDF), and every rule is mirrored 1:1 by a
+DuckDB oracle (q_url_normalize / q_domain_cap), so the exact semantics
+are hash-verified at three scale factors.
+
+Normalization contract (applied in this order; chosen to match common
+crawl-pipeline canonicalizers and documented here as THE spec):
+  1. strip the fragment (``#...``);
+  2. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``) —
+     any position, any count; a query left empty loses its ``?``;
+  3. lowercase the scheme and authority (path/query case preserved);
+  4. strip default ports (``:80`` for http, ``:443`` for https);
+  5. collapse a bare-root trailing slash (``http://h/`` → ``http://h``).
+
+Registrable domain: last two host labels, except for a built-in list
+of common two-part public suffixes (``co.uk``-style) where it is the
+last three.  This is the standard approximation when shipping without
+the full Public Suffix List; swap REGISTRABLE_2PART for a PSL table
+(broadcast join) in deployments that need exactness — the cap
+operator is agnostic to how the domain column was derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING = r"(utm_[^=&#]*|fbclid|gclid)"
+
+# common two-part public suffixes (approximation; see module docstring)
+REGISTRABLE_2PART = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "com.hk",
+)
+
+
+def synth_messy_urls(docs: DataFrame, id_col: str = "doc_id",
+                     source_col: str = "source") -> DataFrame:
+    """Deterministic messy-URL column derived from (doc_id, source) —
+    the driver-demo input for the normalizer (the testdata tables
+    carry no URL column; per the task constraints the input is
+    synthesized from the table itself, identically in Spark and in the
+    DuckDB oracle via md5 hex digits).  Exercises every normalization
+    rule: mixed-case scheme/host, default and non-default ports, root
+    and real paths, tracking params in every position, fragments."""
+    h = F.md5(F.concat(F.lit("u"), F.col(id_col).cast("string"))
+              .cast("binary"))
+
+    def d(i: int) -> Column:
+        return F.substring(h, i, 1)
+
+    sid = F.col(id_col).cast("string")
+    scheme = F.when(d(1) < "8", F.lit("https")).otherwise(F.lit("HTTPS"))
+    src = F.when(d(2) < "4", F.upper(F.col(source_col))) \
+           .otherwise(F.col(source_col))
+    suffix = (F.when(d(3) < "8", F.lit(".com"))
+              .when(d(3) < "c", F.lit(".co.uk"))
+              .otherwise(F.lit(".org")))
+    port = (F.when(d(4) < "3", F.lit(":443"))
+            .when(d(4) < "6", F.lit(":8080"))
+            .otherwise(F.lit("")))
+    path = (F.when(d(5) < "2", F.lit("/"))
+            .when(d(5) < "4", F.lit(""))
+            .otherwise(F.concat(F.lit("/Doc/"), sid)))
+    query = (F.when(d(6) < "4", F.concat(F.lit("?utm_source=x&ref="), sid))
+             .when(d(6) < "8",
+                   F.concat(F.lit("?ref="), sid, F.lit("&utm_campaign=y")))
+             .when(d(6) < "c", F.lit("?utm_only=1"))
+             .otherwise(F.lit("")))
+    frag = F.when(d(1) >= "c", F.lit("#sec")).otherwise(F.lit(""))
+    return docs.withColumn("url", F.concat(scheme, F.lit("://"), src, suffix,
+                                           port, path, query, frag))
+
+
+def normalize_url(url: Column) -> Column:
+    """The 5-step canonicalization above as one codegen'd expression."""
+    x = F.regexp_replace(url, r"#.*$", "")                       # 1
+    x = F.regexp_replace(x, TRACKING + r"=[^&#]*&", "")          # 2a: inner
+    x = F.regexp_replace(x, r"[?&]" + TRACKING + r"=[^&#]*$", "")  # 2b: last
+    head = F.lower(F.regexp_extract(x, r"^([^/?#]*://[^/?#]*)", 1))  # 3
+    tail = F.regexp_replace(x, r"^[^/?#]*://[^/?#]*", "")
+    x = F.concat(head, tail)
+    x = F.regexp_replace(x, r"^(http://[^/?#:]*):80($|[/?#].*)", r"$1$2")   # 4
+    x = F.regexp_replace(x, r"^(https://[^/?#:]*):443($|[/?#].*)", r"$1$2")
+    return F.regexp_replace(x, r"^(https?://[^/?#]*)/$", r"$1")  # 5
+
+
+def host_of(url_norm: Column) -> Column:
+    """Authority minus port from an already-normalized URL."""
+    return F.regexp_extract(url_norm, r"^[a-z]+://([^/:?#]*)", 1)
+
+
+def registrable_domain(host: Column) -> Column:
+    labels = F.split(host, r"[.]")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(".", F.element_at(labels, -3), F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    return (F.when(n <= 2, host)
+            .when(last2.isin(*REGISTRABLE_2PART) & (n >= 3), last3)
+            .otherwise(last2))
+
+
+def normalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds url_norm / host / domain columns (all scan-stage scalars)."""
+    out = pages.withColumn("url_norm", normalize_url(F.col(url_col)))
+    out = out.withColumn("host", host_of(F.col("url_norm")))
+    return out.withColumn("domain", registrable_domain(F.col("host")))
+
+
+def domain_cap(docs: DataFrame, cap: int, domain_col: str = "domain",
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep at most ``cap`` documents per domain — deterministic and
+    content-addressed: the survivors are the ``cap`` rows with the
+    smallest (md5(text), id) per domain, so re-runs and repartitioning
+    cannot change the selection.
+
+    Scale shape (the reason this is not one global window): a global
+    row_number() window shuffles AND sorts the ENTIRE corpus by
+    domain.  Instead, pass 1 counts per domain (partial-aggregated
+    hash-agg) and keeps only over-cap domains — a tiny set (the cap
+    exists because heavy domains are rare); rows of under-cap domains
+    pass through with NO sort, and the window runs only on the
+    over-cap subset, selected by a broadcast semi-join.  At 100 TB the
+    sorted fraction is the skewed tail, not the corpus."""
+    if cap < 1:
+        raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    from pyspark.sql.window import Window
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("_n"))
+    hot = counts.where(F.col("_n") > cap).select(domain_col)
+    cold = docs.join(F.broadcast(hot), domain_col, "left_anti")
+    # coalesce: NULL texts must rank deterministically and identically
+    # across engines (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST)
+    rank_key = [F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary")),
+                F.col(id_col)]
+    w = Window.partitionBy(domain_col).orderBy(*rank_key)
+    hot_kept = (docs.join(F.broadcast(hot), domain_col)
+                .withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= cap).drop("_rn"))
+    return cold.unionByName(hot_kept.select(*cold.columns))

@@ -1146,6 +1146,8 @@ def all_queries():
         "q_ngram_topk": q_ngram_topk,
         "q_doc_split": q_doc_split,
         "q_domain_mix": q_domain_mix,
+        "q_url_normalize": q_url_normalize,
+        "q_domain_cap": q_domain_cap,
         "q_curation": q_curation,
         "q_contamination": q_contamination,
         "q_repetition": q_repetition,
@@ -1181,6 +1183,114 @@ def all_queries():
         "q_dedup_clusters": q_dedup_clusters,
         "q_connected_components": q_connected_components,
     }
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + per-domain cap (operators/urls.py) — the
+# crawl-curation stage between ingest and dedup/mixing.  Messy input
+# URLs are synthesized deterministically from (doc_id, source) — the
+# testdata carries no URL column — identically in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+def q_url_normalize(spark, sf_dir):
+    """Normalize synthesized messy URLs (fragment/tracking-param strip,
+    scheme+authority lowercase, default-port strip, bare-root slash
+    collapse) and extract host + registrable domain — all scan-stage
+    codegen'd scalars, zero UDF, zero shuffle before the tiny ordered
+    output."""
+    from ..operators.urls import normalize_urls, synth_messy_urls
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (normalize_urls(synth_messy_urls(d))
+            .select("doc_id", "url", "url_norm", "host", "domain")
+            .orderBy("doc_id"))
+
+
+def q_domain_cap(spark, sf_dir):
+    """Cap each registrable domain's contribution at 5 docs,
+    content-addressed (smallest (md5(text), doc_id) survive).  The
+    implementation windows ONLY the over-cap domains (broadcast
+    semi-join); under-cap rows pass through sort-free — the oracle is
+    the equivalent global row_number formulation."""
+    from ..operators.urls import domain_cap, normalize_urls, synth_messy_urls
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    u = normalize_urls(synth_messy_urls(d)).select("doc_id", "text", "domain")
+    return (domain_cap(u, cap=5).select("doc_id", "domain")
+            .orderBy("doc_id"))
+
+
+_SQL_URL_CTE = """
+WITH s AS (
+  SELECT doc_id, text, source, md5('u' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), m AS (
+  SELECT doc_id, text,
+    (CASE WHEN substring(h,1,1) < '8' THEN 'https' ELSE 'HTTPS' END)
+    || '://'
+    || (CASE WHEN substring(h,2,1) < '4' THEN upper(source) ELSE source END)
+    || (CASE WHEN substring(h,3,1) < '8' THEN '.com'
+             WHEN substring(h,3,1) < 'c' THEN '.co.uk' ELSE '.org' END)
+    || (CASE WHEN substring(h,4,1) < '3' THEN ':443'
+             WHEN substring(h,4,1) < '6' THEN ':8080' ELSE '' END)
+    || (CASE WHEN substring(h,5,1) < '2' THEN '/'
+             WHEN substring(h,5,1) < '4' THEN ''
+             ELSE '/Doc/' || CAST(doc_id AS VARCHAR) END)
+    || (CASE WHEN substring(h,6,1) < '4'
+               THEN '?utm_source=x&ref=' || CAST(doc_id AS VARCHAR)
+             WHEN substring(h,6,1) < '8'
+               THEN '?ref=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=y'
+             WHEN substring(h,6,1) < 'c' THEN '?utm_only=1' ELSE '' END)
+    || (CASE WHEN substring(h,1,1) >= 'c' THEN '#sec' ELSE '' END) AS url
+  FROM s
+), n2 AS (
+  SELECT doc_id, text, url,
+    regexp_replace(
+      regexp_replace(regexp_replace(url, '#.*$', '', 'g'),
+                     '(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '', 'g'),
+      '[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*$', '', 'g') AS x2
+  FROM m
+), n3 AS (
+  SELECT *, lower(regexp_extract(x2, '^([^/?#]*://[^/?#]*)', 1))
+            || regexp_replace(x2, '^[^/?#]*://[^/?#]*', '', 'g') AS x3
+  FROM n2
+), n5 AS (
+  SELECT *, regexp_replace(
+    regexp_replace(
+      regexp_replace(x3, '^(http://[^/?#:]*):80($|[/?#].*)', '\\1\\2', 'g'),
+      '^(https://[^/?#:]*):443($|[/?#].*)', '\\1\\2', 'g'),
+    '^(https?://[^/?#]*)/$', '\\1', 'g') AS url_norm
+  FROM n3
+), hx AS (
+  SELECT *, regexp_extract(url_norm, '^[a-z]+://([^/:?#]*)', 1) AS host
+  FROM n5
+), dom AS (
+  SELECT doc_id, text, url, url_norm, host,
+    CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+         WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+              IN ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                  'org.au','co.jp','or.jp','ne.jp','com.br','com.cn',
+                  'com.mx','co.in','co.kr','com.tr','com.ar','co.za',
+                  'com.sg','com.hk')
+           THEN string_split(host, '.')[-3] || '.'
+                || string_split(host, '.')[-2] || '.'
+                || string_split(host, '.')[-1]
+         ELSE string_split(host, '.')[-2] || '.'
+              || string_split(host, '.')[-1] END AS domain
+  FROM hx
+)"""
+
+SQL_URL_NORMALIZE = _SQL_URL_CTE + """
+SELECT doc_id, url, url_norm, host, domain FROM dom ORDER BY doc_id
+"""
+
+SQL_DOMAIN_CAP = _SQL_URL_CTE + """
+, ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY md5(coalesce(text, '')), doc_id) AS rn
+  FROM dom
+)
+SELECT doc_id, domain FROM ranked WHERE rn <= 5 ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1251,6 +1361,8 @@ def all_oracles():
         "q_ngram_topk": SQL_NGRAM_TOPK,
         "q_doc_split": SQL_DOC_SPLIT,
         "q_domain_mix": SQL_DOMAIN_MIX,
+        "q_url_normalize": SQL_URL_NORMALIZE,
+        "q_domain_cap": SQL_DOMAIN_CAP,
         "q_curation": SQL_CURATION,
         "q_contamination": SQL_CONTAMINATION,
         "q_repetition": SQL_REPETITION,

@@ -239,3 +239,83 @@ def test_simhash_sharded_volume_and_recall(spark):
                                       shard_cols=("lang",)).collect()}
     for a, b in planted:
         assert (a, b) in pairs_s or (b, a) in pairs_s, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + per-domain cap (operators/urls.py)
+# ---------------------------------------------------------------------------
+
+def test_normalize_url_rules(spark):
+    """Every rule of the documented canonicalization contract on
+    adversarial hand-built cases."""
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.urls import normalize_url
+    cases = [
+        # (input, expected)
+        ("HTTPS://WWW.Example.COM:443/Path/To?q=1#frag",
+         "https://www.example.com/Path/To?q=1"),
+        ("http://Host.Org:80", "http://host.org"),
+        ("http://host.org:8080/x", "http://host.org:8080/x"),  # kept
+        ("https://h.com/", "https://h.com"),                   # bare root
+        ("https://h.com/a/", "https://h.com/a/"),              # non-root kept
+        ("https://h.com/?utm_source=a", "https://h.com"),      # lone tracking
+        ("https://h.com/p?utm_a=1&utm_b=2&x=3", "https://h.com/p?x=3"),
+        ("https://h.com/p?x=3&fbclid=abc", "https://h.com/p?x=3"),
+        ("https://h.com/p?gclid=1&x=2&utm_c=3", "https://h.com/p?x=2"),
+        ("https://h.com/p?Case=Kept", "https://h.com/p?Case=Kept"),
+        ("https://h.com:443/?utm_x=1#f", "https://h.com"),     # all rules
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r["n"] for r in
+           df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_registrable_domain(spark):
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.urls import registrable_domain
+    cases = [("www.example.com", "example.com"),
+             ("a.b.example.co.uk", "example.co.uk"),
+             ("example.org", "example.org"),
+             ("localhost", "localhost"),
+             ("deep.sub.blog.example.org", "example.org")]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
+    got = [r["d"] for r in
+           df.select(registrable_domain(F.col("host")).alias("d")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_domain_cap_equals_global_window(spark):
+    """The skew-aware split (pass-through cold + windowed hot) must be
+    row-identical to the naive global row_number formulation."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from geo_sim_processing_a_spark.operators.urls import domain_cap
+    rows = []
+    for dom, n in (("big.com", 40), ("mid.com", 6), ("small.com", 3),
+                   ("two.com", 2)):
+        for i in range(n):
+            rows.append((len(rows), f"text {dom} {i % 5}", dom))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "domain"])
+    got = {r["doc_id"] for r in domain_cap(docs, cap=5).collect()}
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")), "doc_id")
+    expect = {r["doc_id"] for r in
+              docs.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= 5).collect()}
+    assert got == expect
+    assert len(got) == 5 + 5 + 3 + 2
+    # cold path is genuinely sort-free: under-cap rows keep ALL ids
+    assert {r for r in got if r >= 46} == set(range(46, 51))
+
+
+def test_domain_cap_null_text_deterministic(spark):
+    from geo_sim_processing_a_spark.operators.urls import domain_cap
+    docs = spark.createDataFrame(
+        [(i, None if i % 2 else f"t{i}", "d.com") for i in range(10)],
+        "doc_id long, text string, domain string")
+    a = {r["doc_id"] for r in domain_cap(docs, cap=3).collect()}
+    b = {r["doc_id"] for r in
+         domain_cap(docs.repartition(7), cap=3).collect()}
+    assert a == b and len(a) == 3
