@@ -219,7 +219,10 @@ def main():
                  # round-4 curation ops (new keys; r2/r3-comparable
                  # lines above are unchanged)
                  "q_ngram_topk", "q_doc_split", "q_contamination",
-                 "q_repetition"]:
+                 "q_repetition",
+                 # round-5 ops
+                 "q_curation", "q_url_normalize", "q_domain_cap",
+                 "q_simhash_near_dup7_sharded"]:
         run(name, count_of(Q.all_queries()[name]))
 
     spark.stop()
