@@ -108,6 +108,54 @@ def registrable_domain(host: Column) -> Column:
             .otherwise(last2))
 
 
+# demo public-suffix table for the driver query / tests — a real
+# deployment loads the full Public Suffix List into the same
+# one-column DataFrame (plain rules only; wildcard/exception rules
+# are out of scope and documented unsupported)
+PSL_DEMO = ("com", "org", "net", "io", "dev", "uk", "co.uk", "org.uk",
+            "ac.uk", "au", "com.au", "jp", "co.jp", "br", "com.br")
+
+
+def registrable_domain_exact(docs: DataFrame, psl: DataFrame,
+                             host_col: str = "host",
+                             out_col: str = "domain_exact") -> DataFrame:
+    """Exact eTLD+1 by longest-suffix match against a public-suffix
+    table — the drop-in replacement for the ``registrable_domain``
+    approximation when PSL fidelity matters.
+
+    Scale shape: the match runs on DISTINCT hosts only (a narrow
+    host-column shuffle, cardinality ≪ corpus): each distinct host
+    explodes its ≤ #labels candidate suffixes, broadcast-equi-joins the
+    PSL (∼10k rows), and the longest match wins (min start index).
+    The resulting host → domain mapping joins back on host (AQE picks
+    the strategy; at crawl scale pre-bucket both sides by host).
+    Hosts matching no PSL rule fall back to the two-label
+    approximation; a host that IS a public suffix maps to NULL."""
+    labels = F.split(F.col(host_col), r"[.]")
+    n = F.size(labels)
+    hosts = docs.select(host_col).where(F.col(host_col).isNotNull()).distinct()
+    # candidate suffix starting at 1-based label i, exploded with its
+    # 0-based position p (suffix at p starts at label p+1)
+    cands = hosts.select(
+        F.col(host_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), n),
+                        lambda i: F.concat_ws(
+                            ".", F.slice(labels, i, n - i + 1))))
+        .alias("pos", "suffix"))
+    matched = (cands.join(F.broadcast(psl.select("suffix")), "suffix")
+               .groupBy(host_col).agg(F.min("pos").alias("win")))
+    mapping = hosts.join(matched, host_col, "left").select(
+        F.col(host_col),
+        F.when(F.col("win").isNull(),
+               registrable_domain(F.col(host_col)))      # no rule: approx
+        .when(F.col("win") == 0, F.lit(None))            # host IS a suffix
+        .otherwise(F.concat_ws(".", F.slice(labels, F.col("win"),
+                                            n - F.col("win") + 1)))
+        .alias(out_col))
+    return docs.join(mapping, host_col, "left")
+
+
 def normalize_urls(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds url_norm / host / domain columns (all scan-stage scalars)."""
     out = pages.withColumn("url_norm", normalize_url(F.col(url_col)))

@@ -1148,6 +1148,7 @@ def all_queries():
         "q_domain_mix": q_domain_mix,
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
+        "q_domain_psl": q_domain_psl,
         "q_curation": q_curation,
         "q_contamination": q_contamination,
         "q_repetition": q_repetition,
@@ -1216,6 +1217,56 @@ def q_domain_cap(spark, sf_dir):
     u = normalize_urls(synth_messy_urls(d)).select("doc_id", "text", "domain")
     return (domain_cap(u, cap=5).select("doc_id", "domain")
             .orderBy("doc_id"))
+
+
+def q_domain_psl(spark, sf_dir):
+    """Exact eTLD+1 by longest-suffix match against a (demo) public-
+    suffix table — distinct hosts explode candidate suffixes, broadcast
+    equi-join the PSL, longest match wins, mapping joins back on host.
+    The oracle mirrors the match with a DuckDB list comprehension."""
+    from ..operators.urls import (PSL_DEMO, normalize_urls,
+                                  registrable_domain_exact,
+                                  synth_messy_urls)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    u = normalize_urls(synth_messy_urls(d))
+    psl = spark.createDataFrame([(s,) for s in PSL_DEMO], ["suffix"])
+    return (registrable_domain_exact(u, psl)
+            .select("doc_id", "host", "domain_exact").orderBy("doc_id"))
+
+
+def _sql_domain_psl() -> str:
+    from ..operators.urls import PSL_DEMO
+    values = ", ".join(f"('{s}')" for s in PSL_DEMO)
+    return _SQL_URL_CTE + f"""
+, psl(suffix) AS (VALUES {values})
+, hl AS (
+  SELECT host, string_split(host, '.') AS l,
+         len(string_split(host, '.')) AS n
+  FROM (SELECT DISTINCT host FROM dom)
+), cand AS (
+  SELECT host,
+         unnest([{{'i': i, 's': array_to_string(l[i:n], '.')}}
+                 for i in range(1, n + 1)]) AS c
+  FROM hl
+), win AS (
+  SELECT host, min(c.i) AS win_i
+  FROM cand JOIN psl ON c.s = psl.suffix
+  GROUP BY host
+), mapd AS (
+  SELECT d.host,
+         CASE WHEN w.win_i IS NULL THEN d.domain
+              WHEN w.win_i = 1 THEN NULL
+              ELSE array_to_string(
+                     string_split(d.host, '.')
+                       [w.win_i - 1 : len(string_split(d.host, '.'))], '.')
+         END AS domain_exact
+  FROM (SELECT DISTINCT host, domain FROM dom) d
+  LEFT JOIN win w ON d.host = w.host
+)
+SELECT dom.doc_id, dom.host, mapd.domain_exact
+FROM dom JOIN mapd ON dom.host = mapd.host
+ORDER BY dom.doc_id
+"""
 
 
 _SQL_URL_CTE = """
@@ -1363,6 +1414,7 @@ def all_oracles():
         "q_domain_mix": SQL_DOMAIN_MIX,
         "q_url_normalize": SQL_URL_NORMALIZE,
         "q_domain_cap": SQL_DOMAIN_CAP,
+        "q_domain_psl": _sql_domain_psl(),
         "q_curation": SQL_CURATION,
         "q_contamination": SQL_CONTAMINATION,
         "q_repetition": SQL_REPETITION,

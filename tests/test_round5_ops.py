@@ -319,3 +319,24 @@ def test_domain_cap_null_text_deterministic(spark):
     b = {r["doc_id"] for r in
          domain_cap(docs.repartition(7), cap=3).collect()}
     assert a == b and len(a) == 3
+
+
+def test_registrable_domain_exact_psl(spark):
+    """Longest-suffix PSL match: longest rule wins, a host that IS a
+    public suffix maps to NULL, and no-rule hosts fall back to the
+    two-label approximation."""
+    from geo_sim_processing_a_spark.operators.urls import (
+        registrable_domain_exact)
+    psl = spark.createDataFrame(
+        [("com",), ("uk",), ("co.uk",), ("ac.uk",)], ["suffix"])
+    docs = spark.createDataFrame(
+        [(1, "deep.sub.example.co.uk"),   # co.uk beats uk -> example.co.uk
+         (2, "www.example.com"),          # example.com
+         (3, "co.uk"),                    # IS a suffix -> NULL
+         (4, "a.b.weird.zz"),             # no rule -> approx weird.zz
+         (5, "example.ac.uk")],           # example.ac.uk
+        ["doc_id", "host"])
+    got = {r["doc_id"]: r["domain_exact"]
+           for r in registrable_domain_exact(docs, psl).collect()}
+    assert got == {1: "example.co.uk", 2: "example.com", 3: None,
+                   4: "weird.zz", 5: "example.ac.uk"}
