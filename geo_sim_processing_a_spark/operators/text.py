@@ -264,3 +264,60 @@ def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                  F.max("c").alias("top_gram_n"))
             .withColumn("top_share",
                         F.round(F.col("top_gram_n") / F.col("n_grams"), 6)))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, appendix A1) — the standard
+# document-level filter battery a web-corpus pipeline applies before
+# training.  Every ratio threshold is evaluated with INTEGER
+# cross-multiplication (e.g. "bullet lines <= 90%" as
+# 10*n_bullet <= 9*n_lines), so the Spark columns and the DuckDB
+# oracle can never diverge in a float ulp.  Pure JVM projection —
+# higher-order array functions + regexp, zero UDF, zero shuffle.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_gopher_rules(docs: DataFrame, text_col: str = "text",
+                      min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Adds per-rule boolean columns g1..g7 + `gopher_pass`:
+
+      g1  word count in [min_words, max_words]
+      g2  mean word length in [3, 10]    (3*W <= chars <= 10*W)
+      g3  symbol-to-word ratio <= 0.1    ('#' or '...'; 10*S <= W)
+      g4  <= 90% of lines start with a bullet (10*B <= 9*L)
+      g5  <= 30% of lines end with an ellipsis (10*E <= 3*L)
+      g6  >= 80% of words contain an alphabetic char (10*A >= 8*W)
+      g7  at least 2 distinct stopwords of GOPHER_STOPWORDS present
+
+    NULL text is treated as empty (fails g1/g7 deterministically)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    word_chars = F.aggregate(words, F.lit(0).cast("long"),
+                             lambda acc, x: acc + F.length(x))
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    n_sym = F.regexp_count(t, F.lit(r"#|\.\.\."))
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[•\-\*]")))
+    n_ellip = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    low = F.lower(t)
+    n_stop = sum((F.when(low.rlike(rf"(^|\s){w}(\s|$)"), 1).otherwise(0)
+                  for w in GOPHER_STOPWORDS), F.lit(0))
+    out = (docs
+           .withColumn("n_words", n_words.cast("long"))
+           .withColumn("n_lines", n_lines.cast("long"))
+           .withColumn("g1", (n_words >= min_words) & (n_words <= max_words))
+           .withColumn("g2", (word_chars >= 3 * n_words)
+                       & (word_chars <= 10 * n_words) & (n_words > 0))
+           .withColumn("g3", 10 * n_sym <= n_words)
+           .withColumn("g4", 10 * n_bullet <= 9 * n_lines)
+           .withColumn("g5", 10 * n_ellip <= 3 * n_lines)
+           .withColumn("g6", 10 * n_alpha >= 8 * n_words)
+           .withColumn("g7", n_stop >= 2))
+    return out.withColumn(
+        "gopher_pass",
+        F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")
+        & F.col("g5") & F.col("g6") & F.col("g7"))

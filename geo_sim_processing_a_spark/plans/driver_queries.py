@@ -1149,6 +1149,7 @@ def all_queries():
         "q_url_normalize": q_url_normalize,
         "q_domain_cap": q_domain_cap,
         "q_domain_psl": q_domain_psl,
+        "q_gopher": q_gopher,
         "q_curation": q_curation,
         "q_contamination": q_contamination,
         "q_repetition": q_repetition,
@@ -1217,6 +1218,61 @@ def q_domain_cap(spark, sf_dir):
     u = normalize_urls(synth_messy_urls(d)).select("doc_id", "text", "domain")
     return (domain_cap(u, cap=5).select("doc_id", "domain")
             .orderBy("doc_id"))
+
+
+def q_gopher(spark, sf_dir):
+    """Full Gopher quality-rule battery (Rae et al. 2021 A1) per doc —
+    integer-cross-multiplied thresholds (no float anywhere), pure JVM
+    projection, zero shuffle before the ordered output."""
+    from ..operators.text import with_gopher_rules
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (with_gopher_rules(d)
+            .select("doc_id", "n_words", "n_lines", "g1", "g2", "g3",
+                    "g4", "g5", "g6", "g7", "gopher_pass")
+            .orderBy("doc_id"))
+
+
+def _sql_gopher() -> str:
+    from ..operators.text import GOPHER_STOPWORDS
+    stop_terms = " + ".join(
+        f"(CASE WHEN regexp_matches(lower(t), '(^|\\s){w}(\\s|$)') "
+        f"THEN 1 ELSE 0 END)" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH s AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+w AS (
+  SELECT doc_id, t,
+         [x for x in regexp_split_to_array(t, '\\s+') if x <> ''] AS words,
+         string_split(t, chr(10)) AS lines
+  FROM s
+), c AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    coalesce(list_sum([length(x) for x in words]), 0) AS word_chars,
+    len([x for x in words if regexp_matches(x, '[A-Za-z]')]) AS n_alpha,
+    len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_sym,
+    len(lines) AS n_lines,
+    len([x for x in lines if regexp_matches(x, '^\\s*[•\\-\\*]')]) AS n_bullet,
+    len([x for x in lines if regexp_matches(x, '(\\.\\.\\.|…)\\s*$')]) AS n_ellip,
+    ({stop_terms}) AS n_stop
+  FROM w
+)
+SELECT doc_id, n_words, n_lines,
+  (n_words >= 50 AND n_words <= 100000) AS g1,
+  (word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+   AND n_words > 0) AS g2,
+  (10 * n_sym <= n_words) AS g3,
+  (10 * n_bullet <= 9 * n_lines) AS g4,
+  (10 * n_ellip <= 3 * n_lines) AS g5,
+  (10 * n_alpha >= 8 * n_words) AS g6,
+  (n_stop >= 2) AS g7,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        AND n_words > 0)
+   AND (10 * n_sym <= n_words) AND (10 * n_bullet <= 9 * n_lines)
+   AND (10 * n_ellip <= 3 * n_lines) AND (10 * n_alpha >= 8 * n_words)
+   AND (n_stop >= 2)) AS gopher_pass
+FROM c ORDER BY doc_id
+"""
 
 
 def q_domain_psl(spark, sf_dir):
@@ -1415,6 +1471,7 @@ def all_oracles():
         "q_url_normalize": SQL_URL_NORMALIZE,
         "q_domain_cap": SQL_DOMAIN_CAP,
         "q_domain_psl": _sql_domain_psl(),
+        "q_gopher": _sql_gopher(),
         "q_curation": SQL_CURATION,
         "q_contamination": SQL_CONTAMINATION,
         "q_repetition": SQL_REPETITION,

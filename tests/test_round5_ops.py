@@ -340,3 +340,35 @@ def test_registrable_domain_exact_psl(spark):
            for r in registrable_domain_exact(docs, psl).collect()}
     assert got == {1: "example.co.uk", 2: "example.com", 3: None,
                    4: "weird.zz", 5: "example.ac.uk"}
+
+
+def test_gopher_rules_pathological_docs(spark):
+    """Each Gopher rule tripped by a purpose-built document."""
+    from geo_sim_processing_a_spark.operators.text import with_gopher_rules
+    good = ("the quick brown fox and that dog have fun with words to be "
+            "seen of all " * 5)
+    cases = {
+        0: good,                                    # passes everything
+        1: "too few words",                         # g1 (short)
+        2: " ".join(["ab"] * 60),                   # g2 (mean wl < 3)
+        3: " ".join(["word"] * 30 + ["#"] * 30),    # g3 (symbols)
+        4: "\n".join(["- bullet item here"] * 10),  # g4 (all bullets)
+        5: "\n".join(["trailing off..."] * 10),     # g5 (ellipsis)
+        6: " ".join(["word123"] * 30 + ["123"] * 30),  # g6 (numeric words)
+        7: " ".join(["sans stopword lexicon"] * 20),   # g7 (no stopwords)
+        8: None,                                    # NULL text
+    }
+    df = spark.createDataFrame(list(cases.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in with_gopher_rules(df).collect()}
+    assert got[0]["gopher_pass"] is True
+    assert got[1]["g1"] is False
+    assert got[2]["g2"] is False
+    assert got[3]["g3"] is False
+    assert got[4]["g4"] is False
+    assert got[5]["g5"] is False
+    assert got[6]["g6"] is False
+    assert got[7]["g7"] is False
+    assert got[8]["g1"] is False and got[8]["gopher_pass"] is False
+    for k in (1, 2, 3, 4, 5, 6, 7, 8):
+        assert got[k]["gopher_pass"] is False
