@@ -372,3 +372,26 @@ def test_gopher_rules_pathological_docs(spark):
     assert got[8]["g1"] is False and got[8]["gopher_pass"] is False
     for k in (1, 2, 3, 4, 5, 6, 7, 8):
         assert got[k]["gopher_pass"] is False
+
+
+def test_normalize_url_idempotent(spark):
+    """A canonicalizer must be a projection: normalize(normalize(u)) ==
+    normalize(u) over the full cross-product of messy components."""
+    import itertools
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.urls import normalize_url
+    urls = []
+    for scheme, host, port, path, query, frag in itertools.product(
+            ("https", "HTTPS", "http", "HtTp"),
+            ("Ex.COM", "a.b.example.co.uk", "x.org"),
+            ("", ":80", ":443", ":8080"),
+            ("", "/", "/P/q", "/P/q/"),
+            ("", "?utm_source=1", "?a=1&utm_b=2", "?utm_a=1&b=2&utm_c=3",
+             "?A=Z"),
+            ("", "#F1")):
+        urls.append(f"{scheme}://{host}{port}{path}{query}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select("url", normalize_url(F.col("url")).alias("n1"))
+    twice = once.select("url", "n1", normalize_url(F.col("n1")).alias("n2"))
+    bad = twice.where(F.col("n1") != F.col("n2")).collect()
+    assert not bad, bad[:5]
