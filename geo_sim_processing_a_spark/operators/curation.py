@@ -43,6 +43,16 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
             .groupBy(F.md5(F.col(text_col).cast("binary")).alias("_text_md5"))
             .agg(F.min_by(rep_struct, F.col(id_col)).alias("_rep"))
             .select("_rep.*"))
+    return _quality_and_split(reps, id_col, text_col, min_tokens,
+                              max_top_share, ngram_n)
+
+
+def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
+                       min_tokens: int, max_top_share: float,
+                       ngram_n: int) -> DataFrame:
+    """Steps 2-3 of the curation contract (shared by the exact and
+    fuzzy front ends): token floor + repetition ceiling, then the
+    deterministic content-addressed split."""
     reps = reps.withColumn(
         "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long"))
     rep = repetition_stats(reps, n=ngram_n, id_col=id_col,
@@ -52,3 +62,30 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
            .where((F.col("n_tokens") >= min_tokens)
                   & (F.col("top_share") <= max_top_share)))
     return deterministic_split(out, col=text_col)
+
+
+def curate_corpus_fuzzy(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", min_tokens: int = 20,
+                        max_top_share: float = 0.12, ngram_n: int = 3,
+                        threshold: float = 0.5,
+                        **near_dup_kwargs) -> DataFrame:
+    """``curate_corpus`` with NEAR-duplicate dedup — what a production
+    crawl pipeline actually runs: exact dedup collapses byte-equal
+    copies first (inside near_dup_clusters, so mega-duplicate sets
+    can't blow the LSH band buckets), MinHash-LSH + connected
+    components cluster the near-dups, each cluster keeps its canonical
+    (min-id) survivor, and the survivors flow through the same quality
+    filter + deterministic split as the exact path.
+
+    Not SQL-expressible (the LSH banding is the operator) — verified
+    by the pinned golden oracle (q_curation_fuzzy) plus planted
+    near-dup tests."""
+    from .dedup import near_dup_clusters
+
+    clusters = near_dup_clusters(docs, id_col=id_col, text_col=text_col,
+                                 threshold=threshold, **near_dup_kwargs)
+    keep = (clusters.where(F.col("is_canonical"))
+            .select(F.col(id_col)))
+    reps = docs.join(keep, id_col)
+    return _quality_and_split(reps, id_col, text_col, min_tokens,
+                              max_top_share, ngram_n)

@@ -1150,6 +1150,7 @@ def all_queries():
         "q_domain_cap": q_domain_cap,
         "q_domain_psl": q_domain_psl,
         "q_gopher": q_gopher,
+        "q_curation_fuzzy": q_curation_fuzzy,
         "q_curation": q_curation,
         "q_contamination": q_contamination,
         "q_repetition": q_repetition,
@@ -1217,6 +1218,17 @@ def q_domain_cap(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     u = normalize_urls(synth_messy_urls(d)).select("doc_id", "text", "domain")
     return (domain_cap(u, cap=5).select("doc_id", "domain")
+            .orderBy("doc_id"))
+
+
+def q_curation_fuzzy(spark, sf_dir):
+    """curate_corpus with MinHash near-dup dedup in front (the
+    production-shape composition): per-doc survivor rows so the golden
+    pins the exact kept set AND its split assignment."""
+    from ..operators.curation import curate_corpus_fuzzy
+    d = _t(spark, sf_dir, "documents")
+    return (curate_corpus_fuzzy(d)
+            .select("doc_id", "lang", "n_tokens", "split")
             .orderBy("doc_id"))
 
 
@@ -1432,6 +1444,7 @@ GOLDEN_ORACLE_QUERIES = [
     "q_simhash_near_dup",
     "q_simhash_near_dup7",
     "q_simhash_near_dup7_sharded",
+    "q_curation_fuzzy",
     "q_winnow_near_dup",
     "q_embedding_near_dup",
     "q_ivf_topk",

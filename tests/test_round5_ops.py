@@ -395,3 +395,22 @@ def test_normalize_url_idempotent(spark):
     twice = once.select("url", "n1", normalize_url(F.col("n1")).alias("n2"))
     bad = twice.where(F.col("n1") != F.col("n2")).collect()
     assert not bad, bad[:5]
+
+
+def test_curate_corpus_fuzzy_removes_near_dups(spark):
+    """Planted near-duplicates (one token changed in a 60-token doc)
+    survive EXACT curation but collapse to one survivor under the
+    fuzzy path; the survivor is the min-id canonical, and distinct
+    docs are untouched."""
+    from geo_sim_processing_a_spark.operators.curation import (
+        curate_corpus, curate_corpus_fuzzy)
+    base = " ".join(f"tok{j}" for j in range(60))
+    rows = [(0, "en", base),
+            (1, "en", base.replace("tok30", "tokX")),   # near-dup of 0
+            (2, "en", base.replace("tok31", "tokY")),   # near-dup of 0
+            (3, "en", " ".join(f"other{j}" for j in range(60)))]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    exact_ids = {r["doc_id"] for r in curate_corpus(docs).collect()}
+    fuzzy_ids = {r["doc_id"] for r in curate_corpus_fuzzy(docs).collect()}
+    assert exact_ids == {0, 1, 2, 3}      # all texts distinct byte-wise
+    assert fuzzy_ids == {0, 3}            # cluster collapsed to min id

@@ -253,3 +253,38 @@ def test_curation_stream_resume(spark, tmp_path):
     assert len(got) == spark.read.parquet(out).count()   # no duplicates
     assert got == expect                                 # identical splits
     assert n_after_a == sum(1 for d in expect if d < 150)
+
+
+def test_url_and_gopher_columns_on_stream(spark, tmp_path):
+    """Round-5 curation columns (URL normalization + Gopher rules) are
+    stateless projections — identical outputs on Structured Streaming."""
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.text import with_gopher_rules
+    from geo_sim_processing_a_spark.operators.urls import (
+        normalize_urls, synth_messy_urls)
+
+    src = str(tmp_path / "u_in")
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(120),
+                      "source": [f"src{i % 7}" for i in range(120)],
+                      "text": [("the data and that text have words to be "
+                                "of use with more " * 4) if i % 3 else "tiny"
+                               for i in range(120)]}),
+        "doc_id long, source string, text string")
+    docs.repartition(2).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id long, source string, text string").parquet(src))
+
+    def cols(df):
+        return (with_gopher_rules(normalize_urls(synth_messy_urls(df)))
+                .select("doc_id", "url_norm", "domain", "gopher_pass"))
+
+    q = (cols(stream).writeStream.format("memory").queryName("u5")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["doc_id"]: (r["url_norm"], r["domain"], r["gopher_pass"])
+           for r in spark.sql("select * from u5").collect()}
+    expect = {r["doc_id"]: (r["url_norm"], r["domain"], r["gopher_pass"])
+              for r in cols(docs).collect()}
+    assert got == expect and len(got) == 120
