@@ -293,7 +293,11 @@ def with_gopher_rules(docs: DataFrame, text_col: str = "text",
 
     NULL text is treated as empty (fails g1/g7 deterministically)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    # explicit whitespace class: Java \s includes \x0B (vertical tab),
+    # RE2 (the DuckDB oracle engine) does not — \s would diverge on
+    # pathological inputs (found by cross-engine fuzzing)
+    ws = "[ \\t\\n\\x0b\\f\\r]"
+    words = F.filter(F.split(t, ws + "+"), lambda x: x != "")
     n_words = F.size(words)
     word_chars = F.aggregate(words, F.lit(0).cast("long"),
                              lambda acc, x: acc + F.length(x))
@@ -301,10 +305,12 @@ def with_gopher_rules(docs: DataFrame, text_col: str = "text",
     n_sym = F.regexp_count(t, F.lit(r"#|\.\.\."))
     lines = F.split(t, r"\n")
     n_lines = F.size(lines)
-    n_bullet = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[•\-\*]")))
-    n_ellip = F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+    n_bullet = F.size(F.filter(lines,
+                               lambda x: x.rlike("^" + ws + r"*[•\-\*]")))
+    n_ellip = F.size(F.filter(lines,
+                              lambda x: x.rlike(r"(\.\.\.|…)" + ws + r"*\z")))
     low = F.lower(t)
-    n_stop = sum((F.when(low.rlike(rf"(^|\s){w}(\s|$)"), 1).otherwise(0)
+    n_stop = sum((F.when(low.rlike(f"(^|{ws}){w}({ws}|\\z)"), 1).otherwise(0)
                   for w in GOPHER_STOPWORDS), F.lit(0))
     out = (docs
            .withColumn("n_words", n_words.cast("long"))

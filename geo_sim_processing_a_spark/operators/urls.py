@@ -80,16 +80,23 @@ def synth_messy_urls(docs: DataFrame, id_col: str = "doc_id",
 
 
 def normalize_url(url: Column) -> Column:
-    """The 5-step canonicalization above as one codegen'd expression."""
-    x = F.regexp_replace(url, r"#.*$", "")                       # 1
+    """The 5-step canonicalization above as one codegen'd expression.
+
+    Regex discipline: end-of-string is `\\z` and match-anything is
+    `[\\s\\S]*`, never `$` / `.*` — Java regex (Spark) lets `$` match
+    before a trailing newline and RE2 (the DuckDB oracle) does not, so
+    `$`-anchored rules would diverge on pathological newline-bearing
+    inputs (found by cross-engine fuzzing; real URLs cannot contain
+    raw newlines, but the operator must not care)."""
+    x = F.regexp_replace(url, r"#[\s\S]*", "")                   # 1
     x = F.regexp_replace(x, TRACKING + r"=[^&#]*&", "")          # 2a: inner
-    x = F.regexp_replace(x, r"[?&]" + TRACKING + r"=[^&#]*$", "")  # 2b: last
+    x = F.regexp_replace(x, r"[?&]" + TRACKING + r"=[^&#]*\z", "")  # 2b: last
     head = F.lower(F.regexp_extract(x, r"^([^/?#]*://[^/?#]*)", 1))  # 3
     tail = F.regexp_replace(x, r"^[^/?#]*://[^/?#]*", "")
     x = F.concat(head, tail)
-    x = F.regexp_replace(x, r"^(http://[^/?#:]*):80($|[/?#].*)", r"$1$2")   # 4
-    x = F.regexp_replace(x, r"^(https://[^/?#:]*):443($|[/?#].*)", r"$1$2")
-    return F.regexp_replace(x, r"^(https?://[^/?#]*)/$", r"$1")  # 5
+    x = F.regexp_replace(x, r"^(http://[^/?#:]*):80(\z|[/?#][\s\S]*)", r"$1$2")   # 4
+    x = F.regexp_replace(x, r"^(https://[^/?#:]*):443(\z|[/?#][\s\S]*)", r"$1$2")
+    return F.regexp_replace(x, r"^(https?://[^/?#]*)/\z", r"$1")  # 5
 
 
 def host_of(url_norm: Column) -> Column:

@@ -1247,13 +1247,13 @@ def q_gopher(spark, sf_dir):
 def _sql_gopher() -> str:
     from ..operators.text import GOPHER_STOPWORDS
     stop_terms = " + ".join(
-        f"(CASE WHEN regexp_matches(lower(t), '(^|\\s){w}(\\s|$)') "
+        f"(CASE WHEN regexp_matches(lower(t), '(^|[ \\t\\n\\x0b\\f\\r]){w}([ \\t\\n\\x0b\\f\\r]|\\z)') "
         f"THEN 1 ELSE 0 END)" for w in GOPHER_STOPWORDS)
     return f"""
 WITH s AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
 w AS (
   SELECT doc_id, t,
-         [x for x in regexp_split_to_array(t, '\\s+') if x <> ''] AS words,
+         [x for x in regexp_split_to_array(t, '[ \\t\\n\\x0b\\f\\r]+') if x <> ''] AS words,
          string_split(t, chr(10)) AS lines
   FROM s
 ), c AS (
@@ -1263,8 +1263,8 @@ w AS (
     len([x for x in words if regexp_matches(x, '[A-Za-z]')]) AS n_alpha,
     len(regexp_extract_all(t, '#|\\.\\.\\.')) AS n_sym,
     len(lines) AS n_lines,
-    len([x for x in lines if regexp_matches(x, '^\\s*[•\\-\\*]')]) AS n_bullet,
-    len([x for x in lines if regexp_matches(x, '(\\.\\.\\.|…)\\s*$')]) AS n_ellip,
+    len([x for x in lines if regexp_matches(x, '^[ \\t\\n\\x0b\\f\\r]*[•\\-\\*]')]) AS n_bullet,
+    len([x for x in lines if regexp_matches(x, '(\\.\\.\\.|…)[ \\t\\n\\x0b\\f\\r]*\\z')]) AS n_ellip,
     ({stop_terms}) AS n_stop
   FROM w
 )
@@ -1363,9 +1363,9 @@ WITH s AS (
 ), n2 AS (
   SELECT doc_id, text, url,
     regexp_replace(
-      regexp_replace(regexp_replace(url, '#.*$', '', 'g'),
+      regexp_replace(regexp_replace(url, '#[\\s\\S]*', '', 'g'),
                      '(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '', 'g'),
-      '[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*$', '', 'g') AS x2
+      '[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*\\z', '', 'g') AS x2
   FROM m
 ), n3 AS (
   SELECT *, lower(regexp_extract(x2, '^([^/?#]*://[^/?#]*)', 1))
@@ -1374,9 +1374,9 @@ WITH s AS (
 ), n5 AS (
   SELECT *, regexp_replace(
     regexp_replace(
-      regexp_replace(x3, '^(http://[^/?#:]*):80($|[/?#].*)', '\\1\\2', 'g'),
-      '^(https://[^/?#:]*):443($|[/?#].*)', '\\1\\2', 'g'),
-    '^(https?://[^/?#]*)/$', '\\1', 'g') AS url_norm
+      regexp_replace(x3, '^(http://[^/?#:]*):80(\\z|[/?#][\\s\\S]*)', '\\1\\2', 'g'),
+      '^(https://[^/?#:]*):443(\\z|[/?#][\\s\\S]*)', '\\1\\2', 'g'),
+    '^(https?://[^/?#]*)/\\z', '\\1', 'g') AS url_norm
   FROM n3
 ), hx AS (
   SELECT *, regexp_extract(url_norm, '^[a-z]+://([^/:?#]*)', 1) AS host

@@ -414,3 +414,81 @@ def test_curate_corpus_fuzzy_removes_near_dups(spark):
     fuzzy_ids = {r["doc_id"] for r in curate_corpus_fuzzy(docs).collect()}
     assert exact_ids == {0, 1, 2, 3}      # all texts distinct byte-wise
     assert fuzzy_ids == {0, 3}            # cluster collapsed to min id
+
+
+# ---------------------------------------------------------------------------
+# cross-engine fuzz: the SQL oracles must agree with the Spark columns
+# on adversarial inputs (newlines, \x0b, unicode) — not just on the
+# well-formed driver data.  Catches Java-regex vs RE2 divergences
+# (e.g. $ before trailing newline; \s including \x0B only in Java).
+# ---------------------------------------------------------------------------
+
+def _fuzz_strings(seed, n, alphabet, maxlen):
+    import random
+    rng = random.Random(seed)
+    return ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, maxlen)))
+            for _ in range(n)]
+
+
+def test_url_normalize_cross_engine_fuzz(spark):
+    import duckdb
+    import string
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.urls import normalize_url
+    alphabet = (string.ascii_letters + string.digits
+                + " .-_/?#&=:%~•…\n\t\x0b" + "äöüñ中文")
+    hosts = _fuzz_strings(1, 800, alphabet.replace("/", "").replace("?", "")
+                          .replace("#", ""), 16)
+    rests = _fuzz_strings(2, 800, alphabet, 30)
+    urls = [f"{s}://{h}{p}{r}" for s, h, p, r in
+            zip(["http", "https", "HTTP", "HtTpS"] * 200, hosts,
+                ["", ":80", ":443", ":8080"] * 200, rests)]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = [r["n"] for r in
+           df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    sql = r"""
+SELECT regexp_replace(
+  regexp_replace(
+    regexp_replace(
+      lower(regexp_extract(x2, '^([^/?#]*://[^/?#]*)', 1))
+        || regexp_replace(x2, '^[^/?#]*://[^/?#]*', '', 'g'),
+      '^(http://[^/?#:]*):80(\z|[/?#][\s\S]*)', '\1\2', 'g'),
+    '^(https://[^/?#:]*):443(\z|[/?#][\s\S]*)', '\1\2', 'g'),
+  '^(https?://[^/?#]*)/\z', '\1', 'g') AS n
+FROM (
+  SELECT regexp_replace(
+    regexp_replace(regexp_replace(url, '#[\s\S]*', '', 'g'),
+                   '(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '', 'g'),
+    '[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*\z', '', 'g') AS x2
+  FROM t)
+"""
+    exp = [r[0] for r in con.execute(sql).fetchall()]
+    bad = [(u, g, e) for u, g, e in zip(urls, got, exp) if g != e]
+    assert not bad, bad[:3]
+
+
+def test_gopher_cross_engine_fuzz(spark):
+    import duckdb
+    import string
+    from geo_sim_processing_a_spark.plans.driver_queries import _sql_gopher
+    from geo_sim_processing_a_spark.operators.text import with_gopher_rules
+    alphabet = (string.ascii_letters + string.digits
+                + " .-_#*•…\n\t\x0b\r\f" + "äö中the with and ")
+    texts = [None, "", " ", "\n\n\n", "...", "• - *", "the\x0bbe", "to of"]
+    texts += _fuzz_strings(7, 1000, alphabet, 200)
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    cols = ["doc_id", "n_words", "n_lines", "g1", "g2", "g3", "g4", "g5",
+            "g6", "g7", "gopher_pass"]
+    got = {r["doc_id"]: tuple(r[c] for c in cols[1:])
+           for r in with_gopher_rules(df).select(*cols).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    exp = {r[0]: tuple(r[1:]) for r in con.execute(_sql_gopher()).fetchall()}
+    bad = [(k, got[k], exp[k]) for k in got if got[k] != exp.get(k)]
+    assert not bad, bad[:3]
