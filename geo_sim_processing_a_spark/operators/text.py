@@ -20,6 +20,12 @@ LANG_MARKERS = {
 }
 
 
+# Explicit whitespace class used wherever an oracle twin exists: Java
+# \s includes \x0B, RE2 (DuckDB) \s does not — cross-engine fuzzing
+# (round 5) showed \s-based rules diverge on pathological inputs.
+WS_CLASS = r"[ \t\n\x0b\f\r]"
+
+
 def _marker_hits(col: Column, words: list) -> Column:
     """Count of marker-word occurrences (space-delimited match).
 
@@ -56,16 +62,16 @@ def lang_id(col: Column) -> Column:
 
 def token_count(col: Column) -> Column:
     """Whitespace token count (size of split on whitespace runs)."""
-    return F.size(F.split(F.trim(col), r"\s+"))
+    return F.size(F.split(F.trim(col), WS_CLASS + "+"))
 
 
 def punct_ratio(col: Column) -> Column:
-    stripped = F.regexp_replace(col, r"[\w\s]", "")
+    stripped = F.regexp_replace(col, r"[\w \t\n\x0b\f\r]", "")
     return F.length(stripped) / F.greatest(F.length(col), F.lit(1))
 
 
 def mean_word_len(col: Column) -> Column:
-    no_space = F.regexp_replace(col, r"\s", "")
+    no_space = F.regexp_replace(col, WS_CLASS, "")
     return F.length(no_space) / F.greatest(token_count(col), F.lit(1))
 
 
@@ -85,16 +91,16 @@ def bpe_token_count(col: Column) -> Column:
     and single punctuation marks are each one token — the classic
     pre-tokenization split every BPE vocabulary starts from.  The same
     pattern runs in the DuckDB oracle (regexp_extract_all)."""
-    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"))
 
 
-BPE_TOKEN_PATTERN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_TOKEN_PATTERN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]"
 
 
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased
     text (stable across layout changes; md5 exists in both engines)."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, WS_CLASS + "+", " "))))
 
 
 WINNOW_MOD = (1 << 61) - 1

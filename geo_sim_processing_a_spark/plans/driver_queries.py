@@ -520,7 +520,7 @@ def q_fingerprint(spark, sf_dir):
 
 
 SQL_FINGERPRINT = """
-SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')))) AS fp
 FROM documents ORDER BY doc_id
 """
 
@@ -572,11 +572,11 @@ WITH base AS (
 ), tok AS (
   SELECT doc_id, text,
          {pick} AS lang_pred,
-         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+         len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens,
+         length(regexp_replace(text, '[\\w \\t\\n\\x0b\\f\\r]', '', 'g'))
            / greatest(length(text), 1) AS punct,
-         length(regexp_replace(text, '\\s', '', 'g'))
-           / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS wl
+         length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g'))
+           / greatest(len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')), 1) AS wl
   FROM scored
 )
 SELECT doc_id, lang_pred, n_tokens,
@@ -625,8 +625,8 @@ def q_token_stats(spark, sf_dir):
 
 SQL_TOKEN_STATS = r"""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+       len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]'))
            AS n_bpe_tokens
 FROM documents ORDER BY doc_id
 """

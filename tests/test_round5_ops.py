@@ -492,3 +492,36 @@ def test_gopher_cross_engine_fuzz(spark):
     exp = {r[0]: tuple(r[1:]) for r in con.execute(_sql_gopher()).fetchall()}
     bad = [(k, got[k], exp[k]) for k in got if got[k] != exp.get(k)]
     assert not bad, bad[:3]
+
+
+def test_text_features_cross_engine_fuzz(spark):
+    """token/bpe counts, punct ratio base strings and fingerprint md5
+    agree with the DuckDB formulations on adversarial whitespace."""
+    import duckdb
+    import string
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.text import (
+        WS_CLASS, bpe_token_count, fingerprint, token_count)
+    alphabet = string.ascii_letters + " .,!?#\n\t\x0b\r\f_0123456789äö中"
+    texts = ["", " ", "a\x0bb", "x \x0b y", "tab\tand\nnl"]
+    texts += _fuzz_strings(11, 1200, alphabet, 120)
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["tc"], r["bc"], r["fp"]) for r in
+           df.select("doc_id",
+                     token_count(F.col("text")).alias("tc"),
+                     bpe_token_count(F.col("text")).alias("bc"),
+                     fingerprint(F.col("text")).alias("fp")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    ws = "[ \\t\\n\\x0b\\f\\r]"
+    exp = {r[0]: (r[1], r[2], r[3]) for r in con.execute(f"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '{ws}+')),
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')),
+               md5(lower(trim(regexp_replace(text, '{ws}+', ' ', 'g'))))
+        FROM t""").fetchall()}
+    bad = [(k, got[k], exp[k]) for k in got if got[k] != exp[k]]
+    assert not bad, bad[:3]
