@@ -222,7 +222,8 @@ def main():
                  "q_repetition",
                  # round-5 ops
                  "q_curation", "q_url_normalize", "q_domain_cap",
-                 "q_simhash_near_dup7_sharded"]:
+                 "q_simhash_near_dup7_sharded", "q_gopher",
+                 "q_domain_psl", "q_curation_fuzzy"]:
         run(name, count_of(Q.all_queries()[name]))
 
     spark.stop()
