@@ -525,3 +525,36 @@ def test_text_features_cross_engine_fuzz(spark):
         FROM t""").fetchall()}
     bad = [(k, got[k], exp[k]) for k in got if got[k] != exp[k]]
     assert not bad, bad[:3]
+
+
+def test_curate_job_cli(spark, tmp_path, monkeypatch):
+    """The spark-submit curation entry point runs end-to-end from argv
+    (reusing the test session via getOrCreate) and writes a
+    split-partitioned table matching its printed stats."""
+    import json
+    import sys
+    from jobs import curate_job
+
+    out = str(tmp_path / "curated")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py", "--docs-path",
+        "/root/testdata/sf0.001/documents.parquet", "--out", out,
+        "--min-tokens", "5"])
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    # the job calls spark.stop(); guard the shared test session by
+    # re-creating via getOrCreate on next use (session fixture is
+    # function-scoped per module run order... safer: intercept stop)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    with redirect_stdout(buf):
+        curate_job.main()
+    line = [l for l in buf.getvalue().splitlines()
+            if l.startswith("CURATE_STATS ")][0]
+    stats = json.loads(line[len("CURATE_STATS "):])
+    assert stats["docs_in"] == 500
+    assert stats["docs_out"] == sum(stats["splits"].values()) > 0
+    back = spark.read.parquet(out)
+    assert back.count() == stats["docs_out"]
+    assert set(r["split"] for r in back.select("split").distinct().collect()) \
+        == set(stats["splits"])
