@@ -201,32 +201,45 @@ def _ring_intersects_hole_interior(ring: np.ndarray, hole: np.ndarray) -> bool:
     sides = [P.point_in_ring(x, y, hole) for x, y in ring[:-1]]
     if any(s > 0 for s in sides):
         return True  # a vertex strictly inside the hole
+    # No vertex inside: an edge can still transit the interior —
+    # through proper crossings, as a chord between boundary points, or
+    # entering EXACTLY through hole vertices (an endpoint-equality
+    # "touch" test missed that last case, review r5: edge
+    # (5,5)→(55,55) across a (10,10)-(50,50) square meets the boundary
+    # only at two corners).  Exhaustive per-edge check: split the edge
+    # at every boundary meeting point and test each open interval's
+    # midpoint for strict insidedness.
     for i in range(len(ring) - 1):
         h0, h1 = ring[i], ring[i + 1]
-        # chord across the hole: both endpoints ON its boundary, edge
-        # body through the interior
-        if sides[i] == 0 and sides[(i + 1) % len(sides)] == 0:
-            mx, my = (h0[0] + h1[0]) / 2.0, (h0[1] + h1[1]) / 2.0
-            if P.point_in_ring(mx, my, hole) > 0:
-                return True
+        dx, dy = h1[0] - h0[0], h1[1] - h0[1]
+        d2 = dx * dx + dy * dy
+        if d2 == 0.0:
+            continue
+
+        def t_of(px, py):
+            return min(1.0, max(0.0, ((px - h0[0]) * dx + (py - h0[1]) * dy)
+                                / d2))
+
+        ts = [0.0, 1.0]
         for j in range(len(hole) - 1):
             o0, o1 = hole[j], hole[j + 1]
             if P.collinear_overlap(h0, h1, o0, o1):
-                continue  # running along the hole boundary is allowed
-            p = P.segment_intersection_point(h0, h1, o0, o1)
-            if p is None:
+                # running along the boundary: its endpoints bound the
+                # overlap run (midpoints of the run sit ON the
+                # boundary, which point_in_ring reports as 0 — allowed)
+                ts.append(t_of(o0[0], o0[1]))
+                ts.append(t_of(o1[0], o1[1]))
                 continue
-            endpoint = ((p[0] == h0[0] and p[1] == h0[1])
-                        or (p[0] == h1[0] and p[1] == h1[1])
-                        or (p[0] == o0[0] and p[1] == o0[1])
-                        or (p[0] == o1[0] and p[1] == o1[1]))
-            if not endpoint:
-                return True  # proper crossing: slices into the hole
-    if sides and all(s == 0 for s in sides):
-        # every vertex on the hole boundary: decide by an edge midpoint
-        mx = (ring[0, 0] + ring[1, 0]) / 2.0
-        my = (ring[0, 1] + ring[1, 1]) / 2.0
-        return P.point_in_ring(mx, my, hole) > 0
+            p = P.segment_intersection_point(h0, h1, o0, o1)
+            if p is not None:
+                ts.append(t_of(p[0], p[1]))
+        ts.sort()
+        for t0, t1 in zip(ts, ts[1:]):
+            if t1 - t0 <= 1e-12:
+                continue
+            tm = (t0 + t1) / 2.0
+            if P.point_in_ring(h0[0] + tm * dx, h0[1] + tm * dy, hole) > 0:
+                return True
     return False
 
 

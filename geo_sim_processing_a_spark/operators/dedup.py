@@ -278,6 +278,21 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        *[F.col(c) for c in keep_cols])
 
 
+def _band_scheme(max_hamming: int,
+                 allow_partial_recall: bool = False) -> tuple[int, int]:
+    """(n_bands, band_bits) for the pigeonhole recall guarantee — ONE
+    derivation shared by the pair join and the volume estimator, so
+    the two can never disagree about a configuration's validity."""
+    if max_hamming <= 3:
+        return 4, 16
+    if max_hamming <= 7 or allow_partial_recall:
+        return 8, 8
+    raise ValueError(
+        f"simhash: max_hamming={max_hamming} exceeds the 8-band recall "
+        "guarantee (Hamming<=7); pass allow_partial_recall=True to accept "
+        "a best-effort candidate set, or use minhash_lsh_pairs")
+
+
 def _simhash_buckets(docs: DataFrame, id_col: str, text_col: str,
                      n_bands: int, band_bits: int,
                      shard_cols: list) -> DataFrame:
@@ -314,10 +329,7 @@ def simhash_candidate_volume(docs: DataFrame, id_col: str = "doc_id",
     Returns one row per band: (band, n_buckets, max_bucket, candidates).
     Sharded calls measure per-(shard, band) occupancy and roll it up
     to the same per-band totals for direct comparison."""
-    if max_hamming <= 3:
-        n_bands, band_bits = 4, 16
-    else:
-        n_bands, band_bits = 8, 8
+    n_bands, band_bits = _band_scheme(max_hamming)
     shard_cols = list(shard_cols)
     buckets = _simhash_buckets(docs, id_col, text_col, n_bands, band_bits,
                                shard_cols)
@@ -326,7 +338,10 @@ def simhash_candidate_volume(docs: DataFrame, id_col: str = "doc_id",
     return (occ.groupBy("band")
             .agg(F.count("*").alias("n_buckets"),
                  F.max("c").alias("max_bucket"),
-                 F.sum(F.expr("c * (c - 1) / 2")).cast("long")
+                 # div: exact integer arithmetic all the way up —
+                 # '/' is double division and rounds past 2^53, exactly
+                 # the web-scale regime this estimator exists to check
+                 F.sum(F.expr("(c * (c - 1)) div 2"))
                  .alias("candidates"))
             .orderBy("band"))
 
@@ -379,15 +394,7 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     report (skew.py)."""
     from .skew import frequency_cap
 
-    if max_hamming <= 3:
-        n_bands, band_bits = 4, 16
-    elif max_hamming <= 7 or allow_partial_recall:
-        n_bands, band_bits = 8, 8
-    else:
-        raise ValueError(
-            f"simhash_pairs: max_hamming={max_hamming} exceeds the 8-band "
-            "recall guarantee (Hamming<=7); pass allow_partial_recall=True "
-            "to accept a best-effort candidate set, or use minhash_lsh_pairs")
+    n_bands, band_bits = _band_scheme(max_hamming, allow_partial_recall)
 
     shard_cols = list(shard_cols)
     buckets = _simhash_buckets(docs, id_col, text_col, n_bands, band_bits,

@@ -299,10 +299,7 @@ def with_gopher_rules(docs: DataFrame, text_col: str = "text",
 
     NULL text is treated as empty (fails g1/g7 deterministically)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    # explicit whitespace class: Java \s includes \x0B (vertical tab),
-    # RE2 (the DuckDB oracle engine) does not — \s would diverge on
-    # pathological inputs (found by cross-engine fuzzing)
-    ws = "[ \\t\\n\\x0b\\f\\r]"
+    ws = WS_CLASS
     words = F.filter(F.split(t, ws + "+"), lambda x: x != "")
     n_words = F.size(words)
     word_chars = F.aggregate(words, F.lit(0).cast("long"),

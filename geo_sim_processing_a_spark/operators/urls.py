@@ -89,8 +89,18 @@ def normalize_url(url: Column) -> Column:
     inputs (found by cross-engine fuzzing; real URLs cannot contain
     raw newlines, but the operator must not care)."""
     x = F.regexp_replace(url, r"#[\s\S]*", "")                   # 1
-    x = F.regexp_replace(x, TRACKING + r"=[^&#]*&", "")          # 2a: inner
-    x = F.regexp_replace(x, r"[?&]" + TRACKING + r"=[^&#]*\z", "")  # 2b: last
+    # 2: structural param filter — split the query on '&' and drop the
+    # params NAMED utm_*/fbclid/gclid (anchored match).  A regex strip
+    # was substring-confusable: '?xutm_a=1&b=2' lost part of the
+    # NON-tracking param 'xutm_a' (review r5).  A query left empty
+    # (or a bare '?') loses its '?'.
+    base = F.regexp_extract(x, r"^([^?]*)", 1)
+    query = F.regexp_extract(x, r"^[^?]*\?([\s\S]*)", 1)
+    parts = F.filter(F.split(query, "&"),
+                     lambda p: ~p.rlike("^" + TRACKING + "="))
+    x = (F.when(F.length(query) == 0, base)
+         .when(F.size(parts) == 0, base)
+         .otherwise(F.concat(base, F.lit("?"), F.array_join(parts, "&"))))
     head = F.lower(F.regexp_extract(x, r"^([^/?#]*://[^/?#]*)", 1))  # 3
     tail = F.regexp_replace(x, r"^[^/?#]*://[^/?#]*", "")
     x = F.concat(head, tail)
@@ -188,15 +198,22 @@ def domain_cap(docs: DataFrame, cap: int, domain_col: str = "domain",
     if cap < 1:
         raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
     from pyspark.sql.window import Window
-    counts = docs.groupBy(domain_col).agg(F.count("*").alias("_n"))
-    hot = counts.where(F.col("_n") > cap).select(domain_col)
-    cold = docs.join(F.broadcast(hot), domain_col, "left_anti")
+    # NULL domains form ONE capped group, like a SQL window's NULL
+    # partition: equi-joins never match NULL keys, so without this
+    # sentinel every NULL-domain row would slip through the left_anti
+    # into the uncapped pass-through (review r5).  \x00 cannot appear
+    # in a real registrable domain.
+    dkey = F.coalesce(F.col(domain_col), F.lit("\x00")).alias("_dk")
+    keyed = docs.withColumn("_dk", dkey)
+    counts = keyed.groupBy("_dk").agg(F.count("*").alias("_n"))
+    hot = counts.where(F.col("_n") > cap).select("_dk")
+    cold = keyed.join(F.broadcast(hot), "_dk", "left_anti")
     # coalesce: NULL texts must rank deterministically and identically
     # across engines (Spark sorts NULLS FIRST asc, DuckDB NULLS LAST)
     rank_key = [F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary")),
                 F.col(id_col)]
-    w = Window.partitionBy(domain_col).orderBy(*rank_key)
-    hot_kept = (docs.join(F.broadcast(hot), domain_col)
+    w = Window.partitionBy("_dk").orderBy(*rank_key)
+    hot_kept = (keyed.join(F.broadcast(hot), "_dk")
                 .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") <= cap).drop("_rn"))
-    return cold.unionByName(hot_kept.select(*cold.columns))
+    return cold.unionByName(hot_kept.select(*cold.columns)).drop("_dk")

@@ -1360,13 +1360,25 @@ WITH s AS (
              WHEN substring(h,6,1) < 'c' THEN '?utm_only=1' ELSE '' END)
     || (CASE WHEN substring(h,1,1) >= 'c' THEN '#sec' ELSE '' END) AS url
   FROM s
+), n2a AS (
+  SELECT doc_id, text, url,
+         regexp_extract(regexp_replace(url, '#[\\s\\S]*', '', 'g'),
+                        '^([^?]*)', 1) AS base,
+         regexp_extract(regexp_replace(url, '#[\\s\\S]*', '', 'g'),
+                        '^[^?]*\\?([\\s\\S]*)', 1) AS query
+  FROM m
 ), n2 AS (
   SELECT doc_id, text, url,
-    regexp_replace(
-      regexp_replace(regexp_replace(url, '#[\\s\\S]*', '', 'g'),
-                     '(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '', 'g'),
-      '[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*\\z', '', 'g') AS x2
-  FROM m
+    CASE WHEN length(query) = 0 THEN base
+         WHEN len([p for p in string_split(query, '&')
+                   if NOT regexp_matches(p, '^(utm_[^=&#]*|fbclid|gclid)=')])
+              = 0 THEN base
+         ELSE base || '?' || array_to_string(
+                [p for p in string_split(query, '&')
+                 if NOT regexp_matches(p, '^(utm_[^=&#]*|fbclid|gclid)=')],
+                '&')
+    END AS x2
+  FROM n2a
 ), n3 AS (
   SELECT *, lower(regexp_extract(x2, '^([^/?#]*://[^/?#]*)', 1))
             || regexp_replace(x2, '^[^/?#]*://[^/?#]*', '', 'g') AS x3

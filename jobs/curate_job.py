@@ -4,7 +4,7 @@
     spark-submit --master local[8] \
         --py-files dist/geo_sim_spark.zip \
         jobs/curate_job.py --docs-path /path/docs.parquet \
-        --out /tmp/curated --fuzzy --cap-per-domain 1000
+        --out /tmp/curated --fuzzy --url-col url --cap-per-domain 1000
 
 Reads a documents table (id + text [+ source/url]), runs the curation
 composition — URL normalization + per-domain cap when a url column is

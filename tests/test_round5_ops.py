@@ -264,6 +264,13 @@ def test_normalize_url_rules(spark):
         ("https://h.com/p?gclid=1&x=2&utm_c=3", "https://h.com/p?x=2"),
         ("https://h.com/p?Case=Kept", "https://h.com/p?Case=Kept"),
         ("https://h.com:443/?utm_x=1#f", "https://h.com"),     # all rules
+        # substring confusion (review r5): params merely CONTAINING a
+        # tracking name are NOT tracking params
+        ("https://h.com/p?xutm_a=1&b=2", "https://h.com/p?xutm_a=1&b=2"),
+        ("https://h.com/p?a=1&myfbclid=9&c=2",
+         "https://h.com/p?a=1&myfbclid=9&c=2"),
+        ("https://h.com/p?utm_a=1&utm_b=2", "https://h.com/p"),
+        ("https://h.com/p?", "https://h.com/p"),   # bare '?' dropped
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
     got = [r["n"] for r in
@@ -459,11 +466,19 @@ SELECT regexp_replace(
     '^(https://[^/?#:]*):443(\z|[/?#][\s\S]*)', '\1\2', 'g'),
   '^(https?://[^/?#]*)/\z', '\1', 'g') AS n
 FROM (
-  SELECT regexp_replace(
-    regexp_replace(regexp_replace(url, '#[\s\S]*', '', 'g'),
-                   '(utm_[^=&#]*|fbclid|gclid)=[^&#]*&', '', 'g'),
-    '[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*\z', '', 'g') AS x2
-  FROM t)
+  SELECT CASE WHEN length(query) = 0 THEN base
+              WHEN len([p for p in string_split(query, '&')
+                        if NOT regexp_matches(p, '^(utm_[^=&#]*|fbclid|gclid)=')]) = 0
+                THEN base
+              ELSE base || '?' || array_to_string(
+                     [p for p in string_split(query, '&')
+                      if NOT regexp_matches(p, '^(utm_[^=&#]*|fbclid|gclid)=')], '&')
+         END AS x2
+  FROM (SELECT regexp_extract(regexp_replace(url, '#[\s\S]*', '', 'g'),
+                              '^([^?]*)', 1) AS base,
+               regexp_extract(regexp_replace(url, '#[\s\S]*', '', 'g'),
+                              '^[^?]*\?([\s\S]*)', 1) AS query
+        FROM t))
 """
     exp = [r[0] for r in con.execute(sql).fetchall()]
     bad = [(u, g, e) for u, g, e in zip(urls, got, exp) if g != e]
@@ -558,3 +573,48 @@ def test_curate_job_cli(spark, tmp_path, monkeypatch):
     assert back.count() == stats["docs_out"]
     assert set(r["split"] for r in back.select("split").distinct().collect()) \
         == set(stats["splits"])
+
+
+def test_domain_cap_null_domain_capped(spark):
+    """NULL domains form one capped group (SQL NULL-partition
+    semantics) instead of slipping through the anti-join uncapped."""
+    from geo_sim_processing_a_spark.operators.urls import domain_cap
+    rows = [(i, f"t{i}", None) for i in range(10)] + \
+           [(100 + i, f"u{i}", "d.com") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, domain string")
+    got = domain_cap(docs, cap=3).collect()
+    nulls = [r for r in got if r["domain"] is None]
+    assert len(nulls) == 3                   # capped, not passed through
+    assert len(got) == 5                     # 3 null + 2 d.com
+    assert "_dk" not in docs.columns and "_dk" not in got[0].asDict()
+
+
+def test_repair_polygon_vertex_transit_deleted():
+    """A ring edge that crosses a kept hole touching its boundary ONLY
+    at hole vertices (corner-to-corner transit) still pokes into the
+    hole interior — deleted (review r5: the endpoint-equality skip in
+    the crossing test missed exactly this)."""
+    import numpy as np
+    from geo_sim_processing_a_spark.kernels.simplify import repair_polygon
+    exterior = _sq(0, 0, 100)
+    hole = _sq(10, 10, 40)
+    # triangle whose long edge runs (5,5)->(55,55): through the hole,
+    # meeting its boundary only at the corners (10,10) and (50,50)
+    transit = np.array([(5.0, 5.0), (55.0, 55.0), (55.0, 5.0), (5.0, 5.0)])
+    kept, deleted = repair_polygon([exterior, hole, transit])
+    assert deleted == 1
+    assert len(kept) == 2
+
+
+def test_repair_polygon_vertex_entry_deleted():
+    """Edge entering the hole interior exactly through one hole vertex
+    with its midpoint outside the hole — interval sampling catches it."""
+    import numpy as np
+    from geo_sim_processing_a_spark.kernels.simplify import repair_polygon
+    exterior = _sq(0, 0, 100)
+    hole = _sq(10, 10, 40)
+    # edge (2,2)->(14,14): enters the hole at corner (10,10); its
+    # midpoint (8,8) is OUTSIDE the hole
+    entry = np.array([(2.0, 2.0), (14.0, 14.0), (14.0, 2.0), (2.0, 2.0)])
+    kept, deleted = repair_polygon([exterior, hole, entry])
+    assert deleted == 1
