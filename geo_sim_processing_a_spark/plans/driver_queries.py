@@ -1150,6 +1150,8 @@ def all_queries():
         "q_domain_cap": q_domain_cap,
         "q_domain_psl": q_domain_psl,
         "q_gopher": q_gopher,
+        "q_boilerplate": q_boilerplate,
+        "q_pii": q_pii,
         "q_curation_fuzzy": q_curation_fuzzy,
         "q_curation": q_curation,
         "q_contamination": q_contamination,
@@ -1425,6 +1427,130 @@ SELECT doc_id, domain FROM ranked WHERE rn <= 5 ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Line-level boilerplate removal (operators/boilerplate.py) — CCNet-style
+# document-frequency line stripping over a deterministically synthesized
+# multi-line page (the testdata docs are single-line; same synth-in-both-
+# engines pattern as the URL queries above).
+# ---------------------------------------------------------------------------
+
+def q_boilerplate(spark, sf_dir):
+    """Strip lines appearing in >= 5 distinct docs (header / per-source
+    nav / footer all vanish; genuine 12-token content lines survive).
+    One line-key hash-agg shuffle, broadcast anti-join removal, one
+    doc-granularity rebuild shuffle — no UDF anywhere."""
+    from ..operators.boilerplate import (remove_boilerplate,
+                                         synth_pages_with_boilerplate)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pages = synth_pages_with_boilerplate(d)
+    return (remove_boilerplate(pages, min_docs=5)
+            .select("doc_id", "n_lines", "n_dropped", "text_clean")
+            .orderBy("doc_id"))
+
+
+SQL_BOILERPLATE = """
+WITH p AS (
+  SELECT doc_id,
+    ['home | about | contact', 'section: ' || source]
+    || list_transform(
+         range(greatest((len(string_split(text, ' ')) + 11) // 12, 1)),
+         i -> array_to_string((string_split(text, ' '))[i*12+1 : i*12+12],
+                              ' '))
+    || ['(c) example corp - all rights reserved'] AS lines
+  FROM documents
+), l AS (
+  SELECT doc_id, generate_subscripts(lines, 1) AS pos, unnest(lines) AS line
+  FROM p
+), k AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS key FROM l
+), c AS (
+  SELECT key, count(DISTINCT doc_id) AS n_docs FROM k GROUP BY key
+), kept AS (
+  SELECT k.doc_id, k.pos, k.line FROM k JOIN c ON k.key = c.key
+  WHERE c.n_docs < 5
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT p.doc_id, len(p.lines) AS n_lines,
+       len(p.lines) - coalesce(agg.n_kept, 0) AS n_dropped,
+       coalesce(agg.text_clean, '') AS text_clean
+FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
+ORDER BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (operators/pii.py) — emails / IPv4 / phones
+# planted deterministically (plus a 3-octet near-miss negative), counted
+# and redacted with cross-engine-identical regexes.
+# ---------------------------------------------------------------------------
+
+def q_pii(spark, sf_dir):
+    """PII counts over the original text + typed-placeholder redaction —
+    pure scan-stage regex columns, zero shuffle before the ordered
+    output."""
+    from ..operators.pii import redact_pii, synth_pii_text, with_pii
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    p = synth_pii_text(d)
+    out = redact_pii(with_pii(p, text_col="pii_text"), text_col="pii_text")
+    return (out.select("doc_id", "n_emails", "n_ipv4", "n_phones",
+                       "has_pii", "text_redacted")
+            .orderBy("doc_id"))
+
+
+def _sql_pii() -> str:
+    from ..operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+    sql = """
+WITH s AS (
+  SELECT doc_id, text, source, md5('p' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN substring(h,1,1) < '8'
+          THEN ' contact ' || source || '.' || substring(h,9,2)
+               || '@mail-' || source
+               || (CASE WHEN substring(h,2,1) < '8'
+                   THEN '.com' ELSE '.org' END)
+          ELSE '' END)
+    || (CASE WHEN substring(h,3,1) < '6'
+          THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 13) % 256 AS VARCHAR)
+          ELSE '' END)
+    || (CASE WHEN substring(h,4,1) < '4'
+          THEN ' call +1 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+         WHEN substring(h,4,1) < '8'
+          THEN ' tel (555) '
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST((doc_id * 9) % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END)
+    || (CASE WHEN substring(h,5,1) < '4' THEN ' v10.2.33 build'
+        ELSE '' END) AS pii_text
+  FROM s
+), f AS (
+  SELECT doc_id, pii_text,
+    len(regexp_extract_all(pii_text, '@EMAIL@')) AS n_emails,
+    len(regexp_extract_all(pii_text, '@IPV4@')) AS n_ipv4,
+    len(regexp_extract_all(pii_text, '@PHONE@')) AS n_phones,
+    regexp_replace(regexp_replace(regexp_replace(pii_text,
+        '@EMAIL@', '<EMAIL>', 'g'), '@IPV4@', '<IP>', 'g'),
+        '@PHONE@', '<PHONE>', 'g') AS text_redacted
+  FROM m
+)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       (n_emails + n_ipv4 + n_phones) > 0 AS has_pii, text_redacted
+FROM f ORDER BY doc_id
+"""
+    return (sql.replace("@EMAIL@", EMAIL_RE)
+               .replace("@IPV4@", IPV4_RE)
+               .replace("@PHONE@", PHONE_RE))
+
+
+# ---------------------------------------------------------------------------
 # Pinned golden-file oracles for the non-SQL-expressible kernels.
 #
 # The geometry / LSH / decode queries below have no ANSI-SQL twin (the
@@ -1497,6 +1623,8 @@ def all_oracles():
         "q_domain_cap": SQL_DOMAIN_CAP,
         "q_domain_psl": _sql_domain_psl(),
         "q_gopher": _sql_gopher(),
+        "q_boilerplate": SQL_BOILERPLATE,
+        "q_pii": _sql_pii(),
         "q_curation": SQL_CURATION,
         "q_contamination": SQL_CONTAMINATION,
         "q_repetition": SQL_REPETITION,
