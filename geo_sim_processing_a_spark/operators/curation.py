@@ -64,6 +64,67 @@ def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
     return deterministic_split(out, col=text_col)
 
 
+def curate_web_corpus(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", source_col: str = "source",
+                      boiler_min_docs: int = 5, min_tokens: int = 20,
+                      max_top_share: float = 0.12, ngram_n: int = 3,
+                      cap_per_domain: int = 10) -> DataFrame:
+    """The FULL web-curation pipeline as one composition — every stage
+    an oracle-verified building block, the whole thing SQL-expressible
+    and hash-verified end-to-end (q_curation_web):
+
+    1. URL canonicalization -> registrable domain (urls.normalize_urls
+       over the deterministic messy-URL synth);
+    2. raw-page shape: multi-line page with template boilerplate AND
+       planted PII (boilerplate.synth_pages_with_boilerplate over
+       pii.synth_pii_text — the testdata is single-line and PII-free,
+       so the demo input is synthesized, identically in the oracle);
+    3. line-level boilerplate strip (document-frequency >=
+       ``boiler_min_docs``);
+    4. PII redaction of the cleaned text;
+    5. exact dedup on the REDACTED content (min-id survivor — docs that
+       differed only in template lines or redacted spans collapse);
+    6. quality: token floor + Gopher-style repetition ceiling (newlines
+       normalized to spaces for token/gram stats);
+    7. content-addressed per-domain cap (skew-aware domain_cap);
+    8. deterministic content-addressed train/valid/test split.
+
+    Returns one row per surviving doc:
+    (id, domain, n_lines, n_dropped, n_tokens, top_share, split)."""
+    from .boilerplate import remove_boilerplate, synth_pages_with_boilerplate
+    from .pii import redact_pii, synth_pii_text
+    from .urls import domain_cap, normalize_urls, synth_messy_urls
+
+    d = docs.select(id_col, text_col, source_col)
+    u = normalize_urls(synth_messy_urls(d))                        # 1
+    pages = synth_pages_with_boilerplate(                          # 2
+        synth_pii_text(d), text_col="pii_text")
+    cleaned = remove_boilerplate(pages, min_docs=boiler_min_docs)  # 3
+    red = redact_pii(cleaned, text_col="text_clean")               # 4
+    red = red.join(u.select(id_col, "domain"), id_col)
+    rep_struct = F.struct(*[F.col(c) for c in red.columns])        # 5
+    reps = (red
+            .groupBy(F.md5(F.col("text_redacted").cast("binary"))
+                     .alias("_md5"))
+            .agg(F.min_by(rep_struct, F.col(id_col)).alias("_rep"))
+            .select("_rep.*"))
+    stats = reps.withColumn(                                       # 6
+        "stats_text", F.replace(F.col("text_redacted"),
+                                F.lit("\n"), F.lit(" ")))
+    stats = stats.withColumn(
+        "n_tokens", F.size(F.split(F.col("stats_text"), " ")).cast("long"))
+    rep = repetition_stats(stats, n=ngram_n, id_col=id_col,
+                           text_col="stats_text").select(id_col, "top_share")
+    kept = (stats.join(rep, id_col)
+            .where((F.col("n_tokens") >= min_tokens)
+                   & (F.col("top_share") <= max_top_share)))
+    capped = domain_cap(kept, cap=cap_per_domain,                  # 7
+                        text_col="text_redacted")
+    out = deterministic_split(capped, col="text_redacted")         # 8
+    return out.select(id_col, "domain", "n_lines", "n_dropped",
+                      "n_tokens", "top_share", "split")
+
+
 def curate_corpus_fuzzy(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", min_tokens: int = 20,
                         max_top_share: float = 0.12, ngram_n: int = 3,

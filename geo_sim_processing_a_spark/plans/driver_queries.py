@@ -1152,6 +1152,7 @@ def all_queries():
         "q_gopher": q_gopher,
         "q_boilerplate": q_boilerplate,
         "q_pii": q_pii,
+        "q_curation_web": q_curation_web,
         "q_curation_fuzzy": q_curation_fuzzy,
         "q_curation": q_curation,
         "q_contamination": q_contamination,
@@ -1551,6 +1552,127 @@ FROM f ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Composed web-curation pipeline (operators/curation.curate_web_corpus):
+# URL domain -> boilerplate strip -> PII redact -> exact dedup ->
+# quality -> domain cap -> split, the ENTIRE composition hash-verified
+# as one oracle.  The SQL twin chains the already-verified per-stage
+# twins (URL CTE, page synth, boilerplate CTEs, redaction regexes,
+# dedup row_number, repetition stats, cap window, split bucket).
+# ---------------------------------------------------------------------------
+
+def q_curation_web(spark, sf_dir):
+    """curate_web_corpus over documents — one row per surviving doc
+    with its domain, boilerplate-drop counters, token stats and split."""
+    from ..operators.curation import curate_web_corpus
+    d = _t(spark, sf_dir, "documents")
+    return curate_web_corpus(d).orderBy("doc_id")
+
+
+def _sql_curation_web() -> str:
+    from ..operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+    sql = _SQL_URL_CTE + """
+, ps AS (
+  SELECT doc_id, text, source, md5('p' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), pm AS (
+  SELECT doc_id, source,
+    text
+    || (CASE WHEN substring(h,1,1) < '8'
+          THEN ' contact ' || source || '.' || substring(h,9,2)
+               || '@mail-' || source
+               || (CASE WHEN substring(h,2,1) < '8'
+                   THEN '.com' ELSE '.org' END)
+          ELSE '' END)
+    || (CASE WHEN substring(h,3,1) < '6'
+          THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 13) % 256 AS VARCHAR)
+          ELSE '' END)
+    || (CASE WHEN substring(h,4,1) < '4'
+          THEN ' call +1 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+         WHEN substring(h,4,1) < '8'
+          THEN ' tel (555) '
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               || '-' || lpad(CAST((doc_id * 9) % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END)
+    || (CASE WHEN substring(h,5,1) < '4' THEN ' v10.2.33 build'
+        ELSE '' END) AS pii_text
+  FROM ps
+), pg AS (
+  SELECT doc_id,
+    ['home | about | contact', 'section: ' || source]
+    || list_transform(
+         range(greatest((len(string_split(pii_text, ' ')) + 11) // 12, 1)),
+         i -> array_to_string(
+                (string_split(pii_text, ' '))[i*12+1 : i*12+12], ' '))
+    || ['(c) example corp - all rights reserved'] AS lines
+  FROM pm
+), bl AS (
+  SELECT doc_id, generate_subscripts(lines, 1) AS pos, unnest(lines) AS line
+  FROM pg
+), bk AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS key FROM bl
+), bc AS (
+  SELECT key, count(DISTINCT doc_id) AS n_docs FROM bk GROUP BY key
+), bkept AS (
+  SELECT bk.doc_id, bk.pos, bk.line FROM bk JOIN bc ON bk.key = bc.key
+  WHERE bc.n_docs < 5
+), bagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+  FROM bkept GROUP BY doc_id
+), cleaned AS (
+  SELECT pg.doc_id, len(pg.lines) AS n_lines,
+         len(pg.lines) - coalesce(bagg.n_kept, 0) AS n_dropped,
+         coalesce(bagg.text_clean, '') AS text_clean
+  FROM pg LEFT JOIN bagg ON pg.doc_id = bagg.doc_id
+), red AS (
+  SELECT c.doc_id, c.n_lines, c.n_dropped, dom.domain,
+         regexp_replace(regexp_replace(regexp_replace(c.text_clean,
+           '@EMAIL@', '<EMAIL>', 'g'), '@IPV4@', '<IP>', 'g'),
+           '@PHONE@', '<PHONE>', 'g') AS text_redacted
+  FROM cleaned c JOIN dom ON c.doc_id = dom.doc_id
+), reps AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY
+                   md5(text_redacted) ORDER BY doc_id) AS rn
+                 FROM red) WHERE rn = 1
+), tok2 AS (
+  SELECT doc_id, domain, n_lines, n_dropped, text_redacted,
+         replace(text_redacted, chr(10), ' ') AS stats_text,
+         len(string_split(replace(text_redacted, chr(10), ' '), ' '))
+           AS n_tokens
+  FROM reps
+), rep_stats AS (
+  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share
+  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, count(*) AS c
+        FROM (SELECT doc_id, string_split(stats_text, ' ') AS t FROM tok2),
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3 GROUP BY doc_id, g) pg2
+  GROUP BY doc_id
+), kept2 AS (
+  SELECT t.*, r.top_share FROM tok2 t JOIN rep_stats r USING (doc_id)
+  WHERE n_tokens >= 20 AND top_share <= 0.12
+), capped AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY domain
+                   ORDER BY md5(text_redacted), doc_id) AS crn
+                 FROM kept2) WHERE crn <= 10
+)
+SELECT doc_id, domain, n_lines, n_dropped, n_tokens, top_share,
+       CASE WHEN ('0x' || substr(md5(text_redacted), 1, 3))::UBIGINT < 409
+              THEN 'test'
+            WHEN ('0x' || substr(md5(text_redacted), 1, 3))::UBIGINT < 818
+              THEN 'valid'
+            ELSE 'train' END AS split
+FROM capped ORDER BY doc_id
+"""
+    return (sql.replace("@EMAIL@", EMAIL_RE)
+               .replace("@IPV4@", IPV4_RE)
+               .replace("@PHONE@", PHONE_RE))
+
+
+# ---------------------------------------------------------------------------
 # Pinned golden-file oracles for the non-SQL-expressible kernels.
 #
 # The geometry / LSH / decode queries below have no ANSI-SQL twin (the
@@ -1625,6 +1747,7 @@ def all_oracles():
         "q_gopher": _sql_gopher(),
         "q_boilerplate": SQL_BOILERPLATE,
         "q_pii": _sql_pii(),
+        "q_curation_web": _sql_curation_web(),
         "q_curation": SQL_CURATION,
         "q_contamination": SQL_CONTAMINATION,
         "q_repetition": SQL_REPETITION,
