@@ -49,10 +49,11 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
 
 def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
                        min_tokens: int, max_top_share: float,
-                       ngram_n: int) -> DataFrame:
-    """Steps 2-3 of the curation contract (shared by the exact and
-    fuzzy front ends): token floor + repetition ceiling, then the
-    deterministic content-addressed split."""
+                       ngram_n: int, split_col: str = None) -> DataFrame:
+    """Steps 2-3 of the curation contract (shared by the exact, fuzzy
+    and web front ends): token floor + repetition ceiling computed on
+    ``text_col``, then the deterministic content-addressed split keyed
+    on ``split_col`` (defaults to ``text_col``)."""
     reps = reps.withColumn(
         "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long"))
     rep = repetition_stats(reps, n=ngram_n, id_col=id_col,
@@ -61,7 +62,7 @@ def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
            .drop(rep["doc_id"])
            .where((F.col("n_tokens") >= min_tokens)
                   & (F.col("top_share") <= max_top_share)))
-    return deterministic_split(out, col=text_col)
+    return deterministic_split(out, col=split_col or text_col)
 
 
 def curate_web_corpus(docs: DataFrame, id_col: str = "doc_id",
@@ -96,33 +97,35 @@ def curate_web_corpus(docs: DataFrame, id_col: str = "doc_id",
     from .urls import domain_cap, normalize_urls, synth_messy_urls
 
     d = docs.select(id_col, text_col, source_col)
-    u = normalize_urls(synth_messy_urls(d))                        # 1
+    u = normalize_urls(synth_messy_urls(                           # 1
+        d, id_col=id_col, source_col=source_col))
     pages = synth_pages_with_boilerplate(                          # 2
-        synth_pii_text(d), text_col="pii_text")
-    cleaned = remove_boilerplate(pages, min_docs=boiler_min_docs)  # 3
+        synth_pii_text(d, id_col=id_col, text_col=text_col,
+                       source_col=source_col),
+        id_col=id_col, text_col="pii_text", source_col=source_col)
+    cleaned = remove_boilerplate(pages, min_docs=boiler_min_docs,  # 3
+                                 id_col=id_col)
     red = redact_pii(cleaned, text_col="text_clean")               # 4
-    red = red.join(u.select(id_col, "domain"), id_col)
     rep_struct = F.struct(*[F.col(c) for c in red.columns])        # 5
     reps = (red
             .groupBy(F.md5(F.col("text_redacted").cast("binary"))
                      .alias("_md5"))
             .agg(F.min_by(rep_struct, F.col(id_col)).alias("_rep"))
             .select("_rep.*"))
-    stats = reps.withColumn(                                       # 6
+    # domain is a pure function of the id: join it onto the SURVIVORS
+    # only, after the corpus-wide dedup shuffle (identical result,
+    # fewer shuffled bytes)
+    reps = reps.join(u.select(id_col, "domain"), id_col)
+    stats = reps.withColumn(                                       # 6+8
         "stats_text", F.replace(F.col("text_redacted"),
                                 F.lit("\n"), F.lit(" ")))
-    stats = stats.withColumn(
-        "n_tokens", F.size(F.split(F.col("stats_text"), " ")).cast("long"))
-    rep = repetition_stats(stats, n=ngram_n, id_col=id_col,
-                           text_col="stats_text").select(id_col, "top_share")
-    kept = (stats.join(rep, id_col)
-            .where((F.col("n_tokens") >= min_tokens)
-                   & (F.col("top_share") <= max_top_share)))
-    capped = domain_cap(kept, cap=cap_per_domain,                  # 7
+    q = _quality_and_split(stats, id_col, "stats_text", min_tokens,
+                           max_top_share, ngram_n,
+                           split_col="text_redacted")
+    capped = domain_cap(q, cap=cap_per_domain, id_col=id_col,      # 7
                         text_col="text_redacted")
-    out = deterministic_split(capped, col="text_redacted")         # 8
-    return out.select(id_col, "domain", "n_lines", "n_dropped",
-                      "n_tokens", "top_share", "split")
+    return capped.select(id_col, "domain", "n_lines", "n_dropped",
+                         "n_tokens", "top_share", "split")
 
 
 def curate_corpus_fuzzy(docs: DataFrame, id_col: str = "doc_id",

@@ -367,6 +367,30 @@ def q_curation(spark, sf_dir):
             .orderBy("split", "lang"))
 
 
+def _sql_rep_stats(src_cte: str, text_col: str) -> str:
+    """Shared ``rep_stats`` CTE — per-doc top-trigram share, rounded
+    EXACTLY like repetition_stats' top_share output so a <= threshold
+    filter compares the same value in both engines (an unrounded oracle
+    filter would diverge on shares in (0.12, 0.1200005)).  One
+    definition shared by the exact-curation and web-curation twins."""
+    return f"""rep_stats AS (
+  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share
+  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, count(*) AS c
+        FROM (SELECT doc_id, string_split({text_col}, ' ') AS t
+              FROM {src_cte}),
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3 GROUP BY doc_id, g) pg2
+  GROUP BY doc_id)"""
+
+
+def _sql_split_case(content_col: str) -> str:
+    """Shared deterministic-split expression (sampling.md5_bucket twin:
+    nibbles=3, 10%/10% -> test < 409, valid < 818 of 4096)."""
+    b = f"('0x' || substr(md5({content_col}), 1, 3))::UBIGINT"
+    return (f"CASE WHEN {b} < 409 THEN 'test' "
+            f"WHEN {b} < 818 THEN 'valid' ELSE 'train' END")
+
+
 SQL_CURATION = """
 WITH reps AS (
   SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text)
@@ -374,24 +398,12 @@ WITH reps AS (
                  FROM documents) WHERE rn = 1),
 toks AS (SELECT doc_id, lang, text,
                 len(string_split(text, ' ')) AS n_tokens FROM reps),
-rep_stats AS (
-  -- rounded EXACTLY like repetition_stats' top_share output, so the
-  -- <= 0.12 filter compares the same value in both engines (an
-  -- unrounded oracle filter would diverge on shares in
-  -- (0.12, 0.1200005))
-  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share
-  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, count(*) AS c
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM toks),
-             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
-        WHERE len(t) >= 3 GROUP BY doc_id, g) pg
-  GROUP BY doc_id),
+""" + _sql_rep_stats("toks", "text") + """,
 kept AS (
-  SELECT t.*, ('0x' || substr(md5(text), 1, 3))::UBIGINT AS bucket
+  SELECT t.*
   FROM toks t JOIN rep_stats USING (doc_id)
   WHERE n_tokens >= 20 AND top_share <= 0.12)
-SELECT CASE WHEN bucket < 409 THEN 'test'
-            WHEN bucket < 818 THEN 'valid'
-            ELSE 'train' END AS split,
+SELECT """ + _sql_split_case("text") + """ AS split,
        lang, count(*) AS n, round(avg(n_tokens), 6) AS avg_tokens
 FROM kept GROUP BY 1, 2 ORDER BY split, lang
 """
@@ -1448,37 +1460,49 @@ def q_boilerplate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-SQL_BOILERPLATE = """
-WITH p AS (
+def _sql_boiler_chain(src_cte: str, text_col: str) -> str:
+    """Shared CTE chain ``pg .. cleaned``: page synthesis (header /
+    per-source nav / 12-token wrap / footer) over ``src_cte.text_col``
+    followed by document-frequency line stripping (>= 5 docs).  Used
+    verbatim by BOTH SQL_BOILERPLATE and the composed curation twin, so
+    a synth or threshold change cannot silently diverge between them
+    (it mirrors boilerplate.synth_pages_with_boilerplate +
+    remove_boilerplate rule-for-rule)."""
+    return f"""pg AS (
   SELECT doc_id,
     ['home | about | contact', 'section: ' || source]
     || list_transform(
-         range(greatest((len(string_split(text, ' ')) + 11) // 12, 1)),
-         i -> array_to_string((string_split(text, ' '))[i*12+1 : i*12+12],
-                              ' '))
+         range(greatest((len(string_split({text_col}, ' ')) + 11) // 12, 1)),
+         i -> array_to_string(
+                (string_split({text_col}, ' '))[i*12+1 : i*12+12], ' '))
     || ['(c) example corp - all rights reserved'] AS lines
-  FROM documents
-), l AS (
+  FROM {src_cte}
+), bl AS (
   SELECT doc_id, generate_subscripts(lines, 1) AS pos, unnest(lines) AS line
-  FROM p
-), k AS (
-  SELECT doc_id, pos, line, lower(trim(line)) AS key FROM l
-), c AS (
-  SELECT key, count(DISTINCT doc_id) AS n_docs FROM k GROUP BY key
-), kept AS (
-  SELECT k.doc_id, k.pos, k.line FROM k JOIN c ON k.key = c.key
-  WHERE c.n_docs < 5
-), agg AS (
+  FROM pg
+), bk AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS key FROM bl
+), bc AS (
+  SELECT key, count(DISTINCT doc_id) AS n_docs FROM bk GROUP BY key
+), bkept AS (
+  SELECT bk.doc_id, bk.pos, bk.line FROM bk JOIN bc ON bk.key = bc.key
+  WHERE bc.n_docs < 5
+), bagg AS (
   SELECT doc_id, count(*) AS n_kept,
          string_agg(line, chr(10) ORDER BY pos) AS text_clean
-  FROM kept GROUP BY doc_id
-)
-SELECT p.doc_id, len(p.lines) AS n_lines,
-       len(p.lines) - coalesce(agg.n_kept, 0) AS n_dropped,
-       coalesce(agg.text_clean, '') AS text_clean
-FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id
-ORDER BY p.doc_id
-"""
+  FROM bkept GROUP BY doc_id
+), cleaned AS (
+  SELECT pg.doc_id, len(pg.lines) AS n_lines,
+         len(pg.lines) - coalesce(bagg.n_kept, 0) AS n_dropped,
+         coalesce(bagg.text_clean, '') AS text_clean
+  FROM pg LEFT JOIN bagg ON pg.doc_id = bagg.doc_id
+)"""
+
+
+SQL_BOILERPLATE = ("WITH " + _sql_boiler_chain("documents", "text") + """
+SELECT doc_id, n_lines, n_dropped, text_clean FROM cleaned
+ORDER BY doc_id
+""")
 
 
 # ---------------------------------------------------------------------------
@@ -1500,78 +1524,10 @@ def q_pii(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-def _sql_pii() -> str:
-    from ..operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
-    sql = """
-WITH s AS (
-  SELECT doc_id, text, source, md5('p' || CAST(doc_id AS VARCHAR)) AS h
-  FROM documents
-), m AS (
-  SELECT doc_id,
-    text
-    || (CASE WHEN substring(h,1,1) < '8'
-          THEN ' contact ' || source || '.' || substring(h,9,2)
-               || '@mail-' || source
-               || (CASE WHEN substring(h,2,1) < '8'
-                   THEN '.com' ELSE '.org' END)
-          ELSE '' END)
-    || (CASE WHEN substring(h,3,1) < '6'
-          THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
-               || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
-               || CAST((doc_id * 13) % 256 AS VARCHAR)
-          ELSE '' END)
-    || (CASE WHEN substring(h,4,1) < '4'
-          THEN ' call +1 555-'
-               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-               || '-' || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
-         WHEN substring(h,4,1) < '8'
-          THEN ' tel (555) '
-               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-               || '-' || lpad(CAST((doc_id * 9) % 10000 AS VARCHAR), 4, '0')
-          ELSE '' END)
-    || (CASE WHEN substring(h,5,1) < '4' THEN ' v10.2.33 build'
-        ELSE '' END) AS pii_text
-  FROM s
-), f AS (
-  SELECT doc_id, pii_text,
-    len(regexp_extract_all(pii_text, '@EMAIL@')) AS n_emails,
-    len(regexp_extract_all(pii_text, '@IPV4@')) AS n_ipv4,
-    len(regexp_extract_all(pii_text, '@PHONE@')) AS n_phones,
-    regexp_replace(regexp_replace(regexp_replace(pii_text,
-        '@EMAIL@', '<EMAIL>', 'g'), '@IPV4@', '<IP>', 'g'),
-        '@PHONE@', '<PHONE>', 'g') AS text_redacted
-  FROM m
-)
-SELECT doc_id, n_emails, n_ipv4, n_phones,
-       (n_emails + n_ipv4 + n_phones) > 0 AS has_pii, text_redacted
-FROM f ORDER BY doc_id
-"""
-    return (sql.replace("@EMAIL@", EMAIL_RE)
-               .replace("@IPV4@", IPV4_RE)
-               .replace("@PHONE@", PHONE_RE))
-
-
-# ---------------------------------------------------------------------------
-# Composed web-curation pipeline (operators/curation.curate_web_corpus):
-# URL domain -> boilerplate strip -> PII redact -> exact dedup ->
-# quality -> domain cap -> split, the ENTIRE composition hash-verified
-# as one oracle.  The SQL twin chains the already-verified per-stage
-# twins (URL CTE, page synth, boilerplate CTEs, redaction regexes,
-# dedup row_number, repetition stats, cap window, split bucket).
-# ---------------------------------------------------------------------------
-
-def q_curation_web(spark, sf_dir):
-    """curate_web_corpus over documents — one row per surviving doc
-    with its domain, boilerplate-drop counters, token stats and split."""
-    from ..operators.curation import curate_web_corpus
-    d = _t(spark, sf_dir, "documents")
-    return curate_web_corpus(d).orderBy("doc_id")
-
-
-def _sql_curation_web() -> str:
-    from ..operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
-    sql = _SQL_URL_CTE + """
-, ps AS (
+# Shared PII-synthesis CTE pair (mirrors pii.synth_pii_text
+# digit-for-digit); used by BOTH the q_pii twin and the composed
+# curation twin — one definition, no copy to drift.
+_SQL_PII_SYNTH_CTE = """ps AS (
   SELECT doc_id, text, source, md5('p' || CAST(doc_id AS VARCHAR)) AS h
   FROM documents
 ), pm AS (
@@ -1600,39 +1556,65 @@ def _sql_curation_web() -> str:
     || (CASE WHEN substring(h,5,1) < '4' THEN ' v10.2.33 build'
         ELSE '' END) AS pii_text
   FROM ps
-), pg AS (
-  SELECT doc_id,
-    ['home | about | contact', 'section: ' || source]
-    || list_transform(
-         range(greatest((len(string_split(pii_text, ' ')) + 11) // 12, 1)),
-         i -> array_to_string(
-                (string_split(pii_text, ' '))[i*12+1 : i*12+12], ' '))
-    || ['(c) example corp - all rights reserved'] AS lines
+)"""
+
+
+def _sql_redact(col: str) -> str:
+    """Typed-placeholder redaction expression (email -> IP -> phone, the
+    fixed order redact_pii applies); @..@ placeholders are substituted
+    with the shared pii.py patterns by the final builder."""
+    return ("regexp_replace(regexp_replace(regexp_replace(" + col + ",\n"
+            "        '@EMAIL@', '<EMAIL>', 'g'), '@IPV4@', '<IP>', 'g'),\n"
+            "        '@PHONE@', '<PHONE>', 'g')")
+
+
+def _subst_pii_patterns(sql: str) -> str:
+    from ..operators.pii import EMAIL_RE, IPV4_RE, PHONE_RE
+    return (sql.replace("@EMAIL@", EMAIL_RE)
+               .replace("@IPV4@", IPV4_RE)
+               .replace("@PHONE@", PHONE_RE))
+
+
+def _sql_pii() -> str:
+    sql = "WITH " + _SQL_PII_SYNTH_CTE + """
+, f AS (
+  SELECT doc_id, pii_text,
+    len(regexp_extract_all(pii_text, '@EMAIL@')) AS n_emails,
+    len(regexp_extract_all(pii_text, '@IPV4@')) AS n_ipv4,
+    len(regexp_extract_all(pii_text, '@PHONE@')) AS n_phones,
+    """ + _sql_redact("pii_text") + """ AS text_redacted
   FROM pm
-), bl AS (
-  SELECT doc_id, generate_subscripts(lines, 1) AS pos, unnest(lines) AS line
-  FROM pg
-), bk AS (
-  SELECT doc_id, pos, line, lower(trim(line)) AS key FROM bl
-), bc AS (
-  SELECT key, count(DISTINCT doc_id) AS n_docs FROM bk GROUP BY key
-), bkept AS (
-  SELECT bk.doc_id, bk.pos, bk.line FROM bk JOIN bc ON bk.key = bc.key
-  WHERE bc.n_docs < 5
-), bagg AS (
-  SELECT doc_id, count(*) AS n_kept,
-         string_agg(line, chr(10) ORDER BY pos) AS text_clean
-  FROM bkept GROUP BY doc_id
-), cleaned AS (
-  SELECT pg.doc_id, len(pg.lines) AS n_lines,
-         len(pg.lines) - coalesce(bagg.n_kept, 0) AS n_dropped,
-         coalesce(bagg.text_clean, '') AS text_clean
-  FROM pg LEFT JOIN bagg ON pg.doc_id = bagg.doc_id
-), red AS (
+)
+SELECT doc_id, n_emails, n_ipv4, n_phones,
+       (n_emails + n_ipv4 + n_phones) > 0 AS has_pii, text_redacted
+FROM f ORDER BY doc_id
+"""
+    return _subst_pii_patterns(sql)
+
+
+# ---------------------------------------------------------------------------
+# Composed web-curation pipeline (operators/curation.curate_web_corpus):
+# URL domain -> boilerplate strip -> PII redact -> exact dedup ->
+# quality -> domain cap -> split, the ENTIRE composition hash-verified
+# as one oracle.  The SQL twin chains the already-verified per-stage
+# twins (URL CTE, page synth, boilerplate CTEs, redaction regexes,
+# dedup row_number, repetition stats, cap window, split bucket).
+# ---------------------------------------------------------------------------
+
+def q_curation_web(spark, sf_dir):
+    """curate_web_corpus over documents — one row per surviving doc
+    with its domain, boilerplate-drop counters, token stats and split."""
+    from ..operators.curation import curate_web_corpus
+    d = _t(spark, sf_dir, "documents")
+    return curate_web_corpus(d).orderBy("doc_id")
+
+
+def _sql_curation_web() -> str:
+    sql = (_SQL_URL_CTE + ", " + _SQL_PII_SYNTH_CTE + ", "
+           + _sql_boiler_chain("pm", "pii_text") + """
+, red AS (
   SELECT c.doc_id, c.n_lines, c.n_dropped, dom.domain,
-         regexp_replace(regexp_replace(regexp_replace(c.text_clean,
-           '@EMAIL@', '<EMAIL>', 'g'), '@IPV4@', '<IP>', 'g'),
-           '@PHONE@', '<PHONE>', 'g') AS text_redacted
+         """ + _sql_redact("c.text_clean") + """ AS text_redacted
   FROM cleaned c JOIN dom ON c.doc_id = dom.doc_id
 ), reps AS (
   SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY
@@ -1644,14 +1626,8 @@ def _sql_curation_web() -> str:
          len(string_split(replace(text_redacted, chr(10), ' '), ' '))
            AS n_tokens
   FROM reps
-), rep_stats AS (
-  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_share
-  FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g, count(*) AS c
-        FROM (SELECT doc_id, string_split(stats_text, ' ') AS t FROM tok2),
-             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
-        WHERE len(t) >= 3 GROUP BY doc_id, g) pg2
-  GROUP BY doc_id
-), kept2 AS (
+), """ + _sql_rep_stats("tok2", "stats_text") + """,
+kept2 AS (
   SELECT t.*, r.top_share FROM tok2 t JOIN rep_stats r USING (doc_id)
   WHERE n_tokens >= 20 AND top_share <= 0.12
 ), capped AS (
@@ -1660,16 +1636,10 @@ def _sql_curation_web() -> str:
                  FROM kept2) WHERE crn <= 10
 )
 SELECT doc_id, domain, n_lines, n_dropped, n_tokens, top_share,
-       CASE WHEN ('0x' || substr(md5(text_redacted), 1, 3))::UBIGINT < 409
-              THEN 'test'
-            WHEN ('0x' || substr(md5(text_redacted), 1, 3))::UBIGINT < 818
-              THEN 'valid'
-            ELSE 'train' END AS split
+       """ + _sql_split_case("text_redacted") + """ AS split
 FROM capped ORDER BY doc_id
-"""
-    return (sql.replace("@EMAIL@", EMAIL_RE)
-               .replace("@IPV4@", IPV4_RE)
-               .replace("@PHONE@", PHONE_RE))
+""")
+    return _subst_pii_patterns(sql)
 
 
 # ---------------------------------------------------------------------------
