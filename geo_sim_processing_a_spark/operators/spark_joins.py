@@ -33,6 +33,39 @@ def encode_cell_udf(res: int):
 from ..geom.primitives import split_rings as _split_rings  # shared decoder
 
 
+def cell_parent_col(cell, steps: int = 1):
+    """JVM-side Morton parent — the bit-for-bit twin of cells.parent
+    (cell layout: (morton << 5) | res, so the parent is
+    ``((cell >> (5 + 2*steps)) << 5) | ((cell & 31) - steps)``).
+    Pure integer ops: whole-stage codegen, and directly expressible in
+    any SQL engine (the DuckDB oracle writes the same shifts)."""
+    return (F.shiftleft(F.shiftright(cell, 5 + 2 * steps), 5)
+            .bitwiseOR(cell.bitwiseAND(F.lit(31)) - F.lit(steps)))
+
+
+def cell_pyramid(df: DataFrame, cell_col: str = "cell",
+                 levels: int = 2) -> DataFrame:
+    """Multi-resolution rollup pyramid (the tile-server aggregation):
+    row counts per cell at the native resolution (level 0) plus each of
+    ``levels`` coarser parent resolutions.
+
+    Scale shape — hierarchical reaggregation: level k+1 aggregates the
+    LEVEL-k AGGREGATE (~n/4 rows per step), never the raw table, so the
+    raw data is shuffled exactly once; every coarser level is a
+    geometrically-shrinking hash-agg.  Returns (cell_col, n, level)."""
+    if levels < 0:
+        raise ValueError(f"cell_pyramid: levels must be >= 0, got {levels}")
+    base = df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("n"))
+    out = base.withColumn("level", F.lit(0))
+    cur = base
+    for k in range(1, levels + 1):
+        cur = (cur.groupBy(cell_parent_col(F.col(cell_col), 1)
+                           .alias(cell_col))
+               .agg(F.sum("n").alias("n")))
+        out = out.unionByName(cur.withColumn("level", F.lit(k)))
+    return out
+
+
 def pip_join(points: DataFrame, polys: DataFrame, res: int = 8) -> DataFrame:
     """points(pid, lon, lat) x polys(poly_id, xs, ys[, ring_offsets]) ->
     (pid, poly_id, lon, lat).  Polygon side broadcast.  Multi-ring

@@ -705,6 +705,28 @@ SQL_CELL_STATS = (
     "ORDER BY n DESC, cell LIMIT 50")
 
 
+def q_cell_pyramid(spark, sf_dir):
+    """Multi-resolution rollup pyramid: per-cell counts at res 12 plus
+    two coarser parent levels — hierarchical reaggregation (level k+1
+    aggregates level k's output, the raw rows shuffle exactly once)."""
+    from ..operators.spark_joins import cell_pyramid
+    return (cell_pyramid(q_cell_encode(spark, sf_dir), levels=2)
+            .orderBy("level", "cell"))
+
+
+_SQL_PARENT = "((cell >> 7) << 5) | ((cell & 31) - 1)"
+
+SQL_CELL_PYRAMID = (
+    "WITH cells AS (" + _sql_morton_cell(CELL_RES) + "),\n"
+    "l0 AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),\n"
+    f"l1 AS (SELECT {_SQL_PARENT} AS cell, sum(n) AS n FROM l0 GROUP BY 1),\n"
+    f"l2 AS (SELECT {_SQL_PARENT} AS cell, sum(n) AS n FROM l1 GROUP BY 1)\n"
+    "SELECT cell, n, 0 AS level FROM l0\n"
+    "UNION ALL SELECT cell, n, 1 AS level FROM l1\n"
+    "UNION ALL SELECT cell, n, 2 AS level FROM l2\n"
+    "ORDER BY level, cell")
+
+
 # ---------------------------------------------------------------------------
 # PIP join / kNN (generic kernels vs SQL oracles on boundary-safe data)
 # ---------------------------------------------------------------------------
@@ -1175,6 +1197,7 @@ def all_queries():
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
+        "q_cell_pyramid": q_cell_pyramid,
         "q_pip_join": q_pip_join,
         "q_range_join": q_range_join,
         "q_knn": q_knn,
@@ -1727,6 +1750,7 @@ def all_oracles():
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
+        "q_cell_pyramid": SQL_CELL_PYRAMID,
         "q_pip_join": SQL_PIP_JOIN,
         "q_range_join": SQL_RANGE_JOIN,
         "q_knn": SQL_KNN,

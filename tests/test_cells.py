@@ -96,3 +96,46 @@ def test_cover_polygon_thin_triangle():
     # all vertices' cells are covered
     vc = cells.encode(ring[:, 0], ring[:, 1], 12)
     assert set(vc.tolist()) <= set(cov.tolist())
+
+
+def test_cell_parent_col_matches_numpy(spark):
+    """JVM bit-twiddled parent == cells.parent, including across
+    multi-step chains (level-2 parent = parent(parent))."""
+    import numpy as np
+    from geo_sim_processing_a_spark.operators import cells as C
+    from geo_sim_processing_a_spark.operators.spark_joins import (
+        cell_parent_col)
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    cell = C.encode(lon, lat, 12)
+    df = spark.createDataFrame([(int(c),) for c in cell], "cell long")
+    got = (df.select(cell_parent_col(F.col("cell"), 1).alias("p1"),
+                     cell_parent_col(F.col("cell"), 2).alias("p2"))
+           .collect())
+    exp1, exp2 = C.parent(cell, 1), C.parent(cell, 2)
+    assert [r["p1"] for r in got] == list(map(int, exp1))
+    assert [r["p2"] for r in got] == list(map(int, exp2))
+
+
+def test_cell_pyramid_conserves_mass_and_levels(spark):
+    import numpy as np
+    from geo_sim_processing_a_spark.operators import cells as C
+    from geo_sim_processing_a_spark.operators.spark_joins import cell_pyramid
+
+    rng = np.random.default_rng(11)
+    cell = C.encode(rng.uniform(-10, 10, 500), rng.uniform(-10, 10, 500), 10)
+    df = spark.createDataFrame([(int(c),) for c in cell], "cell long")
+    out = cell_pyramid(df, levels=3).collect()
+    by_level = {}
+    for r in out:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) == {0, 1, 2, 3}
+    for lvl, rows in by_level.items():
+        assert sum(r["n"] for r in rows) == 500          # mass conserved
+        assert all((r["cell"] & 31) == 10 - lvl for r in rows)  # res tag
+    # coarser levels have no more cells than finer ones
+    assert len(by_level[1]) <= len(by_level[0])
+    assert len(by_level[3]) <= len(by_level[2])
