@@ -87,11 +87,27 @@ def line_doc_frequency(pages: DataFrame, id_col: str = "doc_id",
             .agg(F.countDistinct(id_col).alias("n_docs")))
 
 
-def remove_boilerplate(pages: DataFrame, min_docs: int = 5,
-                       id_col: str = "doc_id", page_col: str = "page",
-                       broadcast_boiler: bool = True) -> DataFrame:
-    """Strip every line whose normalized form appears in >= min_docs
-    distinct documents; returns one row per input document:
+def boilerplate_keys(pages: DataFrame, min_docs: int = 5,
+                     id_col: str = "doc_id",
+                     page_col: str = "page") -> DataFrame:
+    """The boilerplate set itself: normalized line keys whose
+    document frequency is >= min_docs, as a one-column ("key")
+    DataFrame.  In production this runs over a REFERENCE corpus (or a
+    deterministic sample) once, and the result is reused across
+    batches / streaming micro-batches — per-micro-batch frequencies
+    would see too few documents to cross any sensible threshold."""
+    return (line_doc_frequency(pages, id_col, page_col)
+            .filter(F.col("n_docs") >= F.lit(min_docs))
+            .select("key"))
+
+
+def strip_lines(pages: DataFrame, boiler: DataFrame,
+                id_col: str = "doc_id", page_col: str = "page",
+                broadcast_boiler: bool = True) -> DataFrame:
+    """Strip every line whose normalized form appears in ``boiler``
+    (a one-column "key" frame, e.g. from boilerplate_keys over a
+    reference corpus).  Stateless given the boilerplate set — safe in
+    foreachBatch / streaming.  Returns one row per input document:
 
       (id_col, n_lines, n_dropped, text_clean)
 
@@ -99,10 +115,6 @@ def remove_boilerplate(pages: DataFrame, min_docs: int = 5,
     document whose every line is boilerplate comes back with
     text_clean = '' (LEFT join + coalesce, no row loss)."""
     keyed = _lines(pages, id_col, page_col)
-    boiler = (keyed.groupBy("key")
-              .agg(F.countDistinct(id_col).alias("n_docs"))
-              .filter(F.col("n_docs") >= F.lit(min_docs))
-              .select("key"))
     if broadcast_boiler:
         boiler = F.broadcast(boiler)
     kept = keyed.join(boiler, "key", "left_anti")
@@ -119,3 +131,14 @@ def remove_boilerplate(pages: DataFrame, min_docs: int = 5,
                     .alias("n_dropped"),
                     F.coalesce(F.col("text_clean"), F.lit(""))
                     .alias("text_clean")))
+
+
+def remove_boilerplate(pages: DataFrame, min_docs: int = 5,
+                       id_col: str = "doc_id", page_col: str = "page",
+                       broadcast_boiler: bool = True) -> DataFrame:
+    """Self-referential convenience: boilerplate_keys over ``pages``
+    itself, then strip_lines.  A BATCH operator — the frequency count
+    needs the whole corpus; for streaming, compute boilerplate_keys
+    over a reference corpus once and call strip_lines per batch."""
+    boiler = boilerplate_keys(pages, min_docs, id_col, page_col)
+    return strip_lines(pages, boiler, id_col, page_col, broadcast_boiler)

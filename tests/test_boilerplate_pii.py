@@ -192,3 +192,32 @@ def test_synth_pages_wraps_tokens(spark):
     assert lines[2].split(" ") == [f"w{i}" for i in range(12)]
     assert lines[4] == "w24 w25 w26 w27 w28 w29"
     assert lines[5].startswith("(c) example corp")
+
+
+def test_strip_lines_with_reference_corpus_on_stream(spark, tmp_path):
+    """The production/streaming shape: boilerplate_keys computed once
+    over a REFERENCE corpus, strip_lines applied per micro-batch —
+    stateless given the set, identical to the batch result."""
+    from geo_sim_processing_a_spark.operators.boilerplate import (
+        boilerplate_keys, strip_lines)
+
+    ref = _pages(spark)                       # reference corpus
+    boiler = boilerplate_keys(ref, min_docs=5)
+    src = str(tmp_path / "bp_in")
+    ref.repartition(2).write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("doc_id long, page string").parquet(src))
+    batch_out = {}
+
+    def sink(df, _epoch):
+        for r in strip_lines(df, boiler).collect():
+            batch_out[r["doc_id"]] = (r["n_lines"], r["n_dropped"],
+                                      r["text_clean"])
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    expect = {r["doc_id"]: (r["n_lines"], r["n_dropped"], r["text_clean"])
+              for r in strip_lines(ref, boiler).collect()}
+    assert batch_out == expect and len(batch_out) == 6
