@@ -409,6 +409,30 @@ FROM kept GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (Spark SQL
+    `percentile`, the Greenwald-Khanna-free exact path — both engines
+    sort-and-interpolate identically; round(6) absorbs ulp noise).
+    The scale path for sketched quantiles is approx_percentile; this
+    query pins the EXACT semantics the sketch is judged against."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"))
+            .orderBy("event_type"))
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-leakage screen: 5-gram contamination of every document
     against a deterministic ~2% 'benchmark' slice of the corpus (the
@@ -1173,6 +1197,7 @@ def all_queries():
         "q_supplier_rank": q_supplier_rank,
         "q_events_by_type_day": q_events_by_type_day,
         "q_events_sessions": q_events_sessions,
+        "q_value_percentiles": q_value_percentiles,
         "q_rollup_revenue": q_rollup_revenue,
         "q_customers_without_orders": q_customers_without_orders,
         "q_hypertable_rollup": q_hypertable_rollup,
@@ -1727,6 +1752,7 @@ def all_oracles():
         "q_supplier_rank": SQL_SUPPLIER_RANK,
         "q_events_by_type_day": SQL_EVENTS_DAY,
         "q_events_sessions": SQL_EVENTS_SESSIONS,
+        "q_value_percentiles": SQL_VALUE_PERCENTILES,
         "q_rollup_revenue": SQL_ROLLUP_REVENUE,
         "q_customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
         "q_hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
