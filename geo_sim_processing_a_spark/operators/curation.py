@@ -65,48 +65,44 @@ def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
     return deterministic_split(out, col=split_col or text_col)
 
 
-def curate_web_corpus(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", source_col: str = "source",
-                      boiler_min_docs: int = 5, min_tokens: int = 20,
-                      max_top_share: float = 0.12, ngram_n: int = 3,
-                      cap_per_domain: int = 10) -> DataFrame:
-    """The FULL web-curation pipeline as one composition — every stage
-    an oracle-verified building block, the whole thing SQL-expressible
-    and hash-verified end-to-end (q_curation_web):
+def curate_web_pages(pages: DataFrame, id_col: str = "doc_id",
+                     url_col: str = "url", page_col: str = "page",
+                     boiler_min_docs: int = 5, min_tokens: int = 20,
+                     max_top_share: float = 0.12, ngram_n: int = 3,
+                     cap_per_domain: int = 10,
+                     boiler_keys: DataFrame = None) -> DataFrame:
+    """The PRODUCTION web-curation composition, over real columns —
+    (id, url, multi-line page text) as a crawl actually delivers them:
 
-    1. URL canonicalization -> registrable domain (urls.normalize_urls
-       over the deterministic messy-URL synth);
-    2. raw-page shape: multi-line page with template boilerplate AND
-       planted PII (boilerplate.synth_pages_with_boilerplate over
-       pii.synth_pii_text — the testdata is single-line and PII-free,
-       so the demo input is synthesized, identically in the oracle);
-    3. line-level boilerplate strip (document-frequency >=
-       ``boiler_min_docs``);
-    4. PII redaction of the cleaned text;
-    5. exact dedup on the REDACTED content (min-id survivor — docs that
+    1. URL canonicalization -> registrable domain (normalize_urls);
+    2. line-level boilerplate strip: document-frequency >=
+       ``boiler_min_docs`` over ``pages`` itself, or pass
+       ``boiler_keys`` (boilerplate.boilerplate_keys over a reference
+       corpus) for the streaming / incremental shape;
+    3. PII redaction of the cleaned text;
+    4. exact dedup on the REDACTED content (min-id survivor — docs that
        differed only in template lines or redacted spans collapse);
-    6. quality: token floor + Gopher-style repetition ceiling (newlines
+    5. quality: token floor + Gopher-style repetition ceiling (newlines
        normalized to spaces for token/gram stats);
-    7. content-addressed per-domain cap (skew-aware domain_cap);
-    8. deterministic content-addressed train/valid/test split.
+    6. content-addressed per-domain cap (skew-aware domain_cap);
+    7. deterministic content-addressed train/valid/test split.
 
     Returns one row per surviving doc:
     (id, domain, n_lines, n_dropped, n_tokens, top_share, split)."""
-    from .boilerplate import remove_boilerplate, synth_pages_with_boilerplate
-    from .pii import redact_pii, synth_pii_text
-    from .urls import domain_cap, normalize_urls, synth_messy_urls
+    from .boilerplate import boilerplate_keys as _bkeys
+    from .boilerplate import strip_lines
+    from .pii import redact_pii
+    from .urls import domain_cap, normalize_urls
 
-    d = docs.select(id_col, text_col, source_col)
-    u = normalize_urls(synth_messy_urls(                           # 1
-        d, id_col=id_col, source_col=source_col))
-    pages = synth_pages_with_boilerplate(                          # 2
-        synth_pii_text(d, id_col=id_col, text_col=text_col,
-                       source_col=source_col),
-        id_col=id_col, text_col="pii_text", source_col=source_col)
-    cleaned = remove_boilerplate(pages, min_docs=boiler_min_docs,  # 3
-                                 id_col=id_col)
-    red = redact_pii(cleaned, text_col="text_clean")               # 4
-    rep_struct = F.struct(*[F.col(c) for c in red.columns])        # 5
+    u = (normalize_urls(pages.select(id_col, url_col), url_col=url_col)
+         .select(id_col, "domain"))                                # 1
+    if boiler_keys is None:
+        boiler_keys = _bkeys(pages, min_docs=boiler_min_docs,
+                             id_col=id_col, page_col=page_col)
+    cleaned = strip_lines(pages, boiler_keys, id_col=id_col,       # 2
+                          page_col=page_col)
+    red = redact_pii(cleaned, text_col="text_clean")               # 3
+    rep_struct = F.struct(*[F.col(c) for c in red.columns])        # 4
     reps = (red
             .groupBy(F.md5(F.col("text_redacted").cast("binary"))
                      .alias("_md5"))
@@ -115,17 +111,47 @@ def curate_web_corpus(docs: DataFrame, id_col: str = "doc_id",
     # domain is a pure function of the id: join it onto the SURVIVORS
     # only, after the corpus-wide dedup shuffle (identical result,
     # fewer shuffled bytes)
-    reps = reps.join(u.select(id_col, "domain"), id_col)
-    stats = reps.withColumn(                                       # 6+8
+    reps = reps.join(u, id_col)
+    stats = reps.withColumn(                                       # 5+7
         "stats_text", F.replace(F.col("text_redacted"),
                                 F.lit("\n"), F.lit(" ")))
     q = _quality_and_split(stats, id_col, "stats_text", min_tokens,
                            max_top_share, ngram_n,
                            split_col="text_redacted")
-    capped = domain_cap(q, cap=cap_per_domain, id_col=id_col,      # 7
+    capped = domain_cap(q, cap=cap_per_domain, id_col=id_col,      # 6
                         text_col="text_redacted")
     return capped.select(id_col, "domain", "n_lines", "n_dropped",
                          "n_tokens", "top_share", "split")
+
+
+def curate_web_corpus(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", source_col: str = "source",
+                      boiler_min_docs: int = 5, min_tokens: int = 20,
+                      max_top_share: float = 0.12, ngram_n: int = 3,
+                      cap_per_domain: int = 10) -> DataFrame:
+    """curate_web_pages over DETERMINISTICALLY SYNTHESIZED raw-web
+    inputs (the testdata is single-line, URL-free and PII-free): messy
+    URL from (id, source), multi-line page with template boilerplate
+    and planted PII.  Every synth rule is mirrored in the DuckDB twin,
+    so the ENTIRE composition is hash-verified end-to-end
+    (q_curation_web at sf0.001/0.01/0.1)."""
+    from .boilerplate import synth_pages_with_boilerplate
+    from .pii import synth_pii_text
+    from .urls import synth_messy_urls
+
+    d = docs.select(id_col, text_col, source_col)
+    raw = synth_pages_with_boilerplate(
+        synth_pii_text(synth_messy_urls(d, id_col=id_col,
+                                        source_col=source_col),
+                       id_col=id_col, text_col=text_col,
+                       source_col=source_col),
+        id_col=id_col, text_col="pii_text", source_col=source_col)
+    return curate_web_pages(raw, id_col=id_col,
+                            boiler_min_docs=boiler_min_docs,
+                            min_tokens=min_tokens,
+                            max_top_share=max_top_share,
+                            ngram_n=ngram_n,
+                            cap_per_domain=cap_per_domain)
 
 
 def curate_corpus_fuzzy(docs: DataFrame, id_col: str = "doc_id",

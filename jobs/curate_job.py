@@ -42,6 +42,14 @@ def main():
     ap.add_argument("--gopher", action="store_true",
                     help="also require the full Gopher rule battery")
     ap.add_argument("--gopher-min-words", type=int, default=50)
+    ap.add_argument("--web", action="store_true",
+                    help="full web pipeline (curate_web_pages): the "
+                         "text column is a multi-line PAGE — boilerplate "
+                         "strip + PII redaction + dedup on the redacted "
+                         "content + quality + domain cap + split; "
+                         "requires --url-col")
+    ap.add_argument("--boiler-min-docs", type=int, default=5,
+                    help="--web: line document-frequency threshold")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -58,6 +66,24 @@ def main():
 
     docs = spark.read.parquet(args.docs_path)
     n_in = docs.count()
+
+    if args.web:
+        if not args.url_col:
+            raise SystemExit("--web requires --url-col")
+        if args.fuzzy or args.gopher:
+            raise SystemExit("--web is its own composition; "
+                             "--fuzzy/--gopher do not apply")
+        from geo_sim_processing_a_spark.operators.curation import (
+            curate_web_pages)
+        out = curate_web_pages(
+            docs, id_col=args.id_col, url_col=args.url_col,
+            page_col=args.text_col,
+            boiler_min_docs=args.boiler_min_docs,
+            min_tokens=args.min_tokens,
+            max_top_share=args.max_top_share,
+            cap_per_domain=args.cap_per_domain or 10)
+        _write_and_report(spark, out, args.out, n_in)
+        return
 
     if args.url_col:
         docs = normalize_urls(docs, url_col=args.url_col)
@@ -78,10 +104,16 @@ def main():
                .where(F.col("gopher_pass"))
                .drop("g1", "g2", "g3", "g4", "g5", "g6", "g7"))
 
+    _write_and_report(spark, out, args.out, n_in)
+
+
+def _write_and_report(spark, out, out_path, n_in):
+    from pyspark.sql import functions as F
+
     # persist: consumed by the write AND the stats aggregate (an empty
     # result would also make a read-back fail on schema inference)
     out = out.persist()
-    out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    out.write.mode("overwrite").partitionBy("split").parquet(out_path)
     stats = {
         "docs_in": n_in,
         "docs_out": out.count(),

@@ -109,3 +109,61 @@ def test_curate_web_corpus_exact_dup_pages_collapse(spark):
     out = curate_web_corpus(df, min_tokens=5, cap_per_domain=100).collect()
     ids = {r["doc_id"] for r in out}
     assert a in ids and b not in ids  # min-id survivor only
+
+
+def test_curate_job_cli_web_mode(spark, tmp_path, monkeypatch):
+    """--web drives curate_web_pages from argv over a table with real
+    (doc_id, url, page) columns and writes a split-partitioned table
+    matching its printed stats."""
+    import io
+    import json
+    import sys
+    from contextlib import redirect_stdout
+
+    from geo_sim_processing_a_spark.operators.boilerplate import (
+        synth_pages_with_boilerplate)
+    from geo_sim_processing_a_spark.operators.urls import synth_messy_urls
+    from jobs import curate_job
+
+    src = str(tmp_path / "webdocs")
+    raw = synth_pages_with_boilerplate(synth_messy_urls(_docs(spark)))
+    raw.select("doc_id", "url", "page").write.parquet(src)
+
+    out = str(tmp_path / "curated_web")
+    monkeypatch.setattr(sys, "argv", [
+        "curate_job.py", "--docs-path", src, "--out", out,
+        "--web", "--url-col", "url", "--text-col", "page",
+        "--min-tokens", "5", "--cap-per-domain", "50"])
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        curate_job.main()
+    line = [l for l in buf.getvalue().splitlines()
+            if l.startswith("CURATE_STATS ")][0]
+    stats = json.loads(line[len("CURATE_STATS "):])
+    assert stats["docs_in"] == 120
+    assert 0 < stats["docs_out"] <= 120
+    back = spark.read.parquet(out)
+    assert back.count() == stats["docs_out"] == sum(stats["splits"].values())
+    assert {"domain", "n_dropped", "n_tokens"} <= set(back.columns)
+
+
+def test_curate_web_pages_with_reference_boiler_keys(spark):
+    """Passing a precomputed boilerplate set (reference corpus) gives
+    the same result as computing it over the corpus itself when the
+    reference IS the corpus — the streaming/incremental shape."""
+    from geo_sim_processing_a_spark.operators.boilerplate import (
+        boilerplate_keys, synth_pages_with_boilerplate)
+    from geo_sim_processing_a_spark.operators.curation import (
+        curate_web_pages)
+    from geo_sim_processing_a_spark.operators.urls import synth_messy_urls
+
+    raw = synth_pages_with_boilerplate(synth_messy_urls(_docs(spark)))
+    keys = boilerplate_keys(raw, min_docs=5)
+    # min_tokens=5: every doc's shared 26-word prefix wraps into
+    # identical content lines that the frequency filter (correctly)
+    # strips as boilerplate, leaving only the short unique tail
+    a = curate_web_pages(raw, cap_per_domain=50, min_tokens=5).collect()
+    b = curate_web_pages(raw, cap_per_domain=50, min_tokens=5,
+                         boiler_keys=keys).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
