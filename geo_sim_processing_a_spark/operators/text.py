@@ -285,6 +285,45 @@ def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def tfidf_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the standard
+    search-relevance / topic-signal scoring over a corpus.
+
+    tf = in-doc term count; idf = ln(N / df) with df = number of
+    distinct docs containing the term (no smoothing — a term in every
+    doc scores exactly 0).  Scores are ROUNDED to 6 decimals BEFORE
+    ranking so the (score DESC, term ASC) tie-break is engine-exact —
+    ranking on raw doubles could flip on a ulp between Spark and the
+    DuckDB oracle.
+
+    Scale shape: tokenization explodes in the scan stage; (doc, term)
+    counts and the document-frequency table are both partial-aggregated
+    hash-aggs; the df join is a plain equi-join on term (AQE broadcasts
+    it when the vocabulary is small); the final top-k is a bounded
+    per-doc window.  N is the corpus row count — a parquet
+    footer-speed metadata read when ``docs`` is a bare table scan
+    (same bounded-driver-scalar idiom as the epsilon derivation)."""
+    from pyspark.sql.window import Window
+
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
+        .alias("term")).where(F.col("term") != "")
+    td = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (td.join(df_tbl, "term")
+              .withColumn("score",
+                          F.round(F.col("tf")
+                                  * F.log(F.lit(float(n_docs))
+                                          / F.col("df")), 6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k)
+            .select("doc_id", "term", "tf", "df", "score", "rnk"))
+
+
 def with_gopher_rules(docs: DataFrame, text_col: str = "text",
                       min_words: int = 50, max_words: int = 100_000) -> DataFrame:
     """Adds per-rule boolean columns g1..g7 + `gopher_pass`:

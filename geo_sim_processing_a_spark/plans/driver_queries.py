@@ -409,6 +409,42 @@ FROM kept GROUP BY 1, 2 ORDER BY split, lang
 """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (text.tfidf_keywords):
+    scan-stage tokenize-explode, two partial-aggregated hash-aggs,
+    one term equi-join, bounded per-doc window; scores rounded before
+    ranking so the tie-break is engine-exact."""
+    from ..operators.text import tfidf_keywords
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(d, k=3).orderBy("doc_id", "rnk")
+
+
+SQL_TFIDF_KEYWORDS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS term
+  FROM documents
+), t2 AS (
+  SELECT doc_id, term FROM toks WHERE term != ''
+), td AS (
+  SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM td GROUP BY term
+), scored AS (
+  SELECT td.doc_id, td.term, td.tf, dft.df,
+         round(td.tf * ln((SELECT count(*) FROM documents) * 1.0 / dft.df),
+               6) AS score
+  FROM td JOIN dft USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rnk FROM ranked
+WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per event type (Spark SQL
     `percentile`, the Greenwald-Khanna-free exact path — both engines
@@ -1203,6 +1239,7 @@ def all_queries():
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_lang_dist": q_lang_dist,
         "q_ngram_topk": q_ngram_topk,
+        "q_tfidf_keywords": q_tfidf_keywords,
         "q_doc_split": q_doc_split,
         "q_domain_mix": q_domain_mix,
         "q_url_normalize": q_url_normalize,
@@ -1758,6 +1795,7 @@ def all_oracles():
         "q_hypertable_rollup": SQL_HYPERTABLE_ROLLUP,
         "q_lang_dist": SQL_LANG_DIST,
         "q_ngram_topk": SQL_NGRAM_TOPK,
+        "q_tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "q_doc_split": SQL_DOC_SPLIT,
         "q_domain_mix": SQL_DOMAIN_MIX,
         "q_url_normalize": SQL_URL_NORMALIZE,

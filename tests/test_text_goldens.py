@@ -95,3 +95,25 @@ def test_bpe_token_count_matches_reference(spark):
                      fromlist=["col"]).col("text")).alias("n")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == len(re.findall(BPE_TOKEN_PATTERN_SQL, t)), (i, t)
+
+
+def test_tfidf_keywords_semantics(spark):
+    """Hand-checkable corpus: a term in every doc scores 0; the most
+    distinctive term ranks first; rounded-score ties break by term."""
+    import math
+    from geo_sim_processing_a_spark.operators.text import tfidf_keywords
+    docs = spark.createDataFrame(
+        [(0, "common apple apple"),
+         (1, "common banana"),
+         (2, "common cherry cherry cherry")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rnk"]): r for r in
+           tfidf_keywords(docs, k=2).collect()}
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); common tf=1 df=3 -> ln(1)=0
+    assert out[(0, 1)]["term"] == "apple"
+    assert out[(0, 1)]["score"] == round(2 * math.log(3.0), 6)
+    assert out[(0, 2)]["term"] == "common" and out[(0, 2)]["score"] == 0.0
+    assert out[(2, 1)]["term"] == "cherry"
+    assert out[(2, 1)]["score"] == round(3 * math.log(3.0), 6)
+    # every-doc term never outranks a distinctive one
+    assert all(v["term"] != "common" for (d, r), v in out.items() if r == 1)
