@@ -445,6 +445,75 @@ WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM quality gate (operators/lm.py): train an
+    add-k bigram LM on the documents corpus, score each doc's
+    cross-entropy, bucket head/middle/tail.  Tokenize-explode in the
+    scan stage, lag window for bigram formation, hash-agg count
+    tables, broadcast vocab joins; zero UDF.  Log-probs are
+    integer-quantized (1e-7) before summation so the per-doc sum is
+    order-independent and hash-exact vs the DuckDB twin."""
+    from ..operators.lm import bigram_lm_score, perplexity_buckets
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = bigram_lm_score(d, min_count=2, k=0.1)
+    return (perplexity_buckets(scores, head_ce=LM_HEAD_CE, tail_ce=LM_TAIL_CE)
+            .orderBy("doc_id"))
+
+
+LM_HEAD_CE = 3.38
+LM_TAIL_CE = 3.4
+
+SQL_LM_PERPLEXITY = r"""
+WITH toks0 AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS term,
+         generate_subscripts(string_split_regex(trim(text),
+                                                '[ \t\n\x0b\f\r]+'), 1) AS pos
+  FROM documents
+), toks AS (
+  SELECT * FROM toks0 WHERE term != ''
+), vocab AS (
+  SELECT term FROM toks GROUP BY term HAVING count(*) >= 2
+), nv AS (
+  SELECT count(*) AS v FROM vocab
+), pr AS (
+  SELECT doc_id,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS v_raw,
+         term AS w_raw
+  FROM toks
+), pairs AS (
+  SELECT pr.doc_id,
+         CASE WHEN va.term IS NOT NULL THEN pr.v_raw ELSE '<unk>' END AS v,
+         CASE WHEN vb.term IS NOT NULL THEN pr.w_raw ELSE '<unk>' END AS w
+  FROM pr
+  LEFT JOIN vocab va ON pr.v_raw = va.term
+  LEFT JOIN vocab vb ON pr.w_raw = vb.term
+  WHERE pr.v_raw IS NOT NULL
+), pdv AS (
+  SELECT doc_id, v, w, count(*) AS m FROM pairs GROUP BY doc_id, v, w
+), bi AS (
+  SELECT v, w, sum(m) AS c_vw FROM pdv GROUP BY v, w
+), ctx AS (
+  SELECT v, sum(c_vw) AS c_v FROM bi GROUP BY v
+), sc AS (
+  SELECT pdv.doc_id, pdv.m,
+         CAST(round(ln((bi.c_vw + 0.1)
+                       / (ctx.c_v + 0.1 * ((SELECT v FROM nv) + 1))) * 1e7)
+              AS BIGINT) AS logp7
+  FROM pdv JOIN bi USING (v, w) JOIN ctx USING (v)
+), agg AS (
+  SELECT doc_id, sum(m) AS n_bigrams,
+         round(-sum(m * logp7) / (1e7 * sum(m)), 6) AS ce
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, ce,
+       CASE WHEN ce <= 3.38 THEN 'head'
+            WHEN ce <= 3.4 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM agg ORDER BY doc_id
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per event type (Spark SQL
     `percentile`, the Greenwald-Khanna-free exact path — both engines
@@ -1240,6 +1309,7 @@ def all_queries():
         "q_lang_dist": q_lang_dist,
         "q_ngram_topk": q_ngram_topk,
         "q_tfidf_keywords": q_tfidf_keywords,
+        "q_lm_perplexity": q_lm_perplexity,
         "q_doc_split": q_doc_split,
         "q_domain_mix": q_domain_mix,
         "q_url_normalize": q_url_normalize,
@@ -1796,6 +1866,7 @@ def all_oracles():
         "q_lang_dist": SQL_LANG_DIST,
         "q_ngram_topk": SQL_NGRAM_TOPK,
         "q_tfidf_keywords": SQL_TFIDF_KEYWORDS,
+        "q_lm_perplexity": SQL_LM_PERPLEXITY,
         "q_doc_split": SQL_DOC_SPLIT,
         "q_domain_mix": SQL_DOMAIN_MIX,
         "q_url_normalize": SQL_URL_NORMALIZE,

@@ -618,3 +618,71 @@ def test_repair_polygon_vertex_entry_deleted():
     entry = np.array([(2.0, 2.0), (14.0, 14.0), (14.0, 2.0), (2.0, 2.0)])
     kept, deleted = repair_polygon([exterior, hole, entry])
     assert deleted == 1
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity filter (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+def _lm_expected(docs, min_count=2, k=0.1):
+    """Independent pure-Python reference for bigram_lm_score (mirrors
+    the documented math, not the Spark plan)."""
+    import math
+    from collections import Counter
+    tok = {i: t.strip().split() for i, t in docs}
+    tok = {i: [w for w in ws if w] for i, ws in tok.items()}
+    uni = Counter(w for ws in tok.values() for w in ws)
+    vocab = {w for w, c in uni.items() if c >= min_count}
+    V = len(vocab)
+    mp = {i: [w if w in vocab else "<unk>" for w in ws]
+          for i, ws in tok.items()}
+    bi = Counter((ws[j], ws[j + 1]) for ws in mp.values()
+                 for j in range(len(ws) - 1))
+    ctx = Counter()
+    for (v, _), c in bi.items():
+        ctx[v] += c
+    out = {}
+    for i, ws in mp.items():
+        pairs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not pairs:
+            continue
+        s = 0
+        for p in pairs:
+            lp = math.log((bi[p] + k) / (ctx[p[0]] + k * (V + 1)))
+            s += int(round(lp * 1e7))
+        out[i] = (len(pairs), round(-s / (1e7 * len(pairs)), 6))
+    return out
+
+
+def test_bigram_lm_score_matches_reference(spark):
+    from geo_sim_processing_a_spark.operators.lm import bigram_lm_score
+    docs = [(1, "the cat sat on the mat"),
+            (2, "the dog sat on the log"),
+            (3, "the cat and the dog"),
+            (4, "zzz"),                      # 1 token -> no bigrams
+            (5, ""),                         # empty -> absent
+            (6, "qqq www qqq www qqq"),      # self-repetition -> in vocab
+            (7, "  the   cat  ")]            # ragged whitespace
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["ce"])
+           for r in bigram_lm_score(df).collect()}
+    exp = _lm_expected(docs)
+    assert got == exp
+    assert 4 not in got and 5 not in got
+    # degenerate-vocab algebra: min_count too high -> every token is
+    # <unk>, the single (unk,unk) bigram has P = (c+k)/(c+k*(0+1)) = 1,
+    # so every scored doc's cross-entropy is exactly 0
+    all_unk = {r["doc_id"]: r["ce"]
+               for r in bigram_lm_score(df, min_count=10**9).collect()}
+    assert set(all_unk) == set(exp)
+    assert all(ce == 0.0 for ce in all_unk.values())
+
+
+def test_perplexity_buckets(spark):
+    from geo_sim_processing_a_spark.operators.lm import perplexity_buckets
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 3.0), (3, 9.0)], "doc_id long, ce double")
+    got = {r["doc_id"]: r["bucket"]
+           for r in perplexity_buckets(df, 2.0, 5.0).collect()}
+    assert got == {1: "head", 2: "middle", 3: "tail"}
