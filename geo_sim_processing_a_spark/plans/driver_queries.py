@@ -514,6 +514,50 @@ FROM agg ORDER BY doc_id
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    """Duplicate-substring spans (operators/spans.py — ExactSubstr of
+    Lee et al. 2021, Spark-native): positions whose 5-token window
+    repeats corpus-wide, merged to maximal spans via the
+    gaps-and-islands window.  Gram counting shuffles the 12-byte
+    (xxhash64, length) key; the DuckDB twin groups the gram string
+    itself, so a hash collision would surface as a hash-mismatch
+    here — the oracle doubles as the standing collision check."""
+    from ..operators.spans import duplicate_spans
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (duplicate_spans(d, k=5, min_occurrences=2)
+            .orderBy("doc_id", "span_id"))
+
+
+SQL_DUP_SPANS = r"""
+WITH lists AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text),
+                                                '[ \t\n\x0b\f\r]+'),
+                             x -> x != '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(l[i:i+4], ' ') AS gram
+  FROM lists, unnest(generate_series(1, greatest(len(l) - 4, 0))) AS t(i)
+), hot AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+), dup AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN hot USING (gram)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL THEN 1
+              WHEN pos > lag(pos) OVER w + 5 THEN 1 ELSE 0 END AS new_span
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), sp AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+)
+SELECT doc_id, span_id, min(pos) AS start_pos, max(pos) + 4 AS end_pos,
+       max(pos) + 4 - min(pos) + 1 AS n_tokens
+FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id
+"""
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per event type (Spark SQL
     `percentile`, the Greenwald-Khanna-free exact path — both engines
@@ -1310,6 +1354,7 @@ def all_queries():
         "q_ngram_topk": q_ngram_topk,
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_lm_perplexity": q_lm_perplexity,
+        "q_dup_spans": q_dup_spans,
         "q_doc_split": q_doc_split,
         "q_domain_mix": q_domain_mix,
         "q_url_normalize": q_url_normalize,
@@ -1867,6 +1912,7 @@ def all_oracles():
         "q_ngram_topk": SQL_NGRAM_TOPK,
         "q_tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "q_lm_perplexity": SQL_LM_PERPLEXITY,
+        "q_dup_spans": SQL_DUP_SPANS,
         "q_doc_split": SQL_DOC_SPLIT,
         "q_domain_mix": SQL_DOMAIN_MIX,
         "q_url_normalize": SQL_URL_NORMALIZE,

@@ -686,3 +686,44 @@ def test_perplexity_buckets(spark):
     got = {r["doc_id"]: r["bucket"]
            for r in perplexity_buckets(df, 2.0, 5.0).collect()}
     assert got == {1: "head", 2: "middle", 3: "tail"}
+
+
+# ---------------------------------------------------------------------------
+# duplicate-substring spans (operators/spans.py)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_and_strip(spark):
+    from geo_sim_processing_a_spark.operators.spans import (
+        duplicate_spans, strip_duplicate_spans)
+    docs = [(1, "a b c d e f g h"),
+            (2, "x y a b c d e q"),       # shares 'a b c d e' with doc 1
+            (3, "p q r s p q r s"),       # within-doc repetition
+            (4, "u1 u2 u3 u4 u5"),        # fully unique
+            (5, "a  b\tc d e")]           # ragged ws, same 5-token run
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_id"]): (r["start_pos"], r["end_pos"],
+                                         r["n_tokens"])
+           for r in duplicate_spans(df, k=3, min_occurrences=2).collect()}
+    # doc1/doc5: windows 0,1,2 over 'a b c d e' -> span tokens 0..4
+    # doc2: same run at offset 2 -> 2..6
+    # doc3: dup windows at 0,1,4,5; 4 <= 1+3 so ONE span covering 0..7
+    assert got == {(1, 1): (0, 4, 5),
+                   (2, 1): (2, 6, 5),
+                   (3, 1): (0, 7, 8),
+                   (5, 1): (0, 4, 5)}
+    stripped = {r["doc_id"]: r["text_dedup"]
+                for r in strip_duplicate_spans(df, k=3,
+                                               min_occurrences=2).collect()}
+    assert stripped == {1: "f g h", 2: "x y q", 3: "",
+                        4: "u1 u2 u3 u4 u5", 5: ""}
+
+
+def test_duplicate_spans_min_occurrences(spark):
+    from geo_sim_processing_a_spark.operators.spans import duplicate_spans
+    docs = [(i, "same same same text here") for i in range(3)] + \
+           [(10, "twice shared phrase only"), (11, "twice shared phrase only")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # at min_occurrences=3 only the 3x doc survives
+    got = {r["doc_id"] for r in
+           duplicate_spans(df, k=4, min_occurrences=3).collect()}
+    assert got == {0, 1, 2}
