@@ -109,3 +109,70 @@ def dedup_clusters(pairs: DataFrame, docs: DataFrame,
             .select(F.col("id").alias(id_col),
                     F.coalesce("component", F.col("id")).alias("cluster_id"))
             .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id")))
+
+
+PR_SCALE = 10**12  # rank mass unit: 1 = 1e-12 of total probability
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = 10, damping_pct: int = 85,
+             checkpoint_every: int = 3) -> DataFrame:
+    """Integer-quantized PageRank — the standard web-graph authority
+    signal a curation pipeline uses for domain-level quality weighting
+    (Page et al. 1999; CommonCrawl publishes exactly this per-domain).
+
+    All arithmetic is INTEGER: ranks live in units of 1e-12 of total
+    mass (PR_SCALE), each iteration computes
+
+        contrib(s)  = rank(s) div outdeg(s)
+        rank'(t)    = (15 * PR_SCALE) div (100 * |V|)
+                      + (damping_pct * sum_in(t)) div 100
+
+    with `div` = floor division on non-negative longs, so the result
+    is bit-exact under ANY join/aggregation order and any engine — the
+    DuckDB twin (q_pagerank) reproduces every rank to the last unit.
+    Float PageRank sums doubles per target, which is
+    summation-order-dependent; quantization is the same discipline as
+    the bigram-LM log-prob sums (operators/lm.py).  Dangling-node mass
+    is dropped (the common simplification); ranks therefore sum to
+    slightly under PR_SCALE.
+
+    Shape per iteration: edges ⋈ ranks on src (equi-join, shuffles on
+    the join key), hash-agg on dst, left join back to the static node
+    frame — the Pregel-lite construction whose per-round cost is
+    O(|E|/p) with no per-node state assumptions; `checkpoint_every`
+    truncates iterative lineage like connected_components.
+
+    Returns (node, rank_q) with rank_q in PR_SCALE units.
+    """
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.count()  # bounded driver scalar (tfidf-N idiom)
+    base = (15 * PR_SCALE) // (100 * n_nodes)
+    r0 = PR_SCALE // n_nodes
+
+    ranks = nodes.withColumn("rank_q", F.lit(r0).cast("long"))
+    for i in range(n_iter):
+        contribs = (e.join(ranks, e.src == ranks.node)
+                    .join(deg, "src")
+                    .select(F.col("dst").alias("node"),
+                            F.expr("rank_q div deg").alias("c")))
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(summed, "node", "left")
+                 .select("node",
+                         (F.lit(base)
+                          + F.expr(f"({damping_pct} * coalesce(s, 0))"
+                                   " div 100")).alias("rank_q")))
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -558,6 +558,75 @@ FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_id
 """
 
 
+PR_M = 64          # synthetic host-graph node count
+PR_ITERS = 10
+
+
+def _pr_hb(salt: str, mod: int):
+    """Deterministic host bucket from doc_id (md5_bucket idiom, twin
+    of the DuckDB expression in _sql_pagerank)."""
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt),
+                       F.col("doc_id").cast("string")).cast("binary")),
+        1, 4), 16, 10).cast("long") % mod)
+
+
+def q_pagerank(spark, sf_dir):
+    """Domain-authority PageRank (operators/graph.pagerank): a
+    deterministic synthetic host graph (two out-links per document,
+    md5-derived in BOTH engines — the q_url_normalize synth precedent)
+    ranked with 10 integer-quantized iterations.  All-integer
+    arithmetic means the DuckDB twin — the same 10 iterations unrolled
+    as chained CTEs — reproduces every rank to the last 1e-12 unit."""
+    from ..operators.graph import pagerank
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    e = (d.select(_pr_hb("s", PR_M).alias("src"),
+                  _pr_hb("a", PR_M).alias("dst"))
+         .union(d.select(_pr_hb("s", PR_M).alias("src"),
+                         _pr_hb("b", PR_M).alias("dst"))))
+    return pagerank(e, n_iter=PR_ITERS).orderBy("node")
+
+
+def _sql_pagerank(n_iter: int = PR_ITERS, m: int = PR_M) -> str:
+    from ..operators.graph import PR_SCALE
+
+    def hb(salt):
+        return (f"CAST(('0x' || substr(md5('{salt}' || doc_id::VARCHAR),"
+                f" 1, 4))::UBIGINT % {m} AS BIGINT)")
+
+    sql = [f"""
+WITH raw_e AS (
+  SELECT {hb('s')} AS src, {hb('a')} AS dst FROM documents
+  UNION ALL
+  SELECT {hb('s')} AS src, {hb('b')} AS dst FROM documents
+), edges AS (
+  SELECT DISTINCT src, dst FROM raw_e WHERE src != dst
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nv AS (SELECT count(*) AS n FROM nodes),
+it0 AS (
+  SELECT node, CAST({PR_SCALE} // (SELECT n FROM nv) AS BIGINT) AS rank_q
+  FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        sql.append(f""",
+it{i} AS (
+  SELECT n.node,
+         CAST((15 * {PR_SCALE}) // (100 * (SELECT n FROM nv))
+              + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank_q
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank_q // d.deg) AS s
+    FROM edges e
+    JOIN it{i - 1} p ON e.src = p.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) c ON n.node = c.node)"""
+                   )
+    sql.append(f"\nSELECT node, rank_q FROM it{n_iter} ORDER BY node")
+    return "".join(sql)
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per event type (Spark SQL
     `percentile`, the Greenwald-Khanna-free exact path — both engines
@@ -1355,6 +1424,7 @@ def all_queries():
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_lm_perplexity": q_lm_perplexity,
         "q_dup_spans": q_dup_spans,
+        "q_pagerank": q_pagerank,
         "q_doc_split": q_doc_split,
         "q_domain_mix": q_domain_mix,
         "q_url_normalize": q_url_normalize,
@@ -1913,6 +1983,7 @@ def all_oracles():
         "q_tfidf_keywords": SQL_TFIDF_KEYWORDS,
         "q_lm_perplexity": SQL_LM_PERPLEXITY,
         "q_dup_spans": SQL_DUP_SPANS,
+        "q_pagerank": _sql_pagerank(),
         "q_doc_split": SQL_DOC_SPLIT,
         "q_domain_mix": SQL_DOMAIN_MIX,
         "q_url_normalize": SQL_URL_NORMALIZE,

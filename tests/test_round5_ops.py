@@ -727,3 +727,50 @@ def test_duplicate_spans_min_occurrences(spark):
     got = {r["doc_id"] for r in
            duplicate_spans(df, k=4, min_occurrences=3).collect()}
     assert got == {0, 1, 2}
+
+
+# ---------------------------------------------------------------------------
+# integer-quantized PageRank (operators/graph.pagerank)
+# ---------------------------------------------------------------------------
+
+def _pr_expected(edges, n_iter=10, scale=10**12):
+    """Independent pure-Python reference of the integer recurrence."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    deg = {}
+    for s, _ in e:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    base = (15 * scale) // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        s_in = {v: 0 for v in nodes}
+        for s, d in e:
+            s_in[d] += r[s] // deg[s]
+        r = {v: base + (85 * s_in[v]) // 100 for v in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from geo_sim_processing_a_spark.operators.graph import pagerank
+    edges = [(0, 1), (1, 2), (2, 0),          # cycle
+             (3, 0), (3, 1), (3, 2),          # 3 votes into the cycle
+             (0, 1),                          # duplicate edge: deduped
+             (4, 4),                          # self-loop: dropped
+             (4, 0)]                          # 4 is dangling-ish source
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_q"] for r in pagerank(df, n_iter=10).collect()}
+    assert got == _pr_expected(edges)
+    # cycle members receive node 3's and 4's votes: all rank above them
+    assert min(got[0], got[1], got[2]) > max(got[3], got[4])
+
+
+def test_pagerank_checkpoint_cadence_identical(spark):
+    from geo_sim_processing_a_spark.operators.graph import pagerank
+    edges = [(i, (i * 7 + 3) % 11) for i in range(40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["rank_q"]
+         for r in pagerank(df, n_iter=6, checkpoint_every=1).collect()}
+    b = {r["node"]: r["rank_q"]
+         for r in pagerank(df, n_iter=6, checkpoint_every=5).collect()}
+    assert a == b
