@@ -225,7 +225,8 @@ def main():
                  "q_simhash_near_dup7_sharded", "q_gopher",
                  "q_domain_psl", "q_curation_fuzzy",
                  "q_boilerplate", "q_pii", "q_curation_web",
-                 "q_cell_pyramid", "q_lm_perplexity", "q_dup_spans"]:
+                 "q_cell_pyramid", "q_lm_perplexity", "q_dup_spans",
+                 "q_fuzzy_contamination"]:
         # best-of-2: the round-5 adjudication showed single-shot lines
         # are still inside JVM-JIT/codegen warmup (q_minhash measured
         # 5.8 -> 2.1 -> 1.64 s across reps); rep 2 is the comparable

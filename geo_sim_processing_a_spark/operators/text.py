@@ -254,6 +254,55 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 5,
                         F.round(F.col("n_hits") / F.col("n_grams"), 6)))
 
 
+def jaccard_contamination(docs: DataFrame, probes: DataFrame,
+                          n: int = 5, threshold: float = 0.1,
+                          id_col: str = "doc_id",
+                          probe_id_col: str = "probe_id",
+                          text_col: str = "text") -> DataFrame:
+    """Per-(document, probe) n-gram Jaccard — the fuzzy cross-corpus
+    decontamination step (GPT-3 appendix C / PaLM-style): where
+    ngram_contamination scores hits against the UNION of all probe
+    grams, this resolves WHICH benchmark document overlaps and by how
+    much, so a pipeline can drop or audit per-pair.
+
+    Exact by construction: J = |A ∩ B| / (|A| + |B| - |A ∩ B|) over
+    distinct-gram sets.  For a SMALL probe corpus (benchmarks are),
+    broadcast-exact beats MinHash: the probe gram table broadcasts, the
+    corpus side never shuffles gram strings, and the only exchange is
+    the per-(doc, probe) hash-agg — no LSH recall risk, no UDF,
+    SQL-twin verifiable (q_fuzzy_contamination).  The MinHash banded
+    path (dedup.minhash_near_dup_pairs) remains the tool when BOTH
+    sides are web-scale.
+
+    Returns (doc_id, probe_id, n_doc, n_probe, n_inter, jaccard) with
+    jaccard >= threshold; probes contained in ``docs`` surface as
+    jaccard-1.0 self-pairs (a benchmark row inside the training corpus
+    is precisely what decontamination must find)."""
+    pg = (probes.select(F.col(probe_id_col).alias("probe_id"),
+                        F.explode(word_ngrams(F.col(text_col), n))
+                        .alias("gram"))
+          .distinct())
+    pg_n = pg.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_probe"))
+    dg = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(word_ngrams(F.col(text_col), n))
+                      .alias("gram"))
+          .distinct())
+    dg_n = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc"))
+    inter = (dg.join(F.broadcast(pg), "gram")
+             .groupBy("doc_id", "probe_id")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(dg_n, "doc_id")
+            .join(F.broadcast(pg_n), "probe_id")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter")
+                                / (F.col("n_doc") + F.col("n_probe")
+                                   - F.col("n_inter")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_id", "probe_id", "n_doc", "n_probe",
+                    "n_inter", "jaccard"))
+
+
 def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-doc repetition signal (Gopher-style quality rule): the share

@@ -664,6 +664,54 @@ def q_contamination(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_fuzzy_contamination(spark, sf_dir):
+    """Per-(doc, probe) n-gram Jaccard decontamination
+    (text.jaccard_contamination) against the same deterministic
+    benchmark slice as q_contamination: broadcast-exact set overlap —
+    no LSH recall risk for a small probe corpus.  Self-pairs (the
+    probe slice is cut from the corpus) surface at jaccard 1.0, which
+    is exactly what decontamination must find."""
+    from ..operators.sampling import md5_bucket
+    from ..operators.text import jaccard_contamination
+    d = _t(spark, sf_dir, "documents")
+    probes = (d.where(md5_bucket(F.col("text")) < 82)
+              .select(F.col("doc_id").alias("probe_id"), "text"))
+    return (jaccard_contamination(d, probes, n=5, threshold=0.2)
+            .orderBy("doc_id", "probe_id"))
+
+
+SQL_FUZZY_CONTAMINATION = """
+WITH pg AS (
+  SELECT DISTINCT doc_id AS probe_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE ('0x' || substr(md5(text), 1, 3))::UBIGINT < 82),
+       UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), pg_n AS (
+  SELECT probe_id, count(*) AS n_probe FROM pg GROUP BY probe_id
+), dg AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+), dg_n AS (
+  SELECT doc_id, count(*) AS n_doc FROM dg GROUP BY doc_id
+), inter AS (
+  SELECT dg.doc_id, pg.probe_id, count(*) AS n_inter
+  FROM dg JOIN pg USING (gram)
+  GROUP BY dg.doc_id, pg.probe_id
+)
+SELECT i.doc_id, i.probe_id, d.n_doc, p.n_probe, i.n_inter,
+       round(i.n_inter * 1.0 / (d.n_doc + p.n_probe - i.n_inter), 6)
+         AS jaccard
+FROM inter i
+JOIN dg_n d ON i.doc_id = d.doc_id
+JOIN pg_n p ON i.probe_id = p.probe_id
+WHERE round(i.n_inter * 1.0 / (d.n_doc + p.n_probe - i.n_inter), 6) >= 0.2
+ORDER BY i.doc_id, i.probe_id
+"""
+
+
 SQL_CONTAMINATION = """
 WITH probe AS (
   SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS gram
@@ -1437,6 +1485,7 @@ def all_queries():
         "q_curation_fuzzy": q_curation_fuzzy,
         "q_curation": q_curation,
         "q_contamination": q_contamination,
+        "q_fuzzy_contamination": q_fuzzy_contamination,
         "q_repetition": q_repetition,
         "q_dedup_exact": q_dedup_exact,
         "q_fingerprint": q_fingerprint,
@@ -1995,6 +2044,7 @@ def all_oracles():
         "q_curation_web": _sql_curation_web(),
         "q_curation": SQL_CURATION,
         "q_contamination": SQL_CONTAMINATION,
+        "q_fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
         "q_repetition": SQL_REPETITION,
         "q_dedup_exact": SQL_DEDUP_EXACT,
         "q_fingerprint": SQL_FINGERPRINT,

@@ -774,3 +774,39 @@ def test_pagerank_checkpoint_cadence_identical(spark):
     b = {r["node"]: r["rank_q"]
          for r in pagerank(df, n_iter=6, checkpoint_every=5).collect()}
     assert a == b
+
+# ---------------------------------------------------------------------------
+# jaccard_contamination: per-(doc, probe) fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+def test_jaccard_contamination_pairs(spark):
+    """Planted overlap: doc 10 shares 5-grams with probe A only, doc 11
+    with nothing; the probe's own text inside the corpus surfaces as a
+    jaccard-1.0 self-pair.  Exact J verified by hand on distinct-gram
+    sets."""
+    from geo_sim_processing_a_spark.operators.text import (
+        jaccard_contamination)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(10, "x y " + base),          # shares a 5-gram run with probe A
+         (11, "p q r s t u v w x"),    # disjoint
+         (12, base)],                  # the probe itself, leaked verbatim
+        ["doc_id", "text"])
+    probes = spark.createDataFrame([("A", base)], ["probe_id", "text"])
+    got = {(r["doc_id"], r["probe_id"]):
+           (r["n_doc"], r["n_probe"], r["n_inter"], r["jaccard"])
+           for r in jaccard_contamination(docs, probes, n=5,
+                                          threshold=0.0).collect()}
+    # probe A has 4 distinct 5-grams; doc 10 has 6, sharing the 4 that
+    # avoid the "x y" prefix... actually doc 10's grams starting inside
+    # base reproduce all 4 of A's grams -> inter = 4
+    assert got[(12, "A")] == (4, 4, 4, 1.0)        # verbatim leak
+    n_doc, n_probe, n_inter, j = got[(10, "A")]
+    assert (n_probe, n_inter) == (4, 4) and n_doc == 6
+    assert j == round(4 / (6 + 4 - 4), 6)
+    assert (11, "A") not in got                    # no shared gram at all
+    # threshold semantics: raising it drops the partial pair only
+    kept = {(r["doc_id"], r["probe_id"])
+            for r in jaccard_contamination(docs, probes, n=5,
+                                           threshold=0.9).collect()}
+    assert kept == {(12, "A")}
