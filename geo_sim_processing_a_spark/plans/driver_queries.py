@@ -1398,6 +1398,107 @@ def q_embedding_near_dup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table (semdedup.semantic_dedup):
+    exact-integer distributed k-means (k=10, 2 Lloyd iterations, seeds
+    = 10 smallest ids) + within-cluster quantized-cosine dedup at
+    τ=0.95.  The same every-97th planted twins as q_embedding_near_dup
+    make the drop set provably non-empty.  Twins whose ORIGINAL is
+    itself a seed stay in their own singleton-seeded cluster and
+    survive — the documented SemDeDup property that within-cluster
+    dedup misses cross-cluster duplicates; the oracle reproduces the
+    identical behavior, exact to the integer grid."""
+    from ..operators.semdedup import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (emb.where(F.col("vec_id") % 97 == 0)
+               .select((-F.col("vec_id") - 1).alias("vec_id"),
+                       F.transform("embedding",
+                                   lambda v: (v * F.lit(1.001)).cast("float"))
+                       .alias("embedding")))
+    return (semantic_dedup(emb.unionByName(planted), k=10, iters=2,
+                           threshold=0.95)
+            .select("vec_id", F.col("cluster").cast("long").alias("cluster"),
+                    "keep")
+            .orderBy("vec_id"))
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT -vec_id - 1,
+         list_transform(embedding,
+                        x -> CAST(CAST(x AS DOUBLE) * 1.001 AS FLOAT))
+  FROM embeddings WHERE vec_id % 97 = 0
+), q AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+  FROM base, UNNEST(generate_series(1, len(embedding))) AS u(i)
+), seeds AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM base ORDER BY vec_id LIMIT 10)
+), c0 AS (
+  SELECT s.cid, q.i, q.v AS c FROM q JOIN seeds s USING (vec_id)
+), a0 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY sum((q.v - c.c) * (q.v - c.c)), c.cid) AS rn
+    FROM q JOIN c0 c USING (i) GROUP BY q.vec_id, c.cid
+  ) WHERE rn = 1
+), c1 AS (
+  SELECT a.cluster AS cid, q.i,
+         (sum(q.v) - ((sum(q.v) % count(*) + count(*)) % count(*)))
+           // count(*) AS c
+  FROM q JOIN a0 a USING (vec_id) GROUP BY a.cluster, q.i
+), a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY sum((q.v - c.c) * (q.v - c.c)), c.cid) AS rn
+    FROM q JOIN c1 c USING (i) GROUP BY q.vec_id, c.cid
+  ) WHERE rn = 1
+), c2 AS (
+  SELECT a.cluster AS cid, q.i,
+         (sum(q.v) - ((sum(q.v) % count(*) + count(*)) % count(*)))
+           // count(*) AS c
+  FROM q JOIN a1 a USING (vec_id) GROUP BY a.cluster, q.i
+), a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY sum((q.v - c.c) * (q.v - c.c)), c.cid) AS rn
+    FROM q JOIN c2 c USING (i) GROUP BY q.vec_id, c.cid
+  ) WHERE rn = 1
+), q3 AS (
+  SELECT vec_id, i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+  FROM base, UNNEST(generate_series(1, len(embedding))) AS u(i)
+), n2 AS (
+  SELECT vec_id, sum(v * v) AS n2 FROM q3 GROUP BY vec_id
+), pr AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, sum(qx.v * qy.v) AS dot
+  FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN q3 qx ON qx.vec_id = x.vec_id
+  JOIN q3 qy ON qy.vec_id = y.vec_id AND qy.i = qx.i
+  GROUP BY x.vec_id, y.vec_id
+), dropped AS (
+  SELECT DISTINCT p.id_b AS vec_id
+  FROM pr p
+  JOIN n2 na ON na.vec_id = p.id_a
+  JOIN n2 nb ON nb.vec_id = p.id_b
+  WHERE p.dot > 0
+    AND 10000 * p.dot * p.dot >= 9025 * na.n2 * nb.n2
+)
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
+FROM a2 a LEFT JOIN dropped d USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-approximate nearest neighbors (coarse k-means quantizer +
     nprobe list probing + exact in-list re-rank) over the embeddings
@@ -1512,6 +1613,7 @@ def all_queries():
         "q_simhash_near_dup7_sharded": q_simhash_near_dup7_sharded,
         "q_winnow_near_dup": q_winnow_near_dup,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_ivf_topk": q_ivf_topk,
         "q_raster_tiles": q_raster_tiles,
         "q_media_features": q_media_features,
@@ -2057,6 +2159,7 @@ def all_oracles():
         "q_range_join": SQL_RANGE_JOIN,
         "q_knn": SQL_KNN,
         "q_embedding_topk": SQL_EMBEDDING_TOPK,
+        "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
         "q_asof_events": SQL_ASOF_EVENTS,
         "q_connected_components": SQL_CONNECTED_COMPONENTS,
         # pinned golden-file oracles (see GOLDEN_ORACLE_QUERIES above)

@@ -810,3 +810,52 @@ def test_jaccard_contamination_pairs(spark):
             for r in jaccard_contamination(docs, probes, n=5,
                                            threshold=0.9).collect()}
     assert kept == {(12, "A")}
+
+# ---------------------------------------------------------------------------
+# semdedup: exact-integer k-means + within-cluster semantic dedup
+# ---------------------------------------------------------------------------
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated direction groups in 4-d must come out as
+    three clusters regardless of input partitioning; negative
+    components exercise the pmod floor-mean path."""
+    from geo_sim_processing_a_spark.operators.semdedup import kmeans_clusters
+    import math
+    rows = []
+    dirs = [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0),
+            (-0.7071, 0.0, -0.7071, 0.0)]
+    # ids interleave the groups so the k seeds (k smallest ids) span
+    # all three — seeding quality is the caller's contract, not the
+    # operator's
+    for g, d in enumerate(dirs):
+        for j in range(5):
+            eps = 0.01 * (j - 2)          # small within-group jitter
+            v = [d[0] + eps, d[1] - eps, d[2] + eps / 2, d[3] + eps]
+            n = math.sqrt(sum(x * x for x in v))
+            rows.append((j * 3 + g, [x / n for x in v], g))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, g int")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans_clusters(df, k=3, iters=2).collect()}
+    by_group = [{got[r[0]] for r in rows if r[2] == g} for g in range(3)]
+    assert all(len(s) == 1 for s in by_group)          # each group one cluster
+    assert len(set.union(*by_group)) == 3              # and all distinct
+    got2 = {r["vec_id"]: r["cluster"]
+            for r in kmeans_clusters(df.repartition(7), k=3, iters=2).collect()}
+    assert got == got2
+
+
+def test_semantic_dedup_drops_within_cluster_twin(spark):
+    """A planted near-identical twin (higher id) is dropped; the
+    orthogonal vector and the original survive; threshold above the
+    pair's quantized cosine keeps everything."""
+    from geo_sim_processing_a_spark.operators.semdedup import semantic_dedup
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (5, [0.9998, 0.02, 0.0, 0.0])]   # cos vs vec 0 ~ 0.9998
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in semantic_dedup(df, k=2, iters=1, threshold=0.95).collect()}
+    assert got[0][1] and got[1][1] and not got[5][1]
+    assert got[0][0] == got[5][0] != got[1][0]
+    all_kept = semantic_dedup(df, k=2, iters=1, threshold=0.9999)
+    assert all(r["keep"] for r in all_kept.collect())
