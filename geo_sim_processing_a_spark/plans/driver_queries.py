@@ -1591,6 +1591,8 @@ def all_queries():
         "q_dedup_exact": q_dedup_exact,
         "q_fingerprint": q_fingerprint,
         "q_token_stats": q_token_stats,
+        "q_pack_manifest": q_pack_manifest,
+        "q_pack_chunks": q_pack_chunks,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2151,6 +2153,8 @@ def all_oracles():
         "q_dedup_exact": SQL_DEDUP_EXACT,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_token_stats": SQL_TOKEN_STATS,
+        "q_pack_manifest": SQL_PACK_MANIFEST,
+        "q_pack_chunks": SQL_PACK_CHUNKS,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -2263,3 +2267,84 @@ def q_dedup_clusters(spark, sf_dir):
                        _geom_chk("doc_id", "cluster_id", "is_canonical")
                        .alias("chk"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# concat-and-chunk sequence packing (operators/packing.py) — the
+# training-batch layout stage after curation.  The Spark side computes
+# the global token prefix sum with the two-pass distributed pattern
+# (range repartition + per-partition offsets broadcast back); the
+# oracle is the plain global-window formulation — the semantic spec the
+# distributed version must (and does) hash-match.
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 2048
+
+_SQL_PACK_BASE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM tok
+), m AS (
+  SELECT doc_id, n_tokens, tok_start,
+         tok_start // {L} AS chunk_first,
+         (tok_start + n_tokens - 1) // {L} AS chunk_last,
+         tok_start % {L} AS chunk_offset
+  FROM c
+)
+"""
+
+
+def q_pack_manifest(spark, sf_dir):
+    """Per-document packing manifest: where each doc's tokens land when
+    the corpus is concatenated in doc_id order and cut into
+    PACK_SEQ_LEN-token training sequences.  Exercises the distributed
+    prefix sum (packing._prefix_sum) against the oracle's global
+    window."""
+    from ..operators.packing import pack_manifest
+    from ..operators.text import token_count
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_manifest(t, PACK_SEQ_LEN).orderBy("doc_id")
+
+
+SQL_PACK_MANIFEST = _SQL_PACK_BASE.format(L=PACK_SEQ_LEN) + """
+SELECT doc_id, n_tokens, tok_start, chunk_first, chunk_last,
+       chunk_offset, chunk_last - chunk_first + 1 AS n_chunks
+FROM m ORDER BY doc_id
+"""
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Per-chunk composition of the packed layout (how many documents
+    feed each training sequence): explode each manifest row into its
+    overlapped chunks, one hash-agg on the int chunk id.  Every chunk
+    but the last must own exactly PACK_SEQ_LEN tokens — the oracle
+    hash-checks that invariant value-by-value."""
+    from ..operators.packing import chunk_stats, pack_manifest
+    from ..operators.text import token_count
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return chunk_stats(pack_manifest(t, PACK_SEQ_LEN),
+                       PACK_SEQ_LEN).orderBy("chunk_id")
+
+
+SQL_PACK_CHUNKS = _SQL_PACK_BASE.format(L=PACK_SEQ_LEN) + """
+SELECT chunk_id, count(*) AS n_docs,
+       CAST(sum(least((chunk_id + 1) * {L}, tok_start + n_tokens)
+                - greatest(chunk_id * {L}, tok_start)) AS BIGINT)
+         AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM (SELECT m.doc_id, m.tok_start, m.n_tokens, u.chunk_id
+      FROM m, UNNEST(generate_series(m.chunk_first, m.chunk_last))
+             AS u(chunk_id))
+GROUP BY chunk_id ORDER BY chunk_id
+""".replace("{L}", str(PACK_SEQ_LEN))

@@ -859,3 +859,72 @@ def test_semantic_dedup_drops_within_cluster_twin(spark):
     assert got[0][0] == got[5][0] != got[1][0]
     all_kept = semantic_dedup(df, k=2, iters=1, threshold=0.9999)
     assert all(r["keep"] for r in all_kept.collect())
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+def _pack_input(spark):
+    import pandas as pd
+    return spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(1, 41)),
+        "n_tokens": [((i * 37) % 90) + 1 for i in range(1, 41)]}))
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """The two-pass distributed prefix sum must equal the naive global
+    window cumsum (the oracle's formulation) exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from geo_sim_processing_a_spark.operators.packing import _prefix_sum
+    t = _pack_input(spark)
+    got = {r["doc_id"]: r["c"]
+           for r in _prefix_sum(t, "doc_id", "n_tokens", "c").collect()}
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {r["doc_id"]: r["c"] for r in t.select(
+        "doc_id", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("long").alias("c")).collect()}
+    assert got == want
+
+
+def test_prefix_sum_partition_invariance(spark):
+    """Output is a pure function of the data, not the partition count."""
+    from geo_sim_processing_a_spark.operators.packing import _prefix_sum
+    t = _pack_input(spark)
+    a = sorted(_prefix_sum(t, "doc_id", "n_tokens", "c",
+                           partitions=1).collect())
+    b = sorted(_prefix_sum(t.repartition(7), "doc_id", "n_tokens", "c",
+                           partitions=13).collect())
+    assert a == b
+
+
+def test_pack_manifest_and_chunk_invariants(spark):
+    """Chunks tile the token stream: contiguous doc spans, every chunk
+    except the last owns exactly seq_len tokens, totals add up."""
+    from geo_sim_processing_a_spark.operators.packing import (
+        chunk_stats, pack_manifest)
+    L = 64
+    t = _pack_input(spark)
+    m = pack_manifest(t, L).orderBy("doc_id").collect()
+    total = sum(r["n_tokens"] for r in m)
+    # doc spans are contiguous: next doc starts where the previous ended
+    for prev, cur in zip(m, m[1:]):
+        assert cur["tok_start"] == prev["tok_start"] + prev["n_tokens"]
+        assert cur["chunk_first"] == cur["tok_start"] // L
+        assert cur["chunk_offset"] == cur["tok_start"] % L
+    ch = {r["chunk_id"]: r for r in chunk_stats(
+        pack_manifest(t, L), L).collect()}
+    n_chunks = (total + L - 1) // L
+    assert set(ch) == set(range(n_chunks))
+    assert sum(r["n_tokens"] for r in ch.values()) == total
+    for cid, r in ch.items():
+        if cid < n_chunks - 1:
+            assert r["n_tokens"] == L
+        assert r["first_doc"] <= r["last_doc"]
+
+
+def test_pack_manifest_rejects_bad_seq_len(spark):
+    from geo_sim_processing_a_spark.operators.packing import pack_manifest
+    with pytest.raises(ValueError):
+        pack_manifest(_pack_input(spark), 0)
