@@ -60,6 +60,69 @@ def deterministic_split(df: DataFrame, col: str = "text",
          .otherwise(F.lit("train")))
 
 
+def temperature_sample(df: DataFrame, target: int, alpha: float = 0.5,
+                       group_col: str = "lang", content_col: str = "text",
+                       nibbles: int = 3, s_scale: int = 1000) -> DataFrame:
+    """Temperature-based group resampling toward a corpus of ~``target``
+    rows (the multilingual α-sampling rule of mBERT/XLM-R/UniMax):
+    group l with n_l rows is drawn with probability q_l ∝ n_l^α, so
+    α=1 keeps the natural mixture, α=0 equalizes groups, and the
+    standard α=0.5 boosts low-resource groups at the expense of the
+    head.  Per-row acceptance rate is a_l = min(1, target·q_l / n_l),
+    realized content-addressed (md5_bucket), so membership is a pure
+    function of row content + corpus composition.
+
+    Exactness across engines: n_l^α is materialized as the INTEGER
+    score s_l (α∈{0, ½, 1}; ½ uses IEEE-correctly-rounded sqrt — both
+    engines produce the identical double — then one identical
+    multiply+floor), and the acceptance test is the integer
+    cross-multiplication
+
+        bucket · Σs · n_l  <  target · s_l · 16^nibbles
+
+    evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB twin), so no
+    engine divides or compares floats anywhere.  The 38-digit envelope
+    holds to ~1e12 rows per group with thousands of groups — beyond
+    the 10^12-doc north-star scale.
+
+    Scale notes: the stats side is one hash-agg to #groups rows plus a
+    1-row total, broadcast back into the scan-stage filter join — the
+    corpus itself never shuffles.  General α would need pow(), which
+    IEEE leaves unrounded (engines may differ in the last ulp) —
+    rejected here to keep the oracle exact; quantize upstream if an
+    intermediate temperature is ever needed."""
+    if target < 0:
+        raise ValueError(f"target must be >= 0, got {target}")
+    if alpha == 0.0:
+        s_l = F.lit(s_scale).cast("long")
+    elif alpha == 0.5:
+        s_l = F.floor(F.sqrt(F.col("n_l")) * s_scale).cast("long")
+    elif alpha == 1.0:
+        s_l = (F.col("n_l") * s_scale).cast("long")
+    else:
+        raise ValueError(
+            f"alpha must be one of 0, 0.5, 1 (exact-integer scores); "
+            f"got {alpha}")
+    from pyspark.sql.window import Window
+    # s_tot folded into the #groups-row stats table with an
+    # all-partition window (bounded by design, like packing's offset
+    # table) — a 1-row crossJoin would plan as the lint-forbidden
+    # BroadcastNestedLoopJoin
+    stats = (df.groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n_l"))
+             .withColumn("s_l", s_l)
+             .withColumn("s_tot", F.sum("s_l").over(
+                 Window.partitionBy()).cast("long")))
+    dec = "decimal(38,0)"
+    b = md5_bucket(F.col(content_col), nibbles)
+    lhs = (b.cast(dec) * F.col("s_tot").cast(dec) * F.col("n_l").cast(dec))
+    rhs = (F.lit(int(target)).cast(dec) * F.col("s_l").cast(dec)
+           * F.lit(16 ** nibbles).cast(dec))
+    return (df.join(F.broadcast(stats), group_col)
+            .where(lhs < rhs)
+            .drop("n_l", "s_l", "s_tot"))
+
+
 def domain_mix(df: DataFrame, fractions: dict, source_col: str = "source",
                content_col: str = "text", default: float = 1.0,
                nibbles: int = 3) -> DataFrame:

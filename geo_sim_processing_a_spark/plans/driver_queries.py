@@ -1593,6 +1593,7 @@ def all_queries():
         "q_token_stats": q_token_stats,
         "q_pack_manifest": q_pack_manifest,
         "q_pack_chunks": q_pack_chunks,
+        "q_temperature_mix": q_temperature_mix,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2155,6 +2156,7 @@ def all_oracles():
         "q_token_stats": SQL_TOKEN_STATS,
         "q_pack_manifest": SQL_PACK_MANIFEST,
         "q_pack_chunks": SQL_PACK_CHUNKS,
+        "q_temperature_mix": SQL_TEMPERATURE_MIX,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -2348,3 +2350,44 @@ FROM (SELECT m.doc_id, m.tok_start, m.n_tokens, u.chunk_id
              AS u(chunk_id))
 GROUP BY chunk_id ORDER BY chunk_id
 """.replace("{L}", str(PACK_SEQ_LEN))
+
+
+# ---------------------------------------------------------------------------
+# temperature-based language resampling (operators/sampling.py) — the
+# multilingual mixture stage (mBERT/XLM-R/UniMax α-sampling).
+# ---------------------------------------------------------------------------
+
+def q_temperature_mix(spark, sf_dir):
+    """α=0.5 temperature resampling of the documents table toward a
+    target of half the corpus: low-resource languages are boosted
+    (kept whole once a_l ≥ 1), the head language is downsampled —
+    membership content-addressed, acceptance tested with the integer
+    cross-multiplication in DECIMAL(38,0).  target = N//2 is a bounded
+    driver scalar (same idiom as the tfidf N); the oracle computes it
+    as a scalar subquery."""
+    from ..operators.sampling import temperature_sample
+    d = _t(spark, sf_dir, "documents")
+    target = d.count() // 2
+    return (temperature_sample(d, target, alpha=0.5,
+                               group_col="lang", content_col="text")
+            .select("doc_id", "lang")
+            .orderBy("doc_id"))
+
+
+SQL_TEMPERATURE_MIX = """
+WITH st AS (
+  SELECT lang, count(*) AS n_l FROM documents GROUP BY lang
+), st2 AS (
+  SELECT lang, n_l, CAST(floor(sqrt(n_l) * 1000) AS BIGINT) AS s_l FROM st
+), tot AS (
+  SELECT CAST(sum(s_l) AS BIGINT) AS s_tot FROM st2
+), tgt AS (
+  SELECT count(*) // 2 AS t FROM documents
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN st2 USING (lang), tot, tgt
+WHERE CAST(('0x' || substr(md5(d.text), 1, 3))::UBIGINT AS HUGEINT)
+        * tot.s_tot * st2.n_l
+      < CAST(tgt.t AS HUGEINT) * st2.s_l * 4096
+ORDER BY d.doc_id
+"""

@@ -928,3 +928,66 @@ def test_pack_manifest_rejects_bad_seq_len(spark):
     from geo_sim_processing_a_spark.operators.packing import pack_manifest
     with pytest.raises(ValueError):
         pack_manifest(_pack_input(spark), 0)
+
+
+# ---------------------------------------------------------------------------
+# temperature-based group resampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+def test_temperature_sample_matches_rule_exactly(spark):
+    """The distributed result must equal a brute-force Python
+    recomputation of the integer acceptance rule, row for row."""
+    import hashlib
+    import math
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.sampling import (
+        temperature_sample)
+    rows = [(i, "en" if i % 10 != 0 else "sw", f"doc text {i}")
+            for i in range(1, 401)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"]))
+    target = 200
+    got = sorted(r["doc_id"] for r in
+                 temperature_sample(df, target).select("doc_id").collect())
+    n_l = {}
+    for _, lang, _ in rows:
+        n_l[lang] = n_l.get(lang, 0) + 1
+    s_l = {l: int(math.floor(math.sqrt(n) * 1000)) for l, n in n_l.items()}
+    s_tot = sum(s_l.values())
+    want = [i for i, lang, text in rows
+            if (int(hashlib.md5(text.encode()).hexdigest()[:3], 16)
+                * s_tot * n_l[lang]) < target * s_l[lang] * 4096]
+    assert got == want
+
+
+def test_temperature_sample_boosts_low_resource(spark):
+    """α=0.5: a group whose a_l >= 1 is kept whole while the head group
+    is thinned to ~target·q_l (md5-uniformity tolerance)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.sampling import (
+        temperature_sample)
+    rows = ([(i, "en", f"head doc {i}") for i in range(900)]
+            + [(1000 + i, "sw", f"rare doc {i}") for i in range(100)])
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "lang", "text"]))
+    kept = {r["lang"]: r["n"] for r in
+            temperature_sample(df, 500).groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept["sw"] == 100            # a_sw = 1.25 -> capped, all kept
+    assert 300 <= kept["en"] <= 450     # a_en ~ 0.4167 of 900 = ~375
+
+
+def test_temperature_sample_alpha_validation(spark):
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.sampling import (
+        temperature_sample)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "lang": ["en"], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        temperature_sample(df, 1, alpha=0.7)
+    with pytest.raises(ValueError):
+        temperature_sample(df, -1)
+    # alpha=0 and alpha=1 are exact-integer paths and must run
+    assert temperature_sample(df, 1, alpha=0.0).count() in (0, 1)
+    assert temperature_sample(df, 1, alpha=1.0).count() in (0, 1)
