@@ -227,7 +227,8 @@ def main():
                  "q_boilerplate", "q_pii", "q_curation_web",
                  "q_cell_pyramid", "q_lm_perplexity", "q_dup_spans",
                  "q_fuzzy_contamination", "q_semantic_dedup",
-                 "q_pack_manifest", "q_pack_chunks", "q_temperature_mix"]:
+                 "q_pack_manifest", "q_pack_chunks", "q_temperature_mix",
+                 "q_dsir_sample"]:
         # best-of-2: the round-5 adjudication showed single-shot lines
         # are still inside JVM-JIT/codegen warmup (q_minhash measured
         # 5.8 -> 2.1 -> 1.64 s across reps); rep 2 is the comparable

@@ -1594,6 +1594,7 @@ def all_queries():
         "q_pack_manifest": q_pack_manifest,
         "q_pack_chunks": q_pack_chunks,
         "q_temperature_mix": q_temperature_mix,
+        "q_dsir_sample": q_dsir_sample,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2157,6 +2158,7 @@ def all_oracles():
         "q_pack_manifest": SQL_PACK_MANIFEST,
         "q_pack_chunks": SQL_PACK_CHUNKS,
         "q_temperature_mix": SQL_TEMPERATURE_MIX,
+        "q_dsir_sample": SQL_DSIR_SAMPLE,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -2390,4 +2392,53 @@ WHERE CAST(('0x' || substr(md5(d.text), 1, 3))::UBIGINT AS HUGEINT)
         * tot.s_tot * st2.n_l
       < CAST(tgt.t AS HUGEINT) * st2.s_l * 4096
 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py) — target-domain data
+# selection over hashed unigram features.
+# ---------------------------------------------------------------------------
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR selection with source='src0' documents as the target
+    domain: hashed-unigram (md5-bucket, B=1024) log importance weights,
+    integer-quantized per bucket before the per-doc sum (lm.py
+    discipline), top-200 by (w7 desc, doc_id) via TakeOrdered."""
+    from ..operators.dsir import dsir_top_k
+    d = _t(spark, sf_dir, "documents")
+    return (dsir_top_k(d, F.col("source") == "src0", k=200)
+            .select("doc_id", "n_tokens", "w7"))
+
+
+SQL_DSIR_SAMPLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS term
+  FROM documents
+), tk AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(term), 1, 4))::UBIGINT % 1024 AS b
+  FROM toks WHERE term != ''
+), cnt AS (
+  SELECT b,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT)
+           AS cr
+  FROM tk GROUP BY b
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+  FROM cnt
+), lam AS (
+  SELECT b,
+         CAST(round((ln((ct + 1.0) / (nt + 1024.0))
+                     - ln((cr + 1.0) / (nr + 1024.0))) * 1e7)
+              AS BIGINT) AS l7
+  FROM cnt, tot
+)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(l7) AS BIGINT) AS w7
+FROM tk JOIN lam USING (b)
+GROUP BY doc_id
+ORDER BY w7 DESC, doc_id LIMIT 200
 """

@@ -991,3 +991,74 @@ def test_temperature_sample_alpha_validation(spark):
     # alpha=0 and alpha=1 are exact-integer paths and must run
     assert temperature_sample(df, 1, alpha=0.0).count() in (0, 1)
     assert temperature_sample(df, 1, alpha=1.0).count() in (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (operators/dsir.py)
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_match_python_reference(spark):
+    """Distributed weights must equal a pure-Python recomputation of
+    the hashed-unigram log-ratio model, integer for integer."""
+    import hashlib
+    import math
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.dsir import dsir_weights
+    rows = [(1, "t", "alpha beta alpha"), (2, "t", "alpha gamma"),
+            (3, "r", "delta epsilon zeta"), (4, "r", "beta delta delta"),
+            (5, "r", "alpha beta gamma")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "src", "text"]))
+    B = 64
+    got = {r["doc_id"]: (r["n_tokens"], r["w7"]) for r in
+           dsir_weights(df, F.col("src") == "t", n_buckets=B).collect()}
+
+    def bucket(term):
+        return int(hashlib.md5(term.encode()).hexdigest()[:4], 16) % B
+    ct, cr = {}, {}
+    for _, src, text in rows:
+        for term in text.split():
+            d = ct if src == "t" else cr
+            d[bucket(term)] = d.get(bucket(term), 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    lam = {b: round((math.log((ct.get(b, 0) + 1.0) / (nt + B))
+                     - math.log((cr.get(b, 0) + 1.0) / (nr + B))) * 1e7)
+           for b in set(ct) | set(cr)}
+    want = {}
+    for doc_id, _, text in rows:
+        toks = text.split()
+        want[doc_id] = (len(toks), sum(lam[bucket(t)] for t in toks))
+    assert got == want
+
+
+def test_dsir_top_k_prefers_target_like_docs(spark):
+    """Docs built from the target vocabulary must outrank docs built
+    from the raw vocabulary."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.dsir import dsir_top_k
+    target = [(i, "t", "quantum physics lattice gauge theory")
+              for i in range(10)]
+    rawlike = [(100 + i, "r", "cheap pills casino jackpot winner")
+               for i in range(50)]
+    targety_raw = [(200 + i, "r", "quantum lattice theory notes")
+                   for i in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(target + rawlike + targety_raw,
+                     columns=["doc_id", "src", "text"]))
+    top = [r["doc_id"] for r in
+           dsir_top_k(df, F.col("src") == "t", k=15).collect()]
+    # the 5 target-like raw docs must all be selected over spam
+    assert set(range(200, 205)) <= set(top)
+    assert not any(100 <= d < 150 for d in top[:15])
+
+
+def test_dsir_bucket_validation(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators.dsir import dsir_weights
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "src": ["t"], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        dsir_weights(df, F.col("src") == "t", n_buckets=100000, nibbles=2)
