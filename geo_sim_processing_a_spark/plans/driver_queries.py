@@ -1595,6 +1595,7 @@ def all_queries():
         "q_pack_chunks": q_pack_chunks,
         "q_temperature_mix": q_temperature_mix,
         "q_dsir_sample": q_dsir_sample,
+        "q_bm25_search": q_bm25_search,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2159,6 +2160,7 @@ def all_oracles():
         "q_pack_chunks": SQL_PACK_CHUNKS,
         "q_temperature_mix": SQL_TEMPERATURE_MIX,
         "q_dsir_sample": SQL_DSIR_SAMPLE,
+        "q_bm25_search": SQL_BM25_SEARCH,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -2441,4 +2443,53 @@ SELECT doc_id, count(*) AS n_tokens, CAST(sum(l7) AS BIGINT) AS w7
 FROM tk JOIN lam USING (b)
 GROUP BY doc_id
 ORDER BY w7 DESC, doc_id LIMIT 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text search (operators/search.py)
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ["customer", "hash", "spark", "window"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """Top-20 documents by BM25 for a fixed bag-of-terms query —
+    scan-stage term filter, |query|-row broadcast df table, one
+    doc-keyed hash-agg, TakeOrdered; per-term scores integer-quantized
+    (1e-7) before the per-doc sum so both engines sum exactly."""
+    from ..operators.search import bm25_search
+    d = _t(spark, sf_dir, "documents")
+    return bm25_search(d, BM25_QUERY_TERMS, k=20)
+
+
+SQL_BM25_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS term
+  FROM documents
+), tk AS (
+  SELECT * FROM toks WHERE term != ''
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY doc_id
+), sc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS tt
+  FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tk WHERE term IN ('customer', 'hash', 'spark', 'window')
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), s AS (
+  SELECT tf.doc_id,
+         CAST(round((ln(1.0 + (sc.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                     * (tf.tf * (1.2 + 1.0)))
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+                         / (CAST(sc.tt AS DOUBLE) / sc.n_docs)))
+                    * 1e7) AS BIGINT) AS s7
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), sc
+)
+SELECT doc_id, count(*) AS n_match_terms, CAST(sum(s7) AS BIGINT) AS score7
+FROM s GROUP BY doc_id ORDER BY score7 DESC, doc_id LIMIT 20
 """

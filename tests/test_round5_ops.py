@@ -1062,3 +1062,55 @@ def test_dsir_bucket_validation(spark):
         pd.DataFrame({"doc_id": [1], "src": ["t"], "text": ["x"]}))
     with pytest.raises(ValueError):
         dsir_weights(df, F.col("src") == "t", n_buckets=100000, nibbles=2)
+
+
+# ---------------------------------------------------------------------------
+# BM25 search (operators/search.py)
+# ---------------------------------------------------------------------------
+
+def test_bm25_matches_python_reference(spark):
+    """Distributed BM25 must equal a pure-Python recomputation of the
+    Lucene-variant formula with identical quantization."""
+    import math
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.search import bm25_search
+    rows = [(1, "apple banana apple cherry"),
+            (2, "banana banana banana"),
+            (3, "cherry date elderberry fig grape"),
+            (4, "apple date date date apple apple apple")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    q = ["apple", "date"]
+    got = [(r["doc_id"], r["n_match_terms"], r["score7"])
+           for r in bm25_search(df, q, k=10).collect()]
+
+    docs = {i: t.split() for i, t in rows}
+    n, avgdl = len(docs), sum(len(t) for t in docs.values()) / len(docs)
+    k1, b = 1.2, 0.75
+    dfreq = {t: sum(1 for d in docs.values() if t in d) for t in q}
+    want = {}
+    for i, toks in docs.items():
+        s7, m = 0, 0
+        for t in q:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s = (idf * (tf * (k1 + 1.0))) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl))
+            s7 += round(s * 1e7)
+            m += 1
+        if m:
+            want[i] = (m, s7)
+    expect = sorted(((i, m, s) for i, (m, s) in want.items()),
+                    key=lambda r: (-r[2], r[0]))
+    assert got == expect
+    # doc 4 (apple-heavy + all the dates) must outrank everything
+    assert got[0][0] == 4
+
+
+def test_bm25_empty_query_raises(spark):
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.search import bm25_search
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        bm25_search(df, [])
