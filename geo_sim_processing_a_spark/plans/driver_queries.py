@@ -1580,6 +1580,7 @@ def all_queries():
         "q_domain_cap": q_domain_cap,
         "q_domain_psl": q_domain_psl,
         "q_gopher": q_gopher,
+        "q_c4_filters": q_c4_filters,
         "q_boilerplate": q_boilerplate,
         "q_pii": q_pii,
         "q_curation_web": q_curation_web,
@@ -1932,6 +1933,83 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# C4 heuristic cleaning battery (operators/c4.py) — Raffel et al. 2020
+# line + page rules over a deterministic multi-line page synth.
+# ---------------------------------------------------------------------------
+
+def q_c4_filters(spark, sf_dir):
+    """C4 line rules (terminal punct / >=5 words / no 'javascript') +
+    page rules (>=3 surviving sentences, no lorem ipsum / brace /
+    bad-list word) — pure scan-stage higher-order-function columns,
+    zero UDF, zero shuffle before the ordered output."""
+    from ..operators.c4 import synth_c4_pages, with_c4_rules
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = with_c4_rules(synth_c4_pages(d))
+    return (out.select("doc_id", "n_lines", "n_kept", "n_sentences",
+                       "has_lorem", "has_brace", "has_badword",
+                       "c4_pass", "text_c4")
+            .orderBy("doc_id"))
+
+
+def _sql_c4() -> str:
+    from ..operators.c4 import (BAD_LINE, BRACE_LINE, C4_BAD_WORDS,
+                                FOOTER_LINE, JS_LINE, LOREM_LINE,
+                                MIN_LINE_WORDS, MIN_SENTENCES, NAV_LINE)
+    ws = "[ \\t\\n\\x0b\\f\\r]"
+    bad = " OR ".join(
+        f"regexp_matches(lower(page), '(^|{ws}){w}({ws}|\\z)')"
+        for w in C4_BAD_WORDS)
+    # line predicate mirrors c4._line_keep rule-for-rule
+    keep = (f"regexp_matches(l, '[.!?\"]{ws}*\\z') "
+            f"AND len([x for x in regexp_split_to_array(l, '{ws}+') "
+            f"if x <> '']) >= {MIN_LINE_WORDS} "
+            f"AND NOT contains(lower(l), 'javascript')")
+    return f"""
+WITH pg AS (
+  SELECT doc_id,
+    array_to_string(
+      ['{NAV_LINE}']
+      || list_transform(
+           range(greatest((len(string_split(text, ' ')) + 11) // 12, 1)),
+           i -> array_to_string(
+                  (string_split(text, ' '))[i*12+1 : i*12+12], ' ')
+                || (CASE WHEN i % 3 <> 2 THEN '.' ELSE '' END))
+      || (CASE WHEN doc_id % 7 = 0 THEN ['{JS_LINE}']
+          ELSE CAST([] AS VARCHAR[]) END)
+      || (CASE WHEN doc_id % 11 = 0 THEN ['{LOREM_LINE}']
+          ELSE CAST([] AS VARCHAR[]) END)
+      || (CASE WHEN doc_id % 13 = 0 THEN ['{BRACE_LINE}']
+          ELSE CAST([] AS VARCHAR[]) END)
+      || (CASE WHEN doc_id % 17 = 0 THEN ['{BAD_LINE}']
+          ELSE CAST([] AS VARCHAR[]) END)
+      || ['{FOOTER_LINE}'], chr(10)) AS page
+  FROM documents
+), r AS (
+  SELECT doc_id, page,
+    string_split(page, chr(10)) AS lines,
+    [l for l in string_split(page, chr(10)) if {keep}] AS kept
+  FROM pg
+), c AS (
+  SELECT doc_id,
+    len(lines) AS n_lines, len(kept) AS n_kept,
+    len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]'))
+      AS n_sentences,
+    contains(lower(page), 'lorem ipsum') AS has_lorem,
+    contains(page, '{{') AS has_brace,
+    ({bad}) AS has_badword,
+    array_to_string(kept, chr(10)) AS text_c4
+  FROM r
+)
+SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+  has_badword,
+  (n_sentences >= {MIN_SENTENCES} AND NOT has_lorem AND NOT has_brace
+   AND NOT has_badword) AS c4_pass,
+  text_c4
+FROM c ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII detection + redaction (operators/pii.py) — emails / IPv4 / phones
 # planted deterministically (plus a 3-octet near-miss negative), counted
 # and redacted with cross-engine-identical regexes.
@@ -2146,6 +2224,7 @@ def all_oracles():
         "q_domain_cap": SQL_DOMAIN_CAP,
         "q_domain_psl": _sql_domain_psl(),
         "q_gopher": _sql_gopher(),
+        "q_c4_filters": _sql_c4(),
         "q_boilerplate": SQL_BOILERPLATE,
         "q_pii": _sql_pii(),
         "q_curation_web": _sql_curation_web(),

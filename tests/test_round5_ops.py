@@ -1114,3 +1114,71 @@ def test_bm25_empty_query_raises(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError):
         bm25_search(df, [])
+
+
+# ---------------------------------------------------------------------------
+# C4 heuristic cleaning battery (operators/c4.py)
+# ---------------------------------------------------------------------------
+
+def test_c4_line_rules(spark):
+    """Each line rule drops exactly the lines it should; kept text
+    preserves order."""
+    from geo_sim_processing_a_spark.operators.c4 import with_c4_rules
+    page = "\n".join([
+        "short line.",                                # <5 words -> drop
+        "this line has five words.",                  # keep
+        "this line has no terminal punctuation",      # L1 -> drop
+        "enable JavaScript to view this page.",       # L3 -> drop
+        'he said "this line ends with a quote"',      # keep (quote terminal)
+        "another good sentence with many words here!",  # keep
+    ])
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "page": [page]}))
+    r = with_c4_rules(df).toPandas().iloc[0]
+    assert r["n_lines"] == 6 and r["n_kept"] == 3
+    assert r["text_c4"].split("\n") == [
+        "this line has five words.",
+        'he said "this line ends with a quote"',
+        "another good sentence with many words here!"]
+    # 2 sentences survive ('.', '!'; the quote line has no [.!?])
+    assert r["n_sentences"] == 2 and not r["c4_pass"]
+
+
+def test_c4_page_rules(spark):
+    """lorem ipsum / brace / bad word each fail the page independently
+    of the line filter; a clean 3-sentence page passes."""
+    from geo_sim_processing_a_spark.operators.c4 import with_c4_rules
+    good = ("one full sentence with enough words here.\n"
+            "two full sentences with enough words here.\n"
+            "three full sentences with enough words here.")
+    cases = {
+        "good": good,
+        "lorem": good + "\nlorem ipsum dolor sit amet text.",
+        "brace": good + "\nvar x = { a: 1 }",          # line itself dropped
+        "bad": good + "\nthis mentions badword openly today.",
+    }
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(cases)), "which": list(cases),
+         "page": list(cases.values())}))
+    r = with_c4_rules(df).toPandas().set_index("which")
+    assert bool(r.loc["good", "c4_pass"])
+    assert bool(r.loc["lorem", "has_lorem"]) and not r.loc["lorem", "c4_pass"]
+    assert bool(r.loc["brace", "has_brace"]) and not r.loc["brace", "c4_pass"]
+    # the brace line lacks terminal punct so it is line-dropped, yet the
+    # PAGE-level rule still catches it
+    assert r.loc["brace", "n_kept"] == 3
+    assert bool(r.loc["bad", "has_badword"]) and not r.loc["bad", "c4_pass"]
+
+
+def test_c4_null_and_word_boundary(spark):
+    """NULL page fails deterministically; bad-word match is
+    word-delimited (no substring false positive)."""
+    from geo_sim_processing_a_spark.operators.c4 import with_c4_rules
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1],
+                      "page": [None,
+                               "the word badwordish is not on the list.\n"
+                               "second proper sentence with words here.\n"
+                               "third proper sentence with words here."]}))
+    r = with_c4_rules(df).orderBy("doc_id").toPandas()
+    assert r.loc[0, "n_kept"] == 0 and not r.loc[0, "c4_pass"]
+    assert not r.loc[1, "has_badword"] and bool(r.loc[1, "c4_pass"])
