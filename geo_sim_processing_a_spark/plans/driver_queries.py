@@ -1581,6 +1581,8 @@ def all_queries():
         "q_domain_psl": q_domain_psl,
         "q_gopher": q_gopher,
         "q_c4_filters": q_c4_filters,
+        "q_bpe_merges": q_bpe_merges,
+        "q_bpe_tokenize": q_bpe_tokenize,
         "q_boilerplate": q_boilerplate,
         "q_pii": q_pii,
         "q_curation_web": q_curation_web,
@@ -2010,6 +2012,57 @@ FROM c ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Distributed BPE tokenizer (operators/bpe.py) — train on the corpus
+# word-frequency table, tokenize via the distinct-word mapping join.
+# Training is argmax-iterative (not SQL-expressible): pinned golden
+# oracles; pytest cross-validates vs an independent pure-Python trainer.
+# ---------------------------------------------------------------------------
+
+BPE_DRIVER_MERGES = 30
+# memo over (sf_dir, n_merges): training is a deterministic pure
+# function of the input table, and both BPE queries need the same
+# merge list — re-deriving it would double the sequential-round cost.
+_BPE_MEMO: dict = {}
+
+
+def _bpe_merges_for(spark, sf_dir):
+    key = (sf_dir, BPE_DRIVER_MERGES)
+    if key not in _BPE_MEMO:
+        from ..operators.bpe import train_bpe, word_freqs
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        _BPE_MEMO[key] = train_bpe(word_freqs(d),
+                                   n_merges=BPE_DRIVER_MERGES)
+    return _BPE_MEMO[key]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """The learned merge list itself (rank, left, right, merged,
+    pair_count): one corpus word-count shuffle, then per round one
+    pair-count hash-agg over the DISTINCT-WORD table + a TakeOrdered-1
+    argmax (deterministic count-desc/pair-asc tie-break)."""
+    m = _bpe_merges_for(spark, sf_dir)
+    return (spark.createDataFrame(m)
+            .select(F.col("rank").cast("long"), "left", "right", "merged",
+                    F.col("pair_count").cast("long"))
+            .orderBy("rank"))
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """Tokenize every document with the merges learned on the same
+    corpus: scan-stage pre-token split + join against the per-distinct-
+    word subword mapping (vocabulary-bounded Arrow UDF — the corpus
+    never passes through Python).  chk pins the exact token sequence."""
+    from ..operators.bpe import apply_bpe
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = apply_bpe(d, _bpe_merges_for(spark, sf_dir))
+    return (out.select(
+                "doc_id", "n_bpe",
+                F.array_join(F.slice("bpe_tokens", 1, 5), " ").alias("head"),
+                F.xxhash64(F.array_join("bpe_tokens", "\x01")).alias("chk"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # PII detection + redaction (operators/pii.py) — emails / IPv4 / phones
 # planted deterministically (plus a 3-octet near-miss negative), counted
 # and redacted with cross-engine-identical regexes.
@@ -2186,6 +2239,8 @@ GOLDEN_ORACLE_QUERIES = [
     "q_media_features",
     "q_text_extract_parity",
     "q_dedup_clusters",
+    "q_bpe_merges",
+    "q_bpe_tokenize",
 ]
 
 

@@ -1182,3 +1182,83 @@ def test_c4_null_and_word_boundary(spark):
     r = with_c4_rules(df).orderBy("doc_id").toPandas()
     assert r.loc[0, "n_kept"] == 0 and not r.loc[0, "c4_pass"]
     assert not r.loc[1, "has_badword"] and bool(r.loc[1, "c4_pass"])
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+def test_bpe_training_matches_python_reference(spark):
+    """Full merge list (pairs, counts, order) exactly equals an
+    independent pure-Python Sennrich-style trainer on the same word
+    frequencies — including tie-break rounds."""
+    from geo_sim_processing_a_spark.operators.bpe import (
+        train_bpe, train_bpe_py, word_freqs)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["low lower lowest", "new newer newest",
+                 "low low new", "wider wide widest",
+                 "low-cost, newer!", "ties tie tie ties"]}))
+    wf = word_freqs(docs)
+    wf_pd = wf.toPandas()
+    got = train_bpe(wf, n_merges=25)
+    ref = pd.DataFrame(
+        train_bpe_py(dict(zip(wf_pd.word, wf_pd.freq)), 25),
+        columns=["rank", "left", "right", "merged", "pair_count"])
+    pd.testing.assert_frame_equal(
+        got.astype(ref.dtypes.to_dict()), ref)
+
+
+def test_bpe_apply_matches_rank_order_application(spark):
+    """Greedy lowest-rank application == applying merges in rank order
+    (equivalent because a merge's parts always predate it), checked
+    token-for-token; word order preserved through the explode/rebuild;
+    NULL and empty text yield empty token lists."""
+    from geo_sim_processing_a_spark.operators.bpe import (
+        END_WORD, apply_bpe, train_bpe, word_freqs)
+    import re
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(5),
+        "text": ["the lowest price", "lower and lower", None, "",
+                 "newest new low"]}))
+    m = train_bpe(word_freqs(docs), n_merges=15)
+    got = {r.doc_id: list(r.bpe_tokens)
+           for r in apply_bpe(docs, m).collect()}
+
+    def rank_order_encode(text):
+        if not text:
+            return []
+        toks = re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]",
+                          text.lower())
+        out = []
+        for w in toks:
+            syms = list(w) + [END_WORD]
+            for r in m.itertuples(index=False):
+                i = 0
+                while i < len(syms) - 1:
+                    if syms[i] == r.left and syms[i + 1] == r.right:
+                        syms[i:i + 2] = [r.merged]
+                    else:
+                        i += 1
+            out.extend(syms)
+        return out
+
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for did, text in rows.items():
+        assert got[did] == rank_order_encode(text), did
+    assert got[2] == [] and got[3] == []
+
+
+def test_bpe_partition_invariance(spark):
+    """Merge list identical at 1 vocab partition vs 8 (argmax +
+    counts must not depend on physical layout)."""
+    from geo_sim_processing_a_spark.operators.bpe import (
+        train_bpe, word_freqs)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(80))
+    wf = word_freqs(docs)
+    a = train_bpe(wf, n_merges=10, vocab_partitions=1,
+                  checkpoint_every=1)
+    b = train_bpe(wf.repartition(16), n_merges=10, vocab_partitions=8,
+                  checkpoint_every=3)
+    pd.testing.assert_frame_equal(a, b)

@@ -75,6 +75,18 @@ def main() -> int:
     spark = get_spark("golden_oracles", cpus=cpus, shuffle_partitions=cpus)
     qs = all_queries()
     names = golden_query_names()
+    # SPARK_GRAFT_GOLDEN_ONLY=q_a,q_b restricts generate/check to named
+    # queries (adding a NEW golden must not rewrite the existing pins —
+    # FIXTURES.md G6 regeneration protocol)
+    only = os.environ.get("SPARK_GRAFT_GOLDEN_ONLY", "")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - set(names)
+        if unknown:
+            print(f"unknown golden queries: {sorted(unknown)}",
+                  file=sys.stderr)
+            return 2
+        names = [n for n in names if n in wanted]
     failures = []
     for sf_dir in sf_dirs:
         sf_name = os.path.basename(sf_dir.rstrip("/"))
