@@ -1592,6 +1592,7 @@ def all_queries():
         "q_fuzzy_contamination": q_fuzzy_contamination,
         "q_repetition": q_repetition,
         "q_dedup_exact": q_dedup_exact,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_fingerprint": q_fingerprint,
         "q_token_stats": q_token_stats,
         "q_pack_manifest": q_pack_manifest,
@@ -2012,6 +2013,45 @@ FROM c ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter incremental snapshot dedup (operators/bloom.py): new
+# snapshot vs existing corpus.  Bloom has no false negatives, so the
+# result is EXACTLY the plain anti-join — which is the DuckDB twin;
+# a hash-match proves the whole bitmap machinery.
+# ---------------------------------------------------------------------------
+
+def q_incremental_dedup(spark, sf_dir):
+    """Synth snapshot: every doc re-crawled with doc_id+1e6; docs with
+    doc_id%4==0 carry IDENTICAL text (true dups), the rest gained a
+    ' novel' suffix.  Dedup against the old corpus by md5(text) via
+    bloom prefilter + exact-confirm anti-join on the positive sliver."""
+    from ..operators.bloom import incremental_dedup
+    d = _t(spark, sf_dir, "documents")
+    old = d.select(F.md5("text").alias("key"))
+    new = (d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+             .otherwise(F.concat(F.col("text"), F.lit(" novel")))
+             .alias("text"))
+           .select("doc_id", F.md5("text").alias("key")))
+    return (incremental_dedup(new, old, key_col="key")
+            .select("doc_id", "key").orderBy("doc_id"))
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH old AS (SELECT md5(text) AS key FROM documents),
+n AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text
+              ELSE text || ' novel' END AS text
+  FROM documents
+), nk AS (SELECT doc_id, md5(text) AS key FROM n)
+SELECT nk.doc_id, nk.key FROM nk
+ANTI JOIN old ON nk.key = old.key
+ORDER BY nk.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed BPE tokenizer (operators/bpe.py) — train on the corpus
 # word-frequency table, tokenize via the distinct-word mapping join.
 # Training is argmax-iterative (not SQL-expressible): pinned golden
@@ -2288,6 +2328,7 @@ def all_oracles():
         "q_fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
         "q_repetition": SQL_REPETITION,
         "q_dedup_exact": SQL_DEDUP_EXACT,
+        "q_incremental_dedup": SQL_INCREMENTAL_DEDUP,
         "q_fingerprint": SQL_FINGERPRINT,
         "q_token_stats": SQL_TOKEN_STATS,
         "q_pack_manifest": SQL_PACK_MANIFEST,

@@ -1262,3 +1262,57 @@ def test_bpe_partition_invariance(spark):
     b = train_bpe(wf.repartition(16), n_merges=10, vocab_partitions=8,
                   checkpoint_every=3)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental snapshot dedup (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+def test_bloom_incremental_dedup_exact_and_both_paths(spark):
+    """Result equals the plain anti-join exactly; the definite-novel
+    (bloom-only) path AND the exact-confirm path both carry rows; the
+    bloom-positive sliver stays near the true-duplicate count."""
+    from geo_sim_processing_a_spark.operators.bloom import (
+        bloom_build, bloom_positive_keys, incremental_dedup)
+    from pyspark.sql import functions as F
+    d = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+         .select("doc_id", "text"))
+    old = d.select(F.md5("text").alias("key"))
+    new = d.select(
+        "doc_id",
+        F.md5(F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+              .otherwise(F.concat(F.col("text"), F.lit(" x")))).alias("key"))
+    got = incremental_dedup(new, old, with_path_flag=True).toPandas()
+    want = set(r.doc_id for r in new.join(old, "key", "left_anti").collect())
+    assert set(got.doc_id) == want
+    assert (~got.via_confirm).sum() > 0          # bloom alone proved most
+    # every true duplicate is bloom-positive (no false negatives)
+    n_pos = bloom_positive_keys(new, bloom_build(old)).count()
+    n_dup = new.join(old, "key", "left_semi").select("key").distinct().count()
+    assert n_pos >= n_dup
+    # FP sliver bounded: m=2^18 bits over 500 keys -> expect ~0 FPs
+    assert n_pos - n_dup <= 5
+
+
+def test_bloom_prebuilt_artifact_roundtrip(spark, tmp_path):
+    """The word table persists to parquet and a later snapshot reuses
+    it bit-exactly (the cross-batch artifact contract)."""
+    from geo_sim_processing_a_spark.operators.bloom import (
+        bloom_build, incremental_dedup)
+    from pyspark.sql import functions as F
+    old = spark.createDataFrame(
+        pd.DataFrame({"key": [f"k{i}" for i in range(200)]}))
+    path = str(tmp_path / "bloom_words")
+    bloom_build(old).write.parquet(path)
+    bloom = spark.read.parquet(path)
+    new = spark.createDataFrame(
+        pd.DataFrame({"key": [f"k{i}" for i in range(150, 260)]}))
+    out = incremental_dedup(new, old, bloom=bloom).toPandas()
+    assert set(out.key) == {f"k{i}" for i in range(200, 260)}
+
+
+def test_bloom_build_validates_m(spark):
+    from geo_sim_processing_a_spark.operators.bloom import bloom_build
+    df = spark.createDataFrame(pd.DataFrame({"key": ["a"]}))
+    with pytest.raises(ValueError):
+        bloom_build(df, m_bits=100)
