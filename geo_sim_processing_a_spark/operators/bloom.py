@@ -63,7 +63,29 @@ def bloom_build(keys: DataFrame, key_col: str = "key",
                     F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
                     .alias("mask"))
             .groupBy("word_idx")
-            .agg(F.bit_or("mask").alias("bits")))
+            .agg(F.bit_or("mask").alias("bits"))
+            # parameters ride WITH the artifact: probing with different
+            # m/k than the build would silently create false negatives,
+            # so consumers verify these instead of trusting the caller
+            .withColumn("m_bits", F.lit(int(m_bits)).cast("long"))
+            .withColumn("k", F.lit(int(k)).cast("int")))
+
+
+def _check_bloom_params(bloom: DataFrame, m_bits: int, k: int) -> None:
+    """Refuse to probe an artifact built with different parameters
+    (1-row bounded-driver check; legacy tables without the metadata
+    columns are rejected loudly rather than mis-probed)."""
+    if "m_bits" not in bloom.columns or "k" not in bloom.columns:
+        raise ValueError(
+            "bloom word table lacks m_bits/k metadata columns — "
+            "rebuild it with bloom_build (probing with mismatched "
+            "parameters would produce silent false negatives)")
+    row = bloom.select("m_bits", "k").first()
+    if row is not None and (int(row["m_bits"]) != int(m_bits)
+                            or int(row["k"]) != int(k)):
+        raise ValueError(
+            f"bloom artifact was built with m_bits={row['m_bits']}, "
+            f"k={row['k']} but caller asked for m_bits={m_bits}, k={k}")
 
 
 def bloom_positive_keys(new_keys: DataFrame, bloom: DataFrame,
@@ -73,6 +95,8 @@ def bloom_positive_keys(new_keys: DataFrame, bloom: DataFrame,
     """Distinct keys of ``new_keys`` that the bloom CANNOT rule out
     (all k probe bits set).  Probe rows broadcast-join the word table;
     a missing word_idx row means the bit is 0 (LEFT join, miss)."""
+    _check_bloom_params(bloom, m_bits, k)
+    bloom = bloom.select("word_idx", "bits")
     probes = (new_keys.select(key_col).distinct()
               .select(key_col,
                       F.explode(_positions(F.col(key_col), m_bits, k))
@@ -106,6 +130,11 @@ def incremental_dedup(new: DataFrame, old_keys: DataFrame,
     ``with_path_flag`` adds ``via_confirm`` (True = the row survived
     the exact confirm join, False = the bloom alone proved novelty) —
     for tests/metrics; production drops it."""
+    for reserved in ("_pos", "via_confirm"):
+        if reserved in new.columns:
+            raise ValueError(
+                f"incremental_dedup reserves column name {reserved!r}; "
+                "rename it on the input first")
     if bloom is None:
         bloom = bloom_build(old_keys, key_col, m_bits, k)
     pos = bloom_positive_keys(new, bloom, key_col, m_bits, k)

@@ -53,15 +53,8 @@ def synth_pages_with_boilerplate(docs: DataFrame, id_col: str = "doc_id",
     per-source nav line, the doc text re-wrapped at TOKENS_PER_LINE
     tokens per line, and a global footer.  Mirrored verbatim in the
     DuckDB oracle (driver_queries.SQL_BOILERPLATE)."""
-    toks = F.split(F.col(text_col), " ")
-    # integer ceil-div, exact in both engines (no float rounding)
-    n_lines = F.greatest(
-        F.floor((F.size(toks) + F.lit(TOKENS_PER_LINE - 1)) /
-                F.lit(TOKENS_PER_LINE)).cast("int"), F.lit(1))
-    content = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * TOKENS_PER_LINE + 1, TOKENS_PER_LINE), " "))
+    from .text import wrap_token_lines
+    content = wrap_token_lines(F.col(text_col), TOKENS_PER_LINE)
     lines = F.concat(
         F.array(F.lit(HEADER_LINE),
                 F.concat(F.lit("section: "), F.col(source_col))),

@@ -171,6 +171,11 @@ def apply_bpe(docs: DataFrame, merges: pd.DataFrame,
     (posexplode + order-preserving re-agg)."""
     from pyspark.sql.functions import pandas_udf
 
+    reserved = {"word", "_pre", "_pos", "subs", "bpe_tokens", "n_bpe"}
+    clash = reserved & set(docs.columns)
+    if clash:
+        raise ValueError(f"apply_bpe reserves column names {sorted(clash)}; "
+                         "rename them on the input first")
     rank_of = {(r.left, r.right): int(r.rank)
                for r in merges.itertuples(index=False)}
     spark = docs.sparkSession

@@ -67,7 +67,9 @@ def with_c4_rules(pages: DataFrame, page_col: str = "page",
     text_c4 = F.array_join(kept, "\n")
     low = F.lower(p)
     n_sent = F.regexp_count(text_c4, F.lit("[.!?]"))
-    bad = sum((F.when(low.rlike(f"(^|{WS_CLASS}){w}({WS_CLASS}|\\z)"), 1)
+    # non-alphanumeric delimiters (not just whitespace): 'badword.' and
+    # '(nsfw)' must match — the paper drops the page on ANY occurrence
+    bad = sum((F.when(low.rlike(f"(^|[^a-z0-9]){w}([^a-z0-9]|\\z)"), 1)
                .otherwise(0) for w in bad_words), F.lit(0))
     out = (pages
            .withColumn("n_lines", F.size(lines).cast("long"))
@@ -104,16 +106,11 @@ def synth_c4_pages(docs: DataFrame, id_col: str = "doc_id",
     (doc_id%7 -> javascript, %11 -> lorem ipsum, %13 -> brace,
     %17 -> bad word), and an unpunctuated footer.  Mirrored verbatim
     in the DuckDB oracle (driver_queries.SQL_C4)."""
-    toks = F.split(F.col(text_col), " ")
-    n_lines = F.greatest(
-        F.floor((F.size(toks) + F.lit(TOKENS_PER_LINE - 1)) /
-                F.lit(TOKENS_PER_LINE)).cast("int"), F.lit(1))
-    content = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.concat(
-            F.array_join(
-                F.slice(toks, i * TOKENS_PER_LINE + 1, TOKENS_PER_LINE), " "),
-            F.when(i % 3 != 2, F.lit(".")).otherwise(F.lit(""))))
+    from .text import wrap_token_lines
+    content = wrap_token_lines(
+        F.col(text_col), TOKENS_PER_LINE,
+        line_suffix=lambda i: F.when(i % 3 != 2, F.lit("."))
+                               .otherwise(F.lit("")))
     did = F.col(id_col)
 
     def gated(res, line):

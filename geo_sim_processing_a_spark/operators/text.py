@@ -418,3 +418,23 @@ def with_gopher_rules(docs: DataFrame, text_col: str = "text",
         "gopher_pass",
         F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")
         & F.col("g5") & F.col("g6") & F.col("g7"))
+
+
+def wrap_token_lines(text_col, tokens_per_line: int, line_suffix=None):
+    """array<string>: ``text_col`` re-wrapped at ``tokens_per_line``
+    space-tokens per line (integer ceil-div, exact in both engines; an
+    empty/short text still yields one line).  ``line_suffix(i)`` may
+    return a per-line-index suffix Column.  Shared by the boilerplate
+    and C4 page synths so the wrap arithmetic (and its mirrored SQL,
+    driver_queries._sql_wrap_lines) exists exactly once."""
+    toks = F.split(text_col, " ")
+    n_lines = F.greatest(
+        F.floor((F.size(toks) + F.lit(tokens_per_line - 1)) /
+                F.lit(tokens_per_line)).cast("int"), F.lit(1))
+
+    def one(i):
+        line = F.array_join(
+            F.slice(toks, i * tokens_per_line + 1, tokens_per_line), " ")
+        return F.concat(line, line_suffix(i)) if line_suffix else line
+
+    return F.transform(F.sequence(F.lit(0), n_lines - 1), one)

@@ -1890,6 +1890,18 @@ def q_boilerplate(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def _sql_wrap_lines(text_expr: str, tpl: int, suffix_sql: str = "''") -> str:
+    """DuckDB twin of text.wrap_token_lines — ONE definition serving
+    both the boilerplate and C4 page-synth oracles."""
+    return (
+        f"list_transform(\n"
+        f"         range(greatest("
+        f"(len(string_split({text_expr}, ' ')) + {tpl - 1}) // {tpl}, 1)),\n"
+        f"         i -> array_to_string(\n"
+        f"                (string_split({text_expr}, ' '))"
+        f"[i*{tpl}+1 : i*{tpl}+{tpl}], ' ') || {suffix_sql})")
+
+
 def _sql_boiler_chain(src_cte: str, text_col: str) -> str:
     """Shared CTE chain ``pg .. cleaned``: page synthesis (header /
     per-source nav / 12-token wrap / footer) over ``src_cte.text_col``
@@ -1898,13 +1910,11 @@ def _sql_boiler_chain(src_cte: str, text_col: str) -> str:
     a synth or threshold change cannot silently diverge between them
     (it mirrors boilerplate.synth_pages_with_boilerplate +
     remove_boilerplate rule-for-rule)."""
+    from ..operators.boilerplate import TOKENS_PER_LINE as _BTPL
     return f"""pg AS (
   SELECT doc_id,
     ['home | about | contact', 'section: ' || source]
-    || list_transform(
-         range(greatest((len(string_split({text_col}, ' ')) + 11) // 12, 1)),
-         i -> array_to_string(
-                (string_split({text_col}, ' '))[i*12+1 : i*12+12], ' '))
+    || {_sql_wrap_lines(text_col, _BTPL)}
     || ['(c) example corp - all rights reserved'] AS lines
   FROM {src_cte}
 ), bl AS (
@@ -1957,10 +1967,12 @@ def q_c4_filters(spark, sf_dir):
 def _sql_c4() -> str:
     from ..operators.c4 import (BAD_LINE, BRACE_LINE, C4_BAD_WORDS,
                                 FOOTER_LINE, JS_LINE, LOREM_LINE,
-                                MIN_LINE_WORDS, MIN_SENTENCES, NAV_LINE)
+                                MIN_LINE_WORDS, MIN_SENTENCES, NAV_LINE,
+                                TOKENS_PER_LINE)
     ws = "[ \\t\\n\\x0b\\f\\r]"
+    tpl = TOKENS_PER_LINE
     bad = " OR ".join(
-        f"regexp_matches(lower(page), '(^|{ws}){w}({ws}|\\z)')"
+        f"regexp_matches(lower(page), '(^|[^a-z0-9]){w}([^a-z0-9]|\\z)')"
         for w in C4_BAD_WORDS)
     # line predicate mirrors c4._line_keep rule-for-rule
     keep = (f"regexp_matches(l, '[.!?\"]{ws}*\\z') "
@@ -1972,11 +1984,8 @@ WITH pg AS (
   SELECT doc_id,
     array_to_string(
       ['{NAV_LINE}']
-      || list_transform(
-           range(greatest((len(string_split(text, ' ')) + 11) // 12, 1)),
-           i -> array_to_string(
-                  (string_split(text, ' '))[i*12+1 : i*12+12], ' ')
-                || (CASE WHEN i % 3 <> 2 THEN '.' ELSE '' END))
+      || {_sql_wrap_lines("text", tpl,
+                          "(CASE WHEN i % 3 <> 2 THEN '.' ELSE '' END)")}
       || (CASE WHEN doc_id % 7 = 0 THEN ['{JS_LINE}']
           ELSE CAST([] AS VARCHAR[]) END)
       || (CASE WHEN doc_id % 11 = 0 THEN ['{LOREM_LINE}']
@@ -2081,7 +2090,11 @@ def q_bpe_merges(spark, sf_dir):
     pair-count hash-agg over the DISTINCT-WORD table + a TakeOrdered-1
     argmax (deterministic count-desc/pair-asc tie-break)."""
     m = _bpe_merges_for(spark, sf_dir)
-    return (spark.createDataFrame(m)
+    # explicit schema: an empty merge list (degenerate corpus) must
+    # yield an empty TYPED frame, not a schema-inference error
+    return (spark.createDataFrame(
+                m, schema="rank long, left string, right string, "
+                          "merged string, pair_count long")
             .select(F.col("rank").cast("long"), "left", "right", "merged",
                     F.col("pair_count").cast("long"))
             .orderBy("rank"))

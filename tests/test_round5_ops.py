@@ -1316,3 +1316,49 @@ def test_bloom_build_validates_m(spark):
     df = spark.createDataFrame(pd.DataFrame({"key": ["a"]}))
     with pytest.raises(ValueError):
         bloom_build(df, m_bits=100)
+
+
+def test_c4_badword_adjacent_punctuation(spark):
+    """Review fix: blocklist words adjacent to punctuation (not just
+    whitespace) must still fail the page — '(nsfw)' and 'badword.'."""
+    from geo_sim_processing_a_spark.operators.c4 import with_c4_rules
+    good = ("one full sentence with enough words here.\n"
+            "two full sentences with enough words here.\n"
+            "three full sentences with enough words here.")
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "page": [good + "\nthis page ends with badword.",
+                 good + "\nlots of (nsfw) content in here.",
+                 good]}))
+    r = with_c4_rules(df).orderBy("doc_id").toPandas()
+    assert list(r.has_badword) == [True, True, False]
+
+
+def test_bloom_param_mismatch_refused(spark):
+    """Review fix: probing an artifact with different m/k than it was
+    built with would silently create false negatives — must raise."""
+    from geo_sim_processing_a_spark.operators.bloom import (
+        bloom_build, bloom_positive_keys, incremental_dedup)
+    old = spark.createDataFrame(pd.DataFrame({"key": ["a", "b"]}))
+    bloom = bloom_build(old, m_bits=1 << 20, k=7)
+    new = spark.createDataFrame(pd.DataFrame({"key": ["a", "c"]}))
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_positive_keys(new, bloom)            # default m/k differ
+    with pytest.raises(ValueError, match="m_bits"):
+        incremental_dedup(new, old, bloom=bloom)
+    # matching params pass
+    assert bloom_positive_keys(new, bloom, m_bits=1 << 20, k=7).count() == 1
+    legacy = bloom.drop("m_bits", "k")
+    with pytest.raises(ValueError, match="metadata"):
+        bloom_positive_keys(new, legacy, m_bits=1 << 20, k=7)
+
+
+def test_apply_bpe_reserved_columns_refused(spark):
+    from geo_sim_processing_a_spark.operators.bpe import apply_bpe
+    import pandas as _pd
+    m = _pd.DataFrame(columns=["rank", "left", "right", "merged",
+                               "pair_count"])
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"doc_id": [1], "text": ["x"], "word": ["clash"]}))
+    with pytest.raises(ValueError, match="reserves"):
+        apply_bpe(df, m)
