@@ -1,0 +1,290 @@
+"""Mergeable distributed sketches — HyperLogLog distinct-count and
+Count-Min frequency — the canonical 100-TB aggregation shapes: both
+reduce map-side (register-max / counter-sum have perfect partial
+aggregation), their state is tiny and UNION+re-aggregate IS the merge,
+so incremental builds (yesterday's sketch + today's partition) never
+rescan history.  Flajolet et al. 2007 (HLL); Cormode & Muthukrishnan
+2005 (CMS).
+
+Engine-exactness discipline (same as operators/lm.py / dsir.py):
+
+* The hash is the md5-prefix integer (sampling.md5_bucket) — byte
+  identical in every engine with an md5 function, unlike
+  engine-private hash64s, so a DuckDB oracle can rebuild the EXACT
+  same sketch.
+* Register arithmetic is all-integer: rho (leading-zero rank) comes
+  from a bit-smear + bit_count, never floor(log2(x)) (float log is
+  exact here but the integer route is provably exact); the HLL
+  indicator sum folds 2^(RHO_W+1-rho) as BIGINT (max m * 2^52 < 2^62
+  — no overflow, and integer sums are associative where double sums
+  are not).
+* The only floats are the final estimate formula, evaluated with
+  IDENTICAL IEEE parenthesization in both engines from exact-integer
+  inputs and a shared literal alpha — deterministic, so even the
+  float estimate hash-matches.
+
+Scale notes (100 TB): hll_sketch is scan → ONE hash-agg to at most
+m rows per group (m=512 default); cms_sketch likewise to depth*width
+rows per group.  Estimation joins are broadcast (probe lists are
+small by construction).  Skewed groups cost nothing extra: the
+register/counter key space bounds the reduce fan-in per group
+regardless of group row count.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import md5_bucket
+
+# md5_bucket(key, 15) yields a uniform 60-bit integer; HLL splits it
+# into a P-bit register index and a RHO_W-bit suffix whose
+# leading-zero rank feeds the register.
+HASH_NIBBLES = 15
+HASH_BITS = 4 * HASH_NIBBLES          # 60
+DEFAULT_P = 9                         # m = 512 registers
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias constant alpha_m (Flajolet et al. 2007 eq. for m >= 128).
+    Computed once in Python and embedded as the SAME literal in the
+    Spark plan and any SQL twin, so both engines parse one double."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _smear_bitlen(col: Column) -> Column:
+    """Integer bit-length of a non-negative BIGINT: smear the highest
+    set bit rightward, then popcount.  0 -> 0, 1 -> 1, 12 -> 4.
+    DuckDB twin: same shifts/ORs/bit_count operator-for-operator."""
+    smeared = reduce(
+        lambda acc, s: acc.bitwiseOR(F.shiftright(acc, s)),
+        (1, 2, 4, 8, 16, 32), col)
+    return F.bit_count(smeared)
+
+
+def hll_sketch(df: DataFrame, key_col: str,
+               group_cols: list[str] | None = None,
+               p: int = DEFAULT_P) -> DataFrame:
+    """HyperLogLog register table for the distinct count of
+    ``key_col`` per group: (``group_cols...``, reg int, rho int) with
+    at most ``2**p`` register rows per group.  ONE hash-agg (max has
+    map-side partials); absent registers mean rho 0.
+
+    Merging sketches from different inputs/days is
+    ``union -> groupBy(group, reg).max(rho)`` (hll_merge) and is
+    EXACTLY the sketch of the concatenated input — asserted
+    register-identical in tests.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    group_cols = list(group_cols or [])
+    rho_w = HASH_BITS - p
+    h = md5_bucket(F.col(key_col), HASH_NIBBLES)
+    reg = F.shiftright(h, rho_w).cast("int")
+    suffix = h.bitwiseAND(F.lit((1 << rho_w) - 1).cast("long"))
+    # rank of first set bit from the left of the rho_w-wide suffix:
+    # rho = rho_w - bitlen(suffix) + 1; all-zero suffix -> rho_w + 1
+    rho = (F.lit(rho_w + 1) - _smear_bitlen(suffix)).cast("int")
+    return (df
+            .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+            .groupBy(*group_cols, "reg")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge register tables built by hll_sketch over the SAME key/p:
+    position-wise register max.  Distributive, associative,
+    idempotent — the sketch of A ∪ B, bit-equal to a one-shot build."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    cols = sketches[0].columns
+    group_regs = [c for c in cols if c != "rho"]
+    merged = reduce(lambda a, b: a.unionByName(b), sketches)
+    return merged.groupBy(*group_regs).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame,
+                 group_cols: list[str] | None = None,
+                 p: int = DEFAULT_P) -> DataFrame:
+    """Distinct-count estimate per group from an hll_sketch register
+    table: (``group_cols...``, n_regs, ind_sum, est).
+
+    ``ind_sum`` = the EXACT integer Sigma 2^(rho_w+1-rho_i) over
+    present registers (absent registers contribute 2^(rho_w+1), added
+    as (m - n_regs) * 2^(rho_w+1)); the raw estimate is
+    alpha_m * m^2 * 2^(rho_w+1) / ind_sum and Flajolet's small-range
+    linear counting (m * ln(m / V)) applies when raw <= 2.5m with V
+    empty registers.  Standard error ~ 1.04/sqrt(m) (~4.6% at p=9)."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    rho_w = HASH_BITS - p
+    scale = 1 << (rho_w + 1)           # 2^-rho in units of 1/scale
+    # column-valued shift amount needs the SQL form (bloom.py idiom)
+    term = F.expr(f"shiftleft(1L, CAST({rho_w + 1} - rho AS INT))")
+    agg = (sketch.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("n_regs"),
+                F.sum(term).alias("present_sum")))
+    ind_sum = (F.col("present_sum")
+               + (F.lit(m) - F.col("n_regs")) * F.lit(scale).cast("long"))
+    alpha = _hll_alpha(m)
+    raw = (F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(scale))
+           / ind_sum.cast("double"))
+    v = (F.lit(m) - F.col("n_regs")).cast("double")
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > F.lit(0.0)),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+                 ).otherwise(raw)
+    return (agg
+            .withColumn("ind_sum", ind_sum.cast("long"))
+            .withColumn("est", F.round(est).cast("long"))
+            .select(*group_cols, "n_regs", "ind_sum", "est"))
+
+
+def hll_estimate_sql(registers_cte: str, group_cols: list[str],
+                     p: int = DEFAULT_P) -> str:
+    """DuckDB twin of hll_estimate over a CTE named ``registers_cte``
+    with columns (group_cols..., reg, rho) — the same integer fold and
+    the same float formula, literal-for-literal."""
+    m = 1 << p
+    rho_w = HASH_BITS - p
+    scale = 1 << (rho_w + 1)
+    alpha = _hll_alpha(m)
+    gsel = ", ".join(group_cols)
+    gpfx = gsel + ", " if gsel else ""
+    # every float literal rides an explicit DOUBLE cast: DuckDB parses
+    # bare decimal literals as DECIMAL and multiplies them exactly —
+    # which both overflows and diverges from Spark's double arithmetic
+    al = f"CAST({alpha!r} AS DOUBLE)"
+    m2 = f"CAST({float(m * m)!r} AS DOUBLE)"
+    sc = f"CAST({float(scale)!r} AS DOUBLE)"
+    md = f"CAST({float(m)!r} AS DOUBLE)"
+    raw = f"{al} * {m2} * {sc} / CAST(ind_sum AS DOUBLE)"
+    return f"""
+  SELECT {gpfx}n_regs, ind_sum,
+         CAST(round(CASE WHEN ({raw}) <= CAST({2.5 * m!r} AS DOUBLE)
+                         AND ({m} - n_regs) > 0
+                    THEN {md} * ln({md}
+                            / CAST({m} - n_regs AS DOUBLE))
+                    ELSE {raw} END)
+              AS BIGINT) AS est
+  FROM (
+    SELECT {gpfx}CAST(count(*) AS BIGINT) AS n_regs,
+           CAST(sum(1::BIGINT << ({rho_w + 1} - rho)) AS BIGINT)
+             + ({m} - CAST(count(*) AS BIGINT)) * {scale} AS ind_sum
+    FROM {registers_cte}
+    {"GROUP BY " + gsel if gsel else ""}
+  )"""
+
+
+def hll_sketch_sql(src_cte: str, key_expr: str, group_cols: list[str],
+                   p: int = DEFAULT_P) -> str:
+    """DuckDB twin of hll_sketch: SELECT body producing
+    (group_cols..., reg, rho) from ``src_cte``.``key_expr``."""
+    rho_w = HASH_BITS - p
+    gpfx = ", ".join(group_cols) + ", " if group_cols else ""
+    h = (f"CAST(('0x' || substr(md5({key_expr}), 1, "
+         f"{HASH_NIBBLES}))::UBIGINT AS BIGINT)")
+    sfx = f"(h & {(1 << rho_w) - 1})"
+    smear = sfx
+    for s in (1, 2, 4, 8, 16, 32):
+        smear = f"({smear} | ({smear} >> {s}))"
+    # NOTE: smear is re-expanded textually; cheap for the oracle
+    return f"""
+  SELECT {gpfx}reg, CAST(max(rho) AS INT) AS rho FROM (
+    SELECT {gpfx}CAST((h >> {rho_w}) AS INT) AS reg,
+           {rho_w + 1} - bit_count(CAST({smear} AS BIGINT)) AS rho
+    FROM (SELECT {gpfx}{h} AS h FROM {src_cte})
+  ) GROUP BY {gpfx}reg"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CMS_SEP = "\x1f"                       # row-index | key separator
+
+
+def _cms_bucket(key: Column, row: int, width: int) -> Column:
+    """Bucket of ``key`` in hash row ``row``: md5 of 'row<US>key'
+    folded to [0, width).  8 nibbles = 32 uniform bits before pmod."""
+    return F.pmod(md5_bucket(F.concat_ws(CMS_SEP, F.lit(str(row)), key), 8),
+                  F.lit(width)).cast("int")
+
+
+def cms_sketch(df: DataFrame, key_col: str,
+               group_cols: list[str] | None = None,
+               weight_col: str | None = None,
+               depth: int = 4, width: int = 1024) -> DataFrame:
+    """Count-Min counter table: (group_cols..., row int, bucket int,
+    cnt long) with at most depth*width rows per group.  One scan (the
+    depth hash rows explode inline), ONE hash-agg; merging sketches is
+    union -> sum (cms_merge).  Point estimates overcount by at most
+    e/width * total_weight with prob 1 - e^-depth (CM 2005)."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; "
+                         f"got {depth}, {width}")
+    group_cols = list(group_cols or [])
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    key = F.col(key_col)
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("row"),
+                 _cms_bucket(key, j, width).alias("bucket"))
+        for j in range(depth)])).alias("rb")
+    return (df
+            .select(*group_cols, w.alias("_w"), rows)
+            .select(*group_cols, "rb.row", "rb.bucket", "_w")
+            .groupBy(*group_cols, "row", "bucket")
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge counter tables built with the SAME depth/width/key:
+    position-wise sum — exactly the sketch of the concatenated
+    input."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    cols = [c for c in sketches[0].columns if c != "cnt"]
+    merged = reduce(lambda a, b: a.unionByName(b), sketches)
+    return merged.groupBy(*cols).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
+                 group_cols: list[str] | None = None,
+                 depth: int = 4, width: int = 1024) -> DataFrame:
+    """Estimated frequency of each probe row: one output row per row
+    of ``probes`` — (probes' group_cols..., key_col, est) with est =
+    min over hash rows of the counter at that row's bucket; a bucket
+    row absent from the sketch is a 0 counter, so keys the sketch can
+    rule out report est 0 instead of disappearing.  When grouped,
+    ``probes`` must carry the group columns (its rows ARE the exact
+    (group, key) query set).  ``probes`` is small by construction and
+    broadcasts; the sketch never re-shuffles."""
+    group_cols = list(group_cols or [])
+    key = F.col(key_col)
+    probe_rows = (probes
+                  .select(*group_cols, key_col, F.explode(F.array(*[
+                      F.struct(F.lit(j).alias("row"),
+                               _cms_bucket(key, j, width).alias("bucket"))
+                      for j in range(depth)])).alias("rb"))
+                  .select(*group_cols, key_col, "rb.row", "rb.bucket"))
+    joined = sketch.join(F.broadcast(probe_rows),
+                         group_cols + ["row", "bucket"])
+    per_row = (joined.groupBy(*group_cols, key_col)
+               .agg(F.min("cnt").alias("min_cnt"),
+                    F.count(F.lit(1)).alias("n_rows")))
+    # any hash row whose bucket is absent pins the min to 0
+    est = F.when(F.col("n_rows") < F.lit(depth),
+                 F.lit(0).cast("long")).otherwise(F.col("min_cnt"))
+    return (probes.select(*group_cols, key_col).distinct()
+            .join(per_row, group_cols + [key_col], "left")
+            .select(*group_cols, key_col,
+                    F.coalesce(est, F.lit(0).cast("long")).alias("est")))
+
+
+def cms_bucket_sql(key_expr: str, row: int, width: int) -> str:
+    """DuckDB twin of _cms_bucket."""
+    concat = f"'{row}' || chr(31) || ({key_expr})"
+    return (f"CAST(CAST(('0x' || substr(md5({concat}), 1, 8))"
+            f"::UBIGINT AS BIGINT) % {width} AS INT)")

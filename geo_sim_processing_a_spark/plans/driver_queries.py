@@ -1600,6 +1600,8 @@ def all_queries():
         "q_temperature_mix": q_temperature_mix,
         "q_dsir_sample": q_dsir_sample,
         "q_bm25_search": q_bm25_search,
+        "q_hll_distinct": q_hll_distinct,
+        "q_cms_freq": q_cms_freq,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2349,6 +2351,8 @@ def all_oracles():
         "q_temperature_mix": SQL_TEMPERATURE_MIX,
         "q_dsir_sample": SQL_DSIR_SAMPLE,
         "q_bm25_search": SQL_BM25_SEARCH,
+        "q_hll_distinct": _sql_hll_distinct(),
+        "q_cms_freq": _sql_cms_freq(),
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -2680,4 +2684,114 @@ WITH toks AS (
 )
 SELECT doc_id, count(*) AS n_match_terms, CAST(sum(s7) AS BIGINT) AS score7
 FROM s GROUP BY doc_id ORDER BY score7 DESC, doc_id LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (operators/sketches.py) — HyperLogLog distinct
+# count and Count-Min frequency.  The DuckDB twins rebuild the EXACT
+# same sketch (md5-prefix hash, integer register arithmetic, shared
+# float literals), so even the estimates hash-match; the exact truth
+# rides along in the same output row as the self-documenting error
+# bound.
+# ---------------------------------------------------------------------------
+
+CMS_PROBE_TERMS = ["customer", "hash", "spark", "window", "zzz_absent"]
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-returnflag distinct-partkey HLL estimate (p=9, 512
+    registers) next to the exact count: scan -> ONE register hash-agg
+    (max has map-side partials, at most 512 rows per group survive the
+    shuffle regardless of group size) -> per-group fold.  The sketch
+    table is the persisted artifact at 100 TB: tomorrow's partition
+    merges in with union+max, never a rescan."""
+    from ..operators.sketches import hll_estimate, hll_sketch
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.select("l_returnflag",
+                     F.col("l_partkey").cast("string").alias("k"))
+    est = hll_estimate(hll_sketch(keys, "k", ["l_returnflag"]),
+                       ["l_returnflag"])
+    exact = (keys.groupBy("l_returnflag")
+             .agg(F.countDistinct("k").alias("exact")))
+    return (est.join(exact, "l_returnflag")
+            .select("l_returnflag", "n_regs", "ind_sum", "est", "exact")
+            .orderBy("l_returnflag"))
+
+
+def _sql_hll_distinct() -> str:
+    from ..operators.sketches import hll_estimate_sql, hll_sketch_sql
+    src = "(SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS k FROM lineitem)"
+    return f"""
+WITH regs AS ({hll_sketch_sql(src, 'k', ['l_returnflag'])}
+), folded AS ({hll_estimate_sql('regs', ['l_returnflag'])}
+), ex AS (
+  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_regs, ind_sum, est, exact
+FROM folded JOIN ex USING (l_returnflag) ORDER BY l_returnflag
+"""
+
+
+def q_cms_freq(spark, sf_dir):
+    """Count-Min frequency estimates (depth 4 x width 1024) for a
+    fixed probe-term set over the document token stream, next to the
+    exact counts: scan (the 4 hash rows explode inline) -> ONE counter
+    hash-agg bounded at depth*width rows, probe rows broadcast.  The
+    CMS guarantee est >= exact is visible in the output; the absent
+    probe reports 0."""
+    import pandas as pd
+
+    from ..operators.sketches import cms_estimate, cms_sketch
+    from ..operators.text import WS_CLASS
+    d = _t(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(
+                F.split(F.trim(F.col("text")), WS_CLASS + "+")).alias("term"))
+            .where(F.col("term") != ""))
+    sk = cms_sketch(toks, "term")
+    probes = spark.createDataFrame(pd.DataFrame({"term": CMS_PROBE_TERMS}))
+    est = cms_estimate(sk, probes, "term")
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact"))
+    return (est.join(exact, "term", "left")
+            .select("term", "est",
+                    F.coalesce("exact", F.lit(0).cast("long")).alias("exact"))
+            .orderBy("term"))
+
+
+def _sql_cms_freq() -> str:
+    from ..operators.sketches import cms_bucket_sql
+    depth, width = 4, 1024
+    probe_list = ", ".join(f"'{t}'" for t in CMS_PROBE_TERMS)
+    counters = " UNION ALL ".join(
+        f"SELECT {j} AS row, {cms_bucket_sql('term', j, width)} AS bucket, "
+        f"1::BIGINT AS w FROM tk" for j in range(depth))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT term, {j} AS row, {cms_bucket_sql('term', j, width)} "
+        f"AS bucket FROM probes" for j in range(depth))
+    return f"""
+WITH tk AS (
+  SELECT term FROM (
+    SELECT unnest(string_split_regex(trim(text),
+                  '[ \\t\\n\\x0b\\f\\r]+')) AS term FROM documents)
+  WHERE term != ''
+), sk AS (
+  SELECT row, bucket, CAST(sum(w) AS BIGINT) AS cnt
+  FROM ({counters}) GROUP BY row, bucket
+), probes AS (
+  SELECT unnest([{probe_list}]) AS term
+), pb AS ({probe_rows}
+), hit AS (
+  SELECT pb.term, min(sk.cnt) AS min_cnt, count(*) AS n_rows
+  FROM sk JOIN pb USING (row, bucket) GROUP BY pb.term
+), est AS (
+  SELECT probes.term,
+         CAST(coalesce(CASE WHEN hit.n_rows < {depth} THEN 0
+                            ELSE hit.min_cnt END, 0) AS BIGINT) AS est
+  FROM probes LEFT JOIN hit USING (term)
+), ex AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact FROM tk GROUP BY term
+)
+SELECT est.term, est.est, CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact
+FROM est LEFT JOIN ex USING (term) ORDER BY term
 """

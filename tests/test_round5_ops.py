@@ -1362,3 +1362,130 @@ def test_apply_bpe_reserved_columns_refused(spark):
         {"doc_id": [1], "text": ["x"], "word": ["clash"]}))
     with pytest.raises(ValueError, match="reserves"):
         apply_bpe(df, m)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+def _tok_stream(spark, n=3000, groups=3):
+    import pandas as _pd
+    return spark.createDataFrame(_pd.DataFrame({
+        "g": [f"g{i % groups}" for i in range(n)],
+        "k": [f"key-{(i * i) % (n // 2)}" for i in range(n)]}))
+
+
+def test_hll_merge_equals_one_shot(spark):
+    """THE 100-TB property: union+max of per-partition sketches is
+    register-identical to the one-shot sketch of the whole input."""
+    from geo_sim_processing_a_spark.operators.sketches import (
+        hll_merge, hll_sketch)
+    df = _tok_stream(spark)
+    whole = hll_sketch(df, "k", ["g"])
+    import pyspark.sql.functions as _F
+    parts = [hll_sketch(df.where(_F.md5("k") < _F.lit(c)), "k", ["g"])
+             for c in ("6",)]
+    parts.append(hll_sketch(df.where(~(_F.md5("k") < _F.lit("6"))),
+                            "k", ["g"]))
+    merged = hll_merge(*parts)
+    assert sorted(map(tuple, whole.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Estimate within 5 standard errors (1.04/sqrt(512) ~ 4.6%) of
+    the exact distinct count per group."""
+    import pyspark.sql.functions as _F
+    from geo_sim_processing_a_spark.operators.sketches import (
+        hll_estimate, hll_sketch)
+    df = _tok_stream(spark, n=6000, groups=2)
+    est = {r["g"]: r["est"] for r in
+           hll_estimate(hll_sketch(df, "k", ["g"]), ["g"]).collect()}
+    exact = {r["g"]: r["t"] for r in
+             df.groupBy("g").agg(
+                 _F.countDistinct("k").alias("t")).collect()}
+    for g, t in exact.items():
+        assert abs(est[g] - t) / t < 5 * 1.04 / (512 ** 0.5), (g, est[g], t)
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities land in the linear-counting branch and stay
+    near-exact (the raw HLL formula alone would be far off)."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.sketches import (
+        hll_estimate, hll_sketch)
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"k": [f"v{i}" for i in range(12)] * 5}))
+    (row,) = hll_estimate(hll_sketch(df, "k")).collect()
+    assert row["n_regs"] == 12          # 12 distinct, no register clash
+    assert abs(row["est"] - 12) <= 1
+
+
+def test_hll_p_validation(spark):
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.sketches import hll_sketch
+    df = spark.createDataFrame(_pd.DataFrame({"k": ["a"]}))
+    with pytest.raises(ValueError, match="p must be"):
+        hll_sketch(df, "k", p=2)
+
+
+def test_cms_guarantee_and_merge(spark):
+    """est >= exact for every present key (one-sided CMS error);
+    union+sum of split sketches equals the one-shot sketch."""
+    import pyspark.sql.functions as _F
+    from geo_sim_processing_a_spark.operators.sketches import (
+        cms_estimate, cms_merge, cms_sketch)
+    df = _tok_stream(spark, n=4000, groups=1).select("k")
+    sk = cms_sketch(df, "k")
+    probes = df.distinct().limit(25)
+    est = {r["k"]: r["est"] for r in
+           cms_estimate(sk, probes, "k").collect()}
+    exact = {r["k"]: r["c"] for r in
+             df.groupBy("k").agg(_F.count(_F.lit(1)).alias("c")).collect()}
+    for k, e in est.items():
+        assert e >= exact[k], (k, e, exact[k])
+    s1 = cms_sketch(df.where(_F.md5("k") < _F.lit("8")), "k")
+    s2 = cms_sketch(df.where(~(_F.md5("k") < _F.lit("8"))), "k")
+    assert sorted(map(tuple, sk.collect())) == \
+        sorted(map(tuple, cms_merge(s1, s2).collect()))
+
+
+def test_cms_absent_probe_reports_zero(spark):
+    """A probe key absent from the data either reports 0 (some hash
+    row's bucket is empty) or a small collision overcount — and is
+    ALWAYS present in the output (one row per probe)."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.sketches import (
+        cms_estimate, cms_sketch)
+    df = spark.createDataFrame(_pd.DataFrame({"k": ["a", "b", "a"]}))
+    sk = cms_sketch(df, "k")
+    probes = spark.createDataFrame(
+        _pd.DataFrame({"k": ["a", "b", "never-seen"]}))
+    rows = {r["k"]: r["est"] for r in
+            cms_estimate(sk, probes, "k").collect()}
+    assert rows == {"a": 2, "b": 1, "never-seen": 0}
+
+
+def test_cms_weighted_counts(spark):
+    """weight_col sums weights instead of row counts."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.sketches import (
+        cms_estimate, cms_sketch)
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"k": ["a", "a", "b"], "w": [5, 2, 9]}))
+    sk = cms_sketch(df, "k", weight_col="w")
+    probes = spark.createDataFrame(_pd.DataFrame({"k": ["a", "b"]}))
+    rows = {r["k"]: r["est"] for r in
+            cms_estimate(sk, probes, "k").collect()}
+    assert rows["a"] >= 7 and rows["b"] >= 9
+
+
+def test_sketch_param_validation(spark):
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.sketches import (
+        cms_sketch, hll_merge)
+    df = spark.createDataFrame(_pd.DataFrame({"k": ["a"]}))
+    with pytest.raises(ValueError):
+        cms_sketch(df, "k", depth=0)
+    with pytest.raises(ValueError):
+        hll_merge()
