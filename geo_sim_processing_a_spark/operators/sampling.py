@@ -145,3 +145,61 @@ def domain_mix(df: DataFrame, fractions: dict, source_col: str = "source",
         thr = F.when(F.col(source_col) == src,
                      F.lit(int(buckets * frac))).otherwise(thr)
     return df.where(md5_bucket(F.col(content_col), nibbles) < thr)
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    content_col: str = "text",
+                    strata_cols: list[str] | None = None,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006): keep the ``k`` rows with the largest
+    u^(1/w), where u is a content-addressed uniform — so inclusion
+    probability is proportional to weight, membership is a pure
+    function of (content, weight) and survives any repartitioning, and
+    no RNG state exists to coordinate across executors.
+
+    Ranks by the equivalent ln(u)/w ASCENDING-negated form: the key is
+    quantized to an integer in 1e-7 units BEFORE ranking (lm.py
+    discipline) with (key desc, id asc) tie-break, so the selected set
+    is engine-exact (driver twin: SQL_WEIGHTED_SAMPLE).  u is the
+    exact dyadic (b + 1) / 2^52 from the 13-nibble md5 prefix —
+    never 0, so ln is finite.  Rows with NULL or non-positive weight
+    are excluded (zero weight = never sampled; E&S requires w > 0).
+
+    With ``strata_cols``, the top-k applies per stratum via ONE window
+    sort on the stratum key; without, a global TakeOrdered (no full
+    sort).  At 100 TB the per-stratum window sorts each stratum once
+    — the unavoidable shape for exact top-k; pre-filtering by a
+    sampled key threshold can shed the bulk of rows first if strata
+    are enormous (same two-pass idea as skew.frequency_cap).
+
+    Returns the sampled rows with ``ws_key7`` (the quantized rank key)
+    and ``ws_rank`` added.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for reserved in ("ws_key7", "ws_rank", "_u"):
+        if reserved in df.columns:
+            raise ValueError(f"weighted_sample reserves column "
+                             f"{reserved!r}; rename it on the input first")
+    strata_cols = list(strata_cols or [])
+    w = F.col(weight_col).cast("double")
+    b = md5_bucket(F.col(content_col), 13)          # 52 uniform bits
+    u = (b + F.lit(1).cast("long")).cast("double") / F.lit(float(1 << 52))
+    key7 = F.round(F.log(u) / w * F.lit(1e7)).cast("long")
+    ranked = (df.where(w.isNotNull() & (w > F.lit(0.0)))
+              .withColumn("ws_key7", key7))
+    if strata_cols:
+        from pyspark.sql.window import Window
+        win = (Window.partitionBy(*strata_cols)
+               .orderBy(F.col("ws_key7").desc(), F.col(id_col).asc()))
+        return (ranked.withColumn("ws_rank", F.row_number().over(win))
+                .where(F.col("ws_rank") <= k))
+    # global: TakeOrdered via sort+limit (no full global sort at
+    # scale); the rank window then runs over k rows only
+    from pyspark.sql.window import Window
+    topk = (ranked
+            .orderBy(F.col("ws_key7").desc(), F.col(id_col).asc())
+            .limit(k))
+    win = Window.orderBy(F.col("ws_key7").desc(), F.col(id_col).asc())
+    return topk.withColumn("ws_rank", F.row_number().over(win))

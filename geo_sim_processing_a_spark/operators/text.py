@@ -438,3 +438,46 @@ def wrap_token_lines(text_col, tokens_per_line: int, line_suffix=None):
         return F.concat(line, line_suffix(i)) if line_suffix else line
 
     return F.transform(F.sequence(F.lit(0), n_lines - 1), one)
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int, overlap: int = 0,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking (the RAG / context-window prep
+    stage): each document becomes ceil(max(n - overlap, 1) / stride)
+    chunks of up to ``chunk_tokens`` whitespace tokens starting every
+    ``stride = chunk_tokens - overlap`` tokens, so consecutive chunks
+    share ``overlap`` tokens and the last (possibly short) chunk ends
+    at the document's final token.  Returns (id_col, chunk_id,
+    n_chunks, chunk_text, chunk_n_tokens); a token-less document
+    yields one empty chunk (chunk_n_tokens 0).
+
+    Scale notes (100 TB): the chunk array builds and explodes INSIDE
+    the scan stage — zero shuffle, zero UDF; the row-count fan-out is
+    bounded by n/stride per doc.  All arithmetic is integer, so the
+    DuckDB twin (driver_queries._sql_chunk_docs) matches hash-exactly.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"),
+                    lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.floor(((n - F.lit(overlap)) + F.lit(stride - 1))
+                / F.lit(stride)).cast("int"),
+        F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, chunk_tokens), " "))
+    return (docs
+            .select(F.col(id_col), n_chunks.alias("n_chunks"),
+                    F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+            .select(id_col, "chunk_id", "n_chunks", "chunk_text",
+                    F.when(F.col("chunk_text") == "", F.lit(0))
+                    .otherwise(F.size(F.split(F.col("chunk_text"), " ")))
+                    .cast("long").alias("chunk_n_tokens")))

@@ -1602,6 +1602,8 @@ def all_queries():
         "q_bm25_search": q_bm25_search,
         "q_hll_distinct": q_hll_distinct,
         "q_cms_freq": q_cms_freq,
+        "q_chunk_docs": q_chunk_docs,
+        "q_weighted_sample": q_weighted_sample,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2353,6 +2355,8 @@ def all_oracles():
         "q_bm25_search": SQL_BM25_SEARCH,
         "q_hll_distinct": _sql_hll_distinct(),
         "q_cms_freq": _sql_cms_freq(),
+        "q_chunk_docs": _sql_chunk_docs(),
+        "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -2794,4 +2798,91 @@ WITH tk AS (
 )
 SELECT est.term, est.est, CAST(coalesce(ex.exact, 0) AS BIGINT) AS exact
 FROM est LEFT JOIN ex USING (term) ORDER BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window document chunking (text.chunk_documents) — RAG /
+# context-window prep.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Every document re-cut into 32-token chunks overlapping by 8:
+    the chunk array builds and posexplodes inside the scan stage —
+    zero shuffle, zero UDF (the orderBy is presentation-only; the
+    driver hashes order-insensitively)."""
+    from ..operators.text import chunk_documents
+    d = _t(spark, sf_dir, "documents")
+    return (chunk_documents(d, CHUNK_TOKENS, CHUNK_OVERLAP)
+            .orderBy("doc_id", "chunk_id"))
+
+
+def _sql_chunk_docs() -> str:
+    c, o = CHUNK_TOKENS, CHUNK_OVERLAP
+    s = c - o
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
+                     t -> t != '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks,
+         greatest((len(toks) - {o} + {s - 1}) // {s}, 1) AS n_chunks
+  FROM tk
+), ex AS (
+  SELECT doc_id, CAST(n_chunks AS INT) AS n_chunks,
+         CAST(unnest(range(n_chunks)) AS INT) AS chunk_id, toks
+  FROM n
+)
+SELECT doc_id, chunk_id, n_chunks,
+       array_to_string(toks[chunk_id*{s}+1 : chunk_id*{s}+{c}], ' ')
+         AS chunk_text,
+       CAST(CASE WHEN array_to_string(
+                        toks[chunk_id*{s}+1 : chunk_id*{s}+{c}], ' ') = ''
+                 THEN 0
+                 ELSE len(string_split(array_to_string(
+                        toks[chunk_id*{s}+1 : chunk_id*{s}+{c}], ' '), ' '))
+            END AS BIGINT) AS chunk_n_tokens
+FROM ex ORDER BY doc_id, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement
+# (sampling.weighted_sample, Efraimidis & Spirakis 2006)
+# ---------------------------------------------------------------------------
+
+def q_weighted_sample(spark, sf_dir):
+    """Top-10 documents per lang under length-proportional weights
+    (w = n_chars): content-addressed uniforms, integer-quantized rank
+    keys, ONE per-stratum window — membership is a pure function of
+    the content, stable under any repartitioning."""
+    from ..operators.sampling import weighted_sample
+    d = _t(spark, sf_dir, "documents")
+    return (weighted_sample(d.select("doc_id", "lang", "n_chars", "text"),
+                            "n_chars", 10, strata_cols=["lang"])
+            .select("doc_id", "lang", "n_chars", "ws_key7", "ws_rank")
+            .orderBy("lang", "ws_rank"))
+
+
+SQL_WEIGHTED_SAMPLE = r"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(round(ln(CAST(CAST(('0x' || substr(md5(text), 1, 13))::UBIGINT
+                               AS BIGINT) + 1 AS DOUBLE)
+                       / CAST(4503599627370496.0 AS DOUBLE))
+                    / CAST(n_chars AS DOUBLE) * 1e7) AS BIGINT) AS ws_key7
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0.0
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY ws_key7 DESC, doc_id) AS INT) AS ws_rank
+  FROM w
+)
+SELECT doc_id, lang, n_chars, ws_key7, ws_rank
+FROM r WHERE ws_rank <= 10 ORDER BY lang, ws_rank
 """

@@ -1489,3 +1489,126 @@ def test_sketch_param_validation(spark):
         cms_sketch(df, "k", depth=0)
     with pytest.raises(ValueError):
         hll_merge()
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (text.chunk_documents)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Consecutive chunks share exactly `overlap` tokens; dropping
+    each chunk's first `overlap` tokens (after chunk 0) reconstructs
+    the document exactly; the tail token is always covered."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.text import chunk_documents
+    toks = [f"t{i}" for i in range(53)]
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"doc_id": [1], "text": [" ".join(toks)]}))
+    rows = (chunk_documents(df, 16, 4)
+            .orderBy("chunk_id").collect())
+    chunks = [r["chunk_text"].split(" ") for r in rows]
+    assert all(r["n_chunks"] == len(rows) for r in rows)
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-4:] == b[:4]          # shared overlap
+    rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[4:]]
+    assert rebuilt == toks
+    assert chunks[-1][-1] == "t52"
+
+
+def test_chunk_documents_edges(spark):
+    """Short doc -> one chunk; empty text -> one empty chunk with 0
+    tokens; parameter validation."""
+    import pandas as _pd
+    import pytest as _pytest
+    from geo_sim_processing_a_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c", "   "]}))
+    rows = {r["doc_id"]: r for r in chunk_documents(df, 8, 2).collect()}
+    assert rows[1]["n_chunks"] == 1 and rows[1]["chunk_text"] == "a b c"
+    assert rows[1]["chunk_n_tokens"] == 3
+    assert rows[2]["n_chunks"] == 1 and rows[2]["chunk_text"] == ""
+    assert rows[2]["chunk_n_tokens"] == 0
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 8, 8)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 0)
+
+
+def test_chunk_documents_no_shuffle_plan(spark):
+    """The chunk explode stays in the scan stage: no Exchange in the
+    plan before the output."""
+    from geo_sim_processing_a_spark.operators.text import chunk_documents
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = chunk_documents(df, 32, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (sampling.weighted_sample)
+# ---------------------------------------------------------------------------
+
+def _es_reference(rows, k):
+    """Pure-Python Efraimidis-Spirakis twin on the same md5 uniforms:
+    rows = [(id, content, w)] -> ids of the k largest quantized keys."""
+    import hashlib
+    import math
+    keyed = []
+    for rid, content, w in rows:
+        if w is None or w <= 0:
+            continue
+        b = int(hashlib.md5(content.encode()).hexdigest()[:13], 16)
+        u = (b + 1) / float(1 << 52)
+        keyed.append((round(math.log(u) / w * 1e7), -rid))
+    keyed.sort(reverse=True)
+    return [-nid for _, nid in keyed[:k]]
+
+
+def test_weighted_sample_matches_reference(spark):
+    """Selection is EXACTLY the pure-Python E&S on the same content
+    hashes (global and per-stratum)."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.sampling import weighted_sample
+    rows = [(i, f"content-{i * 7}", float(1 + (i * i) % 13))
+            for i in range(200)]
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"doc_id": [r[0] for r in rows],
+         "text": [r[1] for r in rows],
+         "w": [r[2] for r in rows],
+         "g": [f"s{r[0] % 3}" for r in rows]}))
+    got = [r["doc_id"] for r in
+           weighted_sample(df, "w", 15, strata_cols=None).collect()]
+    assert got == _es_reference(rows, 15)
+    per = weighted_sample(df, "w", 5, strata_cols=["g"]).collect()
+    for s in range(3):
+        want = _es_reference([r for r in rows if r[0] % 3 == s], 5)
+        got_s = [r["doc_id"] for r in sorted(
+            (r for r in per if r["g"] == f"s{s}"),
+            key=lambda r: r["ws_rank"])]
+        assert got_s == want, (s, got_s, want)
+
+
+def test_weighted_sample_repartition_invariant(spark):
+    """Membership is content-addressed: identical selection at 1 and
+    16 partitions."""
+    from geo_sim_processing_a_spark.operators.sampling import weighted_sample
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(r["doc_id"] for r in
+               weighted_sample(df, "n_chars", 20).collect())
+    b = sorted(r["doc_id"] for r in
+               weighted_sample(df.repartition(16), "n_chars", 20).collect())
+    assert a == b
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    import pandas as _pd
+    import pytest as _pytest
+    from geo_sim_processing_a_spark.operators.sampling import weighted_sample
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a", "b", "c"],
+         "w": [0.0, -1.0, 2.0]}))
+    got = weighted_sample(df, "w", 10).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    with _pytest.raises(ValueError):
+        weighted_sample(df, "w", 0)
+    with _pytest.raises(ValueError, match="reserves"):
+        weighted_sample(df.withColumn("ws_rank", df.doc_id), "w", 1)
