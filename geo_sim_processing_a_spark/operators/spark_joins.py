@@ -270,3 +270,140 @@ def knn_join(points: DataFrame, k: int, res: int = 6,
     return (queries.groupBy(*keys)
             .cogroup(cands.groupBy(*keys))
             .applyInPandas(refine, "pid long, neighbor_id long, dist2 double, rank int"))
+
+
+# ---------------------------------------------------------------------------
+# Fully-JVM spatial join: Morton encode / bbox cover as Column
+# expressions + exact integer SAT refine (no Python anywhere).
+# ---------------------------------------------------------------------------
+
+_SPREAD_STAGES = [(16, 281470681808895), (8, 71777214294589695),
+                  (4, 1085102592571150095), (2, 3689348814741910323),
+                  (1, 6148914691236517205)]
+
+
+def _spread_col(c):
+    """Column twin of cells._spread_bits (interleave-ready bit spread);
+    the five shift/mask stages are the same constants the DuckDB
+    oracle uses (driver_queries._sql_morton_cell)."""
+    for s, m in _SPREAD_STAGES:
+        c = c.bitwiseOR(F.shiftleft(c, s)).bitwiseAND(F.lit(m))
+    return c
+
+
+def _grid_index_col(v, lo: float, extent: float, res: int):
+    """Clamped grid index floor((v - lo) / extent * 2^res) as long."""
+    n = 1 << res
+    raw = F.floor((v - F.lit(lo)) / F.lit(extent) * F.lit(n)).cast("long")
+    return F.least(F.greatest(raw, F.lit(0).cast("long")),
+                   F.lit(n - 1).cast("long"))
+
+
+def cell_encode_ixiy_col(ix, iy, res: int):
+    """JVM bit-twin of cells.encode_ixiy: Morton-interleave two grid
+    indices and tag the resolution (cell = (morton << 5) | res)."""
+    m = _spread_col(ix).bitwiseOR(F.shiftleft(_spread_col(iy), 1))
+    return F.shiftleft(m, 5).bitwiseOR(F.lit(res))
+
+
+def cell_encode_col(lon, lat, res: int):
+    """JVM bit-twin of cells.encode(lon, lat, res) — pure Column
+    arithmetic, whole-stage codegen, no Python worker (contrast
+    encode_cell_udf; asserted equal in tests/test_round5_ops.py)."""
+    return cell_encode_ixiy_col(_grid_index_col(lon, -180.0, 360.0, res),
+                                _grid_index_col(lat, -90.0, 180.0, res),
+                                res)
+
+
+def cell_cover_bbox_col(minx, miny, maxx, maxy, res: int):
+    """array<long> of every cell at ``res`` whose grid rectangle
+    intersects the bbox — the JVM twin of a rectangular cells cover:
+    a nested sequence over the ix and iy index ranges, flattened.
+    Builds inside the scan stage (zero Python, zero shuffle); cover
+    size is (ix span)x(iy span) — pick ``res`` so typical geometries
+    span O(1..10) cells, exactly like the UDF covers."""
+    ix0 = _grid_index_col(minx, -180.0, 360.0, res)
+    ix1 = _grid_index_col(maxx, -180.0, 360.0, res)
+    iy0 = _grid_index_col(miny, -90.0, 180.0, res)
+    iy1 = _grid_index_col(maxy, -90.0, 180.0, res)
+    return F.flatten(F.transform(
+        F.sequence(ix0, ix1),
+        lambda ix: F.transform(F.sequence(iy0, iy1),
+                               lambda iy: cell_encode_ixiy_col(ix, iy, res))))
+
+
+def _diamond_sep_on_axis(dx, dy, ux, uy, aw, ah, bw, bh):
+    """True when axis (ux, uy) separates diamonds A and B whose
+    centers differ by (dx, dy) — EXACT BIGINT arithmetic: a diamond's
+    projection radius on (ux, uy) is max(|w*ux|, |h*uy|) (its vertices
+    are center +- (w,0),(0,h))."""
+    proj = F.abs(dx * ux + dy * uy)
+    ra = F.greatest(F.abs(aw * ux), F.abs(ah * uy))
+    rb = F.greatest(F.abs(bw * ux), F.abs(bh * uy))
+    return proj > ra + rb
+
+
+def diamond_sat_intersects(acx, acy, aw, ah, bcx, bcy, bw, bh):
+    """Closed-set intersects test for two axis-aligned diamonds
+    (L1 balls |x-cx|/w + |y-cy|/h <= 1) with INTEGER center/half-extent
+    columns: separating-axis over the four edge normals
+    (ah, +-aw), (bh, +-bw) — exact integer compares, so touching
+    boundaries count as intersecting and no float ever sits on the
+    decision boundary (the DuckDB twin writes the same four
+    inequalities)."""
+    dx, dy = bcx - acx, bcy - acy
+    axes = [(ah, aw), (ah, -aw), (bh, bw), (bh, -bw)]
+    hit = F.lit(True)
+    for ux, uy in axes:
+        hit = hit & ~_diamond_sep_on_axis(dx, dy, ux, uy, aw, ah, bw, bh)
+    return hit
+
+
+def diamond_join(left: DataFrame, right: DataFrame, res: int = 6,
+                 scale: float = 1000.0) -> DataFrame:
+    """Polygon-polygon INTERSECTS join for diamond geometries —
+    left(a_id, acx, acy, aw, ah) x right(b_id, bcx, bcy, bw, bh), all
+    coordinates integers in 1/``scale`` degrees.  Returns (a_id, b_id)
+    pairs whose closed diamonds intersect (touching counts).
+
+    Scale shape — the grid-partitioned filter-refine join with ZERO
+    Python at any stage:
+      - both sides explode into their bbox's cell cover INSIDE the
+        scan stage (cell_cover_bbox_col — arrays built by codegen);
+      - candidates come from the equi-join ON CELL ONLY, never a
+        cross join (small side broadcasts when Catalyst sees fit);
+      - an integer bbox-overlap prefilter drops far pairs;
+      - the REFERENCE-POINT rule (pair reported only in the cell of
+        the bbox-overlap's min corner, re-encoded with the same JVM
+        Morton path the cover used, so the floor arithmetic is
+        bit-identical) dedups by construction — no distinct shuffle;
+      - the exact refine is diamond_sat_intersects: four integer
+        separating-axis inequalities, whole-stage codegen.
+    """
+    sc = float(scale)
+    la = left.select(
+        "a_id", "acx", "acy", "aw", "ah",
+        F.explode(cell_cover_bbox_col(
+            (F.col("acx") - F.col("aw")) / sc,
+            (F.col("acy") - F.col("ah")) / sc,
+            (F.col("acx") + F.col("aw")) / sc,
+            (F.col("acy") + F.col("ah")) / sc, res)).alias("cell"))
+    rb = right.select(
+        "b_id", "bcx", "bcy", "bw", "bh",
+        F.explode(cell_cover_bbox_col(
+            (F.col("bcx") - F.col("bw")) / sc,
+            (F.col("bcy") - F.col("bh")) / sc,
+            (F.col("bcx") + F.col("bw")) / sc,
+            (F.col("bcy") + F.col("bh")) / sc, res)).alias("cell"))
+    rx = F.greatest(F.col("acx") - F.col("aw"), F.col("bcx") - F.col("bw"))
+    ry = F.greatest(F.col("acy") - F.col("ah"), F.col("bcy") - F.col("bh"))
+    return (la.join(rb, "cell")
+            .where((F.col("acx") - F.col("aw") <= F.col("bcx") + F.col("bw"))
+                   & (F.col("acx") + F.col("aw") >= F.col("bcx") - F.col("bw"))
+                   & (F.col("acy") - F.col("ah") <= F.col("bcy") + F.col("bh"))
+                   & (F.col("acy") + F.col("ah") >= F.col("bcy") - F.col("bh")))
+            .where(cell_encode_col(rx / sc, ry / sc, res) == F.col("cell"))
+            .where(diamond_sat_intersects(
+                F.col("acx"), F.col("acy"), F.col("aw"), F.col("ah"),
+                F.col("bcx"), F.col("bcy"), F.col("bw"), F.col("bh")))
+            .select("a_id", "b_id"))

@@ -1610,6 +1610,7 @@ def all_queries():
         "q_cell_pyramid": q_cell_pyramid,
         "q_pip_join": q_pip_join,
         "q_range_join": q_range_join,
+        "q_poly_join": q_poly_join,
         "q_knn": q_knn,
         "q_embedding_topk": q_embedding_topk,
         # rows-only (non-SQL-expressible kernels; every row carries a
@@ -2363,6 +2364,7 @@ def all_oracles():
         "q_cell_pyramid": SQL_CELL_PYRAMID,
         "q_pip_join": SQL_PIP_JOIN,
         "q_range_join": SQL_RANGE_JOIN,
+        "q_poly_join": SQL_POLY_JOIN,
         "q_knn": SQL_KNN,
         "q_embedding_topk": SQL_EMBEDDING_TOPK,
         "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
@@ -2885,4 +2887,84 @@ WITH w AS (
 )
 SELECT doc_id, lang, n_chars, ws_key7, ws_rank
 FROM r WHERE ws_rank <= 10 ORDER BY lang, ws_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Polygon-polygon intersects join (spark_joins.diamond_join) — exact
+# integer separating-axis refine over diamond geometries; the whole
+# join (cover, candidates, dedup, refine) is JVM Column arithmetic,
+# so the DuckDB twin is the brute-force cross join with the SAME four
+# integer SAT inequalities.
+# ---------------------------------------------------------------------------
+
+_DIAMONDS_NATION = """
+  SELECT CAST(n_nationkey AS BIGINT) AS a_id,
+         CAST(n_nationkey * 2311 % 18000 - 9000 AS BIGINT) AS acx,
+         CAST(n_nationkey * 1523 % 18000 - 9000 AS BIGINT) AS acy,
+         CAST(500 + (n_nationkey % 7) * 300 AS BIGINT) AS aw,
+         CAST(500 + (n_nationkey % 5) * 300 AS BIGINT) AS ah
+  FROM nation
+"""
+
+_DIAMONDS_SUPPLIER = """
+  SELECT CAST(s_suppkey AS BIGINT) AS b_id,
+         CAST(s_suppkey * 3571 % 18000 - 9000 AS BIGINT) AS bcx,
+         CAST(s_suppkey * 2861 % 18000 - 9000 AS BIGINT) AS bcy,
+         CAST(300 + (s_suppkey % 11) * 240 AS BIGINT) AS bw,
+         CAST(300 + (s_suppkey % 13) * 180 AS BIGINT) AS bh
+  FROM supplier
+"""
+
+
+def _diamonds_from_nation(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(k.cast("long").alias("a_id"),
+                    (k * 2311 % 18000 - 9000).cast("long").alias("acx"),
+                    (k * 1523 % 18000 - 9000).cast("long").alias("acy"),
+                    (F.lit(500) + (k % 7) * 300).cast("long").alias("aw"),
+                    (F.lit(500) + (k % 5) * 300).cast("long").alias("ah"))
+
+
+def _diamonds_from_supplier(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return s.select(k.cast("long").alias("b_id"),
+                    (k * 3571 % 18000 - 9000).cast("long").alias("bcx"),
+                    (k * 2861 % 18000 - 9000).cast("long").alias("bcy"),
+                    (F.lit(300) + (k % 11) * 240).cast("long").alias("bw"),
+                    (F.lit(300) + (k % 13) * 180).cast("long").alias("bh"))
+
+
+def q_poly_join(spark, sf_dir):
+    """Diamond-diamond intersects join — grid cell-cover candidates,
+    reference-point dedup, exact integer SAT refine; every stage is
+    JVM Column arithmetic (no Python worker in the plan, gated in
+    tests)."""
+    from ..operators.spark_joins import diamond_join
+    a = _diamonds_from_nation(spark, sf_dir)
+    b = _diamonds_from_supplier(spark, sf_dir)
+    return diamond_join(a, b, res=6).orderBy("a_id", "b_id")
+
+
+def _sql_sat_hit() -> str:
+    """The four separating-axis inequalities, integer-exact — the
+    literal twin of spark_joins.diamond_sat_intersects."""
+    conds = []
+    for ux, uy in [("ah", "aw"), ("ah", "-aw"),
+                   ("bh", "bw"), ("bh", "-bw")]:
+        proj = f"abs((bcx - acx) * ({ux}) + (bcy - acy) * ({uy}))"
+        ra = f"greatest(abs(aw * ({ux})), abs(ah * ({uy})))"
+        rb = f"greatest(abs(bw * ({ux})), abs(bh * ({uy})))"
+        conds.append(f"{proj} <= {ra} + {rb}")
+    return "\n  AND ".join(conds)
+
+
+SQL_POLY_JOIN = f"""
+WITH a AS ({_DIAMONDS_NATION}), b AS ({_DIAMONDS_SUPPLIER})
+SELECT a_id, b_id
+FROM a, b
+WHERE {_sql_sat_hit()}
+ORDER BY a_id, b_id
 """

@@ -1612,3 +1612,129 @@ def test_weighted_sample_excludes_nonpositive(spark):
         weighted_sample(df, "w", 0)
     with _pytest.raises(ValueError, match="reserves"):
         weighted_sample(df.withColumn("ws_rank", df.doc_id), "w", 1)
+
+
+# ---------------------------------------------------------------------------
+# JVM Morton encode / bbox cover / diamond SAT join (spark_joins)
+# ---------------------------------------------------------------------------
+
+def test_cell_encode_col_bit_twin(spark):
+    """cell_encode_col is the bit-for-bit JVM twin of cells.encode,
+    including the clamp at the world bounds."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql import functions as F
+    from geo_sim_processing_a_spark.operators import cells as C
+    from geo_sim_processing_a_spark.operators.spark_joins import (
+        cell_encode_col)
+    rng = _np.random.default_rng(7)
+    lon = _np.concatenate([rng.uniform(-180, 180, 500),
+                           [-180.0, 180.0, 179.999, -179.999, 0.0]])
+    lat = _np.concatenate([rng.uniform(-90, 90, 500),
+                           [-90.0, 90.0, 89.999, -89.999, 0.0]])
+    df = spark.createDataFrame(_pd.DataFrame({"lon": lon, "lat": lat}))
+    for res in (2, 6, 11):
+        got = [r["c"] for r in
+               df.select(cell_encode_col(F.col("lon"), F.col("lat"), res)
+                         .alias("c")).collect()]
+        want = C.encode(lon, lat, res).tolist()
+        assert got == want, res
+
+
+def test_cell_cover_bbox_col_matches_python(spark):
+    """The flattened nested-sequence cover equals the
+    clamped-index-rectangle cover computed in Python."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    from geo_sim_processing_a_spark.operators import cells as C
+    from geo_sim_processing_a_spark.operators.spark_joins import (
+        cell_cover_bbox_col)
+    res, n = 6, 1 << 6
+    rng = _np.random.default_rng(11)
+    boxes = []
+    for _ in range(50):
+        x0, y0 = rng.uniform(-175, 170), rng.uniform(-85, 80)
+        boxes.append((x0, y0, x0 + rng.uniform(0, 12), y0 + rng.uniform(0, 9)))
+    boxes.append((-180.0, -90.0, -179.9, -89.9))   # clamp corner
+    boxes.append((179.0, 89.0, 185.0, 95.0))       # clamp overflow
+    df = spark.createDataFrame(_pd.DataFrame(
+        boxes, columns=["minx", "miny", "maxx", "maxy"]))
+    got = [sorted(r["cov"]) for r in df.select(
+        cell_cover_bbox_col(F.col("minx"), F.col("miny"),
+                            F.col("maxx"), F.col("maxy"), res)
+        .alias("cov")).collect()]
+
+    def idx(v, lo, extent):
+        return min(max(int(_np.floor((v - lo) / extent * n)), 0), n - 1)
+
+    for (x0, y0, x1, y1), g in zip(boxes, got):
+        want = sorted(
+            int(C.encode_ixiy(_np.array([ix]), _np.array([iy]), res)[0])
+            for ix in range(idx(x0, -180, 360), idx(x1, -180, 360) + 1)
+            for iy in range(idx(y0, -90, 180), idx(y1, -90, 180) + 1))
+        assert g == want
+
+
+def _py_diamond_hit(a, b):
+    """Pure-Python SAT twin: a/b = (cx, cy, w, h) ints."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    for ux, uy in [(a[3], a[2]), (a[3], -a[2]), (b[3], b[2]), (b[3], -b[2])]:
+        if abs(dx * ux + dy * uy) > (max(abs(a[2] * ux), abs(a[3] * uy))
+                                     + max(abs(b[2] * ux), abs(b[3] * uy))):
+            return False
+    return True
+
+
+def test_diamond_join_matches_bruteforce(spark):
+    """diamond_join == brute-force SAT over random integer diamonds,
+    including exact-touch pairs (closed semantics), one-unit-apart
+    misses, and bbox-overlap-but-diamond-miss corner pairs (the refine
+    must reject what range_join would keep)."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.spark_joins import diamond_join
+    rng = __import__("numpy").random.default_rng(3)
+    A = [(int(rng.integers(-8000, 8000)), int(rng.integers(-8000, 8000)),
+          int(rng.integers(200, 1500)), int(rng.integers(200, 1500)))
+         for _ in range(40)]
+    B = [(int(rng.integers(-8000, 8000)), int(rng.integers(-8000, 8000)),
+          int(rng.integers(200, 1500)), int(rng.integers(200, 1500)))
+         for _ in range(40)]
+    # hand-built: exact touch at a vertex; 1-unit miss; bbox-overlap
+    # corner case where diamonds miss
+    A += [(0, 0, 1000, 1000), (0, 0, 1000, 1000), (0, 0, 1000, 1000)]
+    B += [(2000, 0, 1000, 500), (2001, 0, 1000, 500), (1900, 1900, 1000, 1000)]
+    la = spark.createDataFrame(_pd.DataFrame(
+        [(i, *a) for i, a in enumerate(A)],
+        columns=["a_id", "acx", "acy", "aw", "ah"]))
+    rb = spark.createDataFrame(_pd.DataFrame(
+        [(j, *b) for j, b in enumerate(B)],
+        columns=["b_id", "bcx", "bcy", "bw", "bh"]))
+    got = sorted((r["a_id"], r["b_id"]) for r in
+                 diamond_join(la, rb, res=6).collect())
+    want = sorted((i, j) for i, a in enumerate(A)
+                  for j, b in enumerate(B) if _py_diamond_hit(a, b))
+    assert got == want
+    # the three hand-built pairs resolved as intended
+    assert (40, 40) in got          # vertex touch counts (closed)
+    assert (41, 41) not in got      # one unit apart
+    assert (42, 42) not in got      # bboxes overlap, diamonds miss
+    assert _bbox_overlap(A[42], B[42])
+
+
+def _bbox_overlap(a, b):
+    return (a[0] - a[2] <= b[0] + b[2] and a[0] + a[2] >= b[0] - b[2]
+            and a[1] - a[3] <= b[1] + b[3] and a[1] + a[3] >= b[1] - b[3])
+
+
+def test_poly_join_plan_fully_jvm(spark):
+    """The whole join plan contains NO Python stage (no
+    BatchEvalPython / ArrowEvalPython / mapInPandas) — cover, dedup,
+    and SAT refine are all codegen Column arithmetic."""
+    from geo_sim_processing_a_spark.plans.driver_queries import all_queries
+    df = all_queries()["q_poly_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "FlatMapGroupsInPandas"):
+        assert bad not in plan, plan
