@@ -288,3 +288,141 @@ def cms_bucket_sql(key_expr: str, row: int, width: int) -> str:
     concat = f"'{row}' || chr(31) || ({key_expr})"
     return (f"CAST(CAST(('0x' || substr(md5({concat}), 1, 8))"
             f"::UBIGINT AS BIGINT) % {width} AS INT)")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def hist_sketch(df: DataFrame, value_col: str,
+                group_cols: list[str] | None = None,
+                lo: float = 0.0, hi: float = 1.0,
+                bins: int = 1024) -> DataFrame:
+    """Equi-width histogram sketch of ``value_col`` over the KNOWN
+    range [lo, hi): (group_cols..., bin int, cnt long) with at most
+    ``bins`` rows per group — ONE hash-agg with map-side sum partials;
+    out-of-range values clamp into the edge bins (count toward the
+    estimate, like any fixed-range histogram); NULLs drop.  Merging
+    daily sketches is union -> sum (hist_merge) and equals the
+    one-shot histogram bit-for-bit.
+
+    This is the engine-portable, artifact-persistable counterpart of
+    approx_percentile: the register table is data, so tomorrow's
+    partition merges in without a rescan and a DuckDB oracle rebuilds
+    it exactly (same clamp-floor arithmetic)."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo)))
+                  / F.lit(float(hi - lo)) * F.lit(bins)).cast("long")
+    b = F.least(F.greatest(raw, F.lit(0).cast("long")),
+                F.lit(bins - 1).cast("long")).cast("int")
+    return (df.where(v.isNotNull())
+            .select(*group_cols, b.alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches built with the SAME lo/hi/bins:
+    position-wise count sum."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    cols = [c for c in sketches[0].columns if c != "cnt"]
+    merged = reduce(lambda a, b: a.unionByName(b), sketches)
+    return merged.groupBy(*cols).agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(sketch: DataFrame, qs: list[float],
+                   group_cols: list[str] | None = None,
+                   lo: float = 0.0, hi: float = 1.0,
+                   bins: int = 1024) -> DataFrame:
+    """Quantile estimates from a hist_sketch register table: for each
+    q in ``qs``, locate the bin holding rank ceil(q*n) (clamped >= 1)
+    and linearly interpolate inside it; the estimate is quantized to
+    an integer in 1e-7 units (est7) so engines can never diverge in a
+    float ulp.  Returns (group_cols..., q7, rank, bin, est7) with
+    q7 = round(q*1e7) (integer-keyed quantile id).  Error bound:
+    one bin width (hi-lo)/bins, regardless of data skew WITHIN the
+    range — pick lo/hi/bins for the column's scale.
+
+    Shape: cumulative counts via a window over at most ``bins`` rows
+    per group (the sketch, never the data), then one filter keeps the
+    single covering bin per (group, q)."""
+    group_cols = list(group_cols or [])
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    from pyspark.sql.window import Window
+    win = (Window.partitionBy(*group_cols) if group_cols
+           else Window.partitionBy()).orderBy("bin")
+    cum = (sketch
+           .withColumn("cum", F.sum("cnt").over(win))
+           .withColumn("n", F.sum("cnt").over(
+               (Window.partitionBy(*group_cols) if group_cols
+                else Window.partitionBy())
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))))
+    qf = F.explode(F.array(*[F.lit(float(q)) for q in sorted(qs)])).alias("q")
+    expanded = cum.select(*cum.columns, qf)
+    rank = F.greatest(F.ceil(F.col("q") * F.col("n")).cast("long"),
+                      F.lit(1).cast("long"))
+    width = float(hi - lo) / bins
+    est = (F.lit(float(lo))
+           + (F.col("bin").cast("double")
+              + (rank - (F.col("cum") - F.col("cnt"))).cast("double")
+              / F.col("cnt").cast("double")) * F.lit(width))
+    return (expanded
+            .withColumn("rank", rank)
+            .where((F.col("cum") >= F.col("rank"))
+                   & (F.col("cum") - F.col("cnt") < F.col("rank")))
+            .select(*group_cols,
+                    F.round(F.col("q") * F.lit(1e7)).cast("long").alias("q7"),
+                    "rank", "bin",
+                    F.round(est * F.lit(1e7)).cast("long").alias("est7")))
+
+
+def hist_sketch_sql(src_cte: str, value_expr: str, group_cols: list[str],
+                    lo: float, hi: float, bins: int) -> str:
+    """DuckDB twin of hist_sketch (SELECT body over ``src_cte``)."""
+    gpfx = ", ".join(group_cols) + ", " if group_cols else ""
+    gby = "GROUP BY " + ", ".join(group_cols + ["bin"]) if group_cols \
+        else "GROUP BY bin"
+    raw = (f"CAST(floor((CAST({value_expr} AS DOUBLE) "
+           f"- CAST({float(lo)!r} AS DOUBLE)) "
+           f"/ CAST({float(hi - lo)!r} AS DOUBLE) * {bins}) AS BIGINT)")
+    return f"""
+  SELECT {gpfx}bin, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT {gpfx}CAST(least(greatest({raw}, 0), {bins - 1}) AS INT) AS bin
+    FROM {src_cte} WHERE {value_expr} IS NOT NULL
+  ) {gby}"""
+
+
+def hist_quantiles_sql(registers_cte: str, qs: list[float],
+                       group_cols: list[str],
+                       lo: float, hi: float, bins: int) -> str:
+    """DuckDB twin of hist_quantiles over ``registers_cte``."""
+    gsel = ", ".join(group_cols)
+    gpfx = gsel + ", " if gsel else ""
+    part = f"PARTITION BY {gsel} " if gsel else ""
+    width = float(hi - lo) / bins
+    qlist = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in sorted(qs))
+    est = (f"CAST({float(lo)!r} AS DOUBLE) + (CAST(bin AS DOUBLE) "
+           f"+ CAST(rank - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) "
+           f"* CAST({width!r} AS DOUBLE)")
+    return f"""
+  SELECT {gpfx}CAST(round(q * 1e7) AS BIGINT) AS q7, rank, bin,
+         CAST(round(({est}) * 1e7) AS BIGINT) AS est7
+  FROM (
+    SELECT *, greatest(CAST(ceil(q * n) AS BIGINT), 1) AS rank FROM (
+      SELECT {gpfx}bin, cnt,
+             CAST(sum(cnt) OVER ({part}ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER ({part.rstrip() or ''}) AS BIGINT) AS n
+      FROM {registers_cte}
+    ), (SELECT unnest([{qlist}]) AS q)
+  )
+  WHERE cum >= rank AND cum - cnt < rank"""

@@ -1604,6 +1604,7 @@ def all_queries():
         "q_cms_freq": q_cms_freq,
         "q_chunk_docs": q_chunk_docs,
         "q_weighted_sample": q_weighted_sample,
+        "q_hist_quantiles": q_hist_quantiles,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2358,6 +2359,7 @@ def all_oracles():
         "q_cms_freq": _sql_cms_freq(),
         "q_chunk_docs": _sql_chunk_docs(),
         "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "q_hist_quantiles": _sql_hist_quantiles(),
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -2968,3 +2970,40 @@ FROM a, b
 WHERE {_sql_sat_hit()}
 ORDER BY a_id, b_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (sketches.hist_sketch /
+# hist_quantiles) — the artifact-persistable, engine-portable
+# counterpart of approx_percentile.
+# ---------------------------------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BINS = 900.0, 105000.0, 1024
+HIST_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def q_hist_quantiles(spark, sf_dir):
+    """Per-returnflag price quantiles from a 1024-bin histogram
+    sketch: the data shuffles ONCE into a <=bins-rows-per-group
+    register table (map-side sum partials); the quantile fold windows
+    over the sketch, never the data.  est7 is the integer-quantized
+    interpolated estimate — error bound one bin width by
+    construction."""
+    from ..operators.sketches import hist_quantiles, hist_sketch
+    li = _t(spark, sf_dir, "lineitem")
+    sk = hist_sketch(li, "l_extendedprice", ["l_returnflag"],
+                     HIST_LO, HIST_HI, HIST_BINS)
+    return (hist_quantiles(sk, HIST_QS, ["l_returnflag"],
+                           HIST_LO, HIST_HI, HIST_BINS)
+            .orderBy("l_returnflag", "q7"))
+
+
+def _sql_hist_quantiles() -> str:
+    from ..operators.sketches import hist_quantiles_sql, hist_sketch_sql
+    return ("WITH regs AS ("
+            + hist_sketch_sql("lineitem", "l_extendedprice",
+                              ["l_returnflag"], HIST_LO, HIST_HI, HIST_BINS)
+            + ")"
+            + hist_quantiles_sql("regs", HIST_QS, ["l_returnflag"],
+                                 HIST_LO, HIST_HI, HIST_BINS)
+            + " ORDER BY l_returnflag, q7")

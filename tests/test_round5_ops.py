@@ -1738,3 +1738,59 @@ def test_poly_join_plan_fully_jvm(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "FlatMapGroupsInPandas"):
         assert bad not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (sketches.hist_sketch / hist_quantiles)
+# ---------------------------------------------------------------------------
+
+def test_hist_sketch_merge_and_bound(spark):
+    """Merge==one-shot; every quantile estimate within one bin width
+    of the exact percentile; out-of-range values clamp to edge bins;
+    NULLs drop."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    from geo_sim_processing_a_spark.operators.sketches import (
+        hist_merge, hist_quantiles, hist_sketch)
+    rng = _np.random.default_rng(5)
+    vals = _np.concatenate([rng.normal(50, 12, 4000),
+                            [-999.0, 999.0]])        # clamp probes
+    pdf = _pd.DataFrame({"v": list(vals) + [None]})
+    df = spark.createDataFrame(pdf, "v double")
+    LO, HI, BINS = 0.0, 100.0, 256
+    sk = hist_sketch(df, "v", lo=LO, hi=HI, bins=BINS)
+    total = sk.agg(_F.sum("cnt")).first()[0]
+    assert total == len(vals)                        # NULL dropped
+    qs = [0.25, 0.5, 0.9]
+    est = {r["q7"]: r["est7"] / 1e7 for r in
+           hist_quantiles(sk, qs, lo=LO, hi=HI, bins=BINS).collect()}
+    width = (HI - LO) / BINS
+    inner = _np.sort(vals)
+    for q in qs:
+        exact = inner[max(int(_np.ceil(q * len(inner))), 1) - 1]
+        assert abs(est[round(q * 1e7)] - exact) <= width + 1e-9, (q, est)
+    s1 = hist_sketch(df.where(_F.col("v") < 50), "v",
+                     lo=LO, hi=HI, bins=BINS)
+    s2 = hist_sketch(df.where(~(_F.col("v") < 50)), "v",
+                     lo=LO, hi=HI, bins=BINS)
+    assert sorted(map(tuple, sk.collect())) == \
+        sorted(map(tuple, hist_merge(s1, s2).collect()))
+
+
+def test_hist_sketch_validation(spark):
+    import pandas as _pd
+    import pytest as _pytest
+    from geo_sim_processing_a_spark.operators.sketches import (
+        hist_quantiles, hist_sketch)
+    df = spark.createDataFrame(_pd.DataFrame({"v": [1.0]}))
+    with _pytest.raises(ValueError):
+        hist_sketch(df, "v", bins=1)
+    with _pytest.raises(ValueError):
+        hist_sketch(df, "v", lo=5.0, hi=5.0)
+    sk = hist_sketch(df, "v")
+    with _pytest.raises(ValueError):
+        hist_quantiles(sk, [])
+    with _pytest.raises(ValueError):
+        hist_quantiles(sk, [0.0])

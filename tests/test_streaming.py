@@ -288,3 +288,56 @@ def test_url_and_gopher_columns_on_stream(spark, tmp_path):
     expect = {r["doc_id"]: (r["url_norm"], r["domain"], r["gopher_pass"])
               for r in cols(docs).collect()}
     assert got == expect and len(got) == 120
+
+
+def test_hll_incremental_maintenance_on_stream(spark, tmp_path):
+    """Streaming sketch maintenance: a foreachBatch stream that merges
+    each micro-batch's HLL registers into a persisted register table
+    (union + max re-aggregate = hll_merge) ends bit-identical to the
+    one-shot batch sketch of all the data — the incremental-analytics
+    contract that lets a 100-TB distinct-count stay current without
+    rescans."""
+    import pandas as pd
+    from geo_sim_processing_a_spark.operators.sketches import (
+        hll_estimate, hll_merge, hll_sketch)
+
+    src = str(tmp_path / "hll_in")
+    state = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "hll_ckpt")
+    docs = spark.createDataFrame(
+        pd.DataFrame({"g": [f"g{i % 2}" for i in range(400)],
+                      "k": [f"key-{i % 173}-{i % 3}" for i in range(400)]}),
+        "g string, k string")
+    docs.repartition(4).write.parquet(src)   # several files -> batches
+
+    def upsert(batch_df, batch_id):
+        sk = hll_sketch(batch_df, "k", ["g"])
+        try:
+            prev = batch_df.sparkSession.read.parquet(state)
+            merged = hll_merge(prev, sk)
+        except Exception:
+            merged = sk
+        (merged.toPandas()
+         .to_parquet(state + ".tmp.parquet"))   # tiny: <= m rows/group
+        import os
+        os.replace(state + ".tmp.parquet", state)
+
+    stream = spark.readStream.schema("g string, k string").parquet(src)
+    q = (stream.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", ckpt)
+         .option("maxFilesPerTrigger", "1")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    final = spark.read.parquet(state)
+    batch = hll_sketch(docs, "k", ["g"])
+    assert sorted(map(tuple, final.collect())) == \
+        sorted(map(tuple, batch.collect()))
+    est = {r["g"]: r["est"]
+           for r in hll_estimate(final, ["g"]).collect()}
+    exact = {r["g"]: r["c"] for r in
+             docs.groupBy("g").agg(
+                 __import__("pyspark.sql.functions", fromlist=["F"])
+                 .countDistinct("k").alias("c")).collect()}
+    for g, t in exact.items():
+        assert abs(est[g] - t) / t < 0.25
