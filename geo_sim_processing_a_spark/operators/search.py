@@ -81,3 +81,57 @@ def bm25_search(docs: DataFrame, query_terms: list[str], k: int = 20,
             .select(F.col("_id").alias(id_col), "n_match_terms", "score7")
             .orderBy(F.desc("score7"), id_col)
             .limit(k))
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_df: int = 1, max_df: int | None = None) -> DataFrame:
+    """Inverted-index postings artifact — the persisted search-layer
+    table BM25 serving reads instead of re-scanning the corpus:
+    one row per term with doc-aligned parallel arrays
+
+        (term, df, total_tf, doc_ids, tfs, positions)
+
+    where doc_ids is ascending, tfs[i] is term frequency in
+    doc_ids[i], and positions is the concatenation of each doc's
+    ascending 0-based token positions (per-doc boundaries recoverable
+    from tfs — the classic delta-friendly layout).  Parallel arrays
+    rather than an array<struct> so any engine (and the DuckDB twin)
+    can rebuild the row byte-for-byte.
+
+    ``min_df``/``max_df`` implement the standard IR pruning: rare
+    terms (noise) and stop-word terms drop.  max_df is ALSO the skew
+    governor — a stop-word's posting row holds df entries, so at web
+    scale an uncapped build materializes O(n_docs)-sized single rows;
+    set max_df (or shard by term prefix) before running wide.
+
+    Shape: scan-stage posexplode -> ONE (term, doc) hash-agg (map-side
+    partials collapse within-partition repeats) -> ONE term hash-agg;
+    the per-term arrays assemble via sort_array over collected
+    structs, then field-extract into aligned columns."""
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    if max_df is not None and max_df < min_df:
+        raise ValueError(f"max_df {max_df} < min_df {min_df}")
+    toks = (docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
+        .alias("pos", "term"))
+        .where(F.col("term") != ""))
+    per_doc = (toks.groupBy("term", "_id")
+               .agg(F.sort_array(F.collect_list("pos")).alias("positions"),
+                    F.count(F.lit(1)).alias("tf")))
+    rows = (per_doc.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sum("tf").alias("total_tf"),
+                 F.sort_array(F.collect_list(
+                     F.struct("_id", "tf", "positions"))).alias("_p")))
+    pruned = rows.where(F.col("df") >= F.lit(min_df))
+    if max_df is not None:
+        pruned = pruned.where(F.col("df") <= F.lit(max_df))
+    return pruned.select(
+        "term", "df", "total_tf",
+        F.transform("_p", lambda x: x["_id"]).alias("doc_ids"),
+        F.transform("_p", lambda x: x["tf"]).alias("tfs"),
+        F.flatten(F.transform("_p", lambda x: x["positions"]))
+        .alias("positions"))

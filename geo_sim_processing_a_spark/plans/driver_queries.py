@@ -1605,6 +1605,7 @@ def all_queries():
         "q_chunk_docs": q_chunk_docs,
         "q_weighted_sample": q_weighted_sample,
         "q_hist_quantiles": q_hist_quantiles,
+        "q_postings": q_postings,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2360,6 +2361,7 @@ def all_oracles():
         "q_chunk_docs": _sql_chunk_docs(),
         "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
         "q_hist_quantiles": _sql_hist_quantiles(),
+        "q_postings": SQL_POSTINGS,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3007,3 +3009,46 @@ def _sql_hist_quantiles() -> str:
             + hist_quantiles_sql("regs", HIST_QS, ["l_returnflag"],
                                  HIST_LO, HIST_HI, HIST_BINS)
             + " ORDER BY l_returnflag, q7")
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings artifact (search.build_postings)
+# ---------------------------------------------------------------------------
+
+def q_postings(spark, sf_dir):
+    """Postings table over the document token stream, df-pruned at
+    [2, 400]: two hash-aggs total, per-term arrays assembled with a
+    deterministic doc_id sort so the row is engine-rebuildable
+    byte-for-byte."""
+    from ..operators.search import build_postings
+    d = _t(spark, sf_dir, "documents")
+    return (build_postings(d, min_df=2, max_df=400)
+            .orderBy("term"))
+
+
+SQL_POSTINGS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(terms, 1) - 1 AS pos,
+         unnest(terms) AS term
+  FROM (SELECT doc_id,
+               string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS terms
+        FROM documents)
+), tk AS (
+  SELECT * FROM toks WHERE term != ''
+), per_doc AS (
+  SELECT term, doc_id,
+         list_sort(list(pos)) AS positions,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM tk GROUP BY term, doc_id
+), rows_ AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         list(doc_id ORDER BY doc_id) AS doc_ids,
+         list(tf ORDER BY doc_id) AS tfs,
+         flatten(list(positions ORDER BY doc_id)) AS positions
+  FROM per_doc GROUP BY term
+)
+SELECT term, df, total_tf, doc_ids, tfs, positions
+FROM rows_ WHERE df >= 2 AND df <= 400 ORDER BY term
+"""

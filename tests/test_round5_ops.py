@@ -1794,3 +1794,48 @@ def test_hist_sketch_validation(spark):
         hist_quantiles(sk, [])
     with _pytest.raises(ValueError):
         hist_quantiles(sk, [0.0])
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings (search.build_postings)
+# ---------------------------------------------------------------------------
+
+def test_build_postings_matches_python_index(spark):
+    """The postings table equals a naive pure-Python inverted index:
+    ascending doc_ids, aligned tfs, concatenated ascending positions,
+    df/total_tf consistent."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.search import build_postings
+    texts = {1: "b a b c a", 2: "a c c", 3: "b  b\tb", 4: ""}
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    got = {r["term"]: r for r in build_postings(df).collect()}
+
+    index = {}
+    for did in sorted(texts):
+        for pos, t in enumerate(texts[did].split()):
+            index.setdefault(t, {}).setdefault(did, []).append(pos)
+    assert set(got) == set(index)
+    for t, docs in index.items():
+        r = got[t]
+        assert r["doc_ids"] == sorted(docs)
+        assert r["tfs"] == [len(docs[d]) for d in sorted(docs)]
+        assert r["positions"] == [p for d in sorted(docs) for p in docs[d]]
+        assert r["df"] == len(docs)
+        assert r["total_tf"] == sum(len(v) for v in docs.values())
+
+
+def test_build_postings_df_pruning(spark):
+    import pandas as _pd
+    import pytest as _pytest
+    from geo_sim_processing_a_spark.operators.search import build_postings
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": ["stop rare", "stop mid", "stop mid"]}))
+    got = {r["term"] for r in
+           build_postings(df, min_df=2, max_df=2).collect()}
+    assert got == {"mid"}              # rare df=1 dropped, stop df=3 capped
+    with _pytest.raises(ValueError):
+        build_postings(df, min_df=0)
+    with _pytest.raises(ValueError):
+        build_postings(df, min_df=3, max_df=2)
