@@ -407,3 +407,77 @@ def diamond_join(left: DataFrame, right: DataFrame, res: int = 6,
                 F.col("acx"), F.col("acy"), F.col("aw"), F.col("ah"),
                 F.col("bcx"), F.col("bcy"), F.col("bw"), F.col("bh")))
             .select("a_id", "b_id"))
+
+
+def _cross3(ox, oy, ax, ay, bx, by):
+    """Integer cross product (a-o) x (b-o) — the CCW orientation
+    primitive; with integer coordinates the sign is EXACT."""
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def segments_intersect_cols(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2):
+    """Closed-set segment-intersection predicate (CLRS 33.1) over
+    INTEGER coordinate columns: proper crossings via opposite CCW
+    orientations, collinear/endpoint touches via the zero-cross +
+    bbox-on-segment test.  Every comparison is BIGINT-exact, so the
+    DuckDB twin writes the same expressions and can never diverge."""
+    d1 = _cross3(bx1, by1, bx2, by2, ax1, ay1)
+    d2 = _cross3(bx1, by1, bx2, by2, ax2, ay2)
+    d3 = _cross3(ax1, ay1, ax2, ay2, bx1, by1)
+    d4 = _cross3(ax1, ay1, ax2, ay2, bx2, by2)
+    zero = F.lit(0).cast("long")
+    proper = (((d1 > zero) & (d2 < zero)) | ((d1 < zero) & (d2 > zero))) \
+        & (((d3 > zero) & (d4 < zero)) | ((d3 < zero) & (d4 > zero)))
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        # r collinear with pq assumed; is r within pq's bbox?
+        return (F.least(px, qx) <= rx) & (rx <= F.greatest(px, qx)) \
+            & (F.least(py, qy) <= ry) & (ry <= F.greatest(py, qy))
+
+    touch = ((d1 == zero) & on_seg(bx1, by1, bx2, by2, ax1, ay1)) \
+        | ((d2 == zero) & on_seg(bx1, by1, bx2, by2, ax2, ay2)) \
+        | ((d3 == zero) & on_seg(ax1, ay1, ax2, ay2, bx1, by1)) \
+        | ((d4 == zero) & on_seg(ax1, ay1, ax2, ay2, bx2, by2))
+    return proper | touch
+
+
+def segment_join(left: DataFrame, right: DataFrame, res: int = 6,
+                 scale: float = 1000.0) -> DataFrame:
+    """Segment-segment INTERSECTION join — left(a_id, ax1, ay1, ax2,
+    ay2) x right(b_id, bx1, by1, bx2, by2), integer coordinates in
+    1/``scale`` degrees.  Returns (a_id, b_id) for every pair of
+    closed segments that cross or touch.
+
+    Same zero-Python grid shape as diamond_join: codegen bbox cell
+    cover of each segment -> equi-join on cell -> integer bbox
+    prefilter -> reference-point dedup -> exact integer CCW refine
+    (segments_intersect_cols)."""
+    sc = float(scale)
+
+    def covered(df, pfx, id_col):
+        minx = F.least(F.col(f"{pfx}x1"), F.col(f"{pfx}x2"))
+        maxx = F.greatest(F.col(f"{pfx}x1"), F.col(f"{pfx}x2"))
+        miny = F.least(F.col(f"{pfx}y1"), F.col(f"{pfx}y2"))
+        maxy = F.greatest(F.col(f"{pfx}y1"), F.col(f"{pfx}y2"))
+        return df.select(
+            id_col, f"{pfx}x1", f"{pfx}y1", f"{pfx}x2", f"{pfx}y2",
+            minx.alias(f"{pfx}_minx"), maxx.alias(f"{pfx}_maxx"),
+            miny.alias(f"{pfx}_miny"), maxy.alias(f"{pfx}_maxy"),
+            F.explode(cell_cover_bbox_col(
+                minx / sc, miny / sc, maxx / sc, maxy / sc, res))
+            .alias("cell"))
+
+    la = covered(left, "a", "a_id")
+    rb = covered(right, "b", "b_id")
+    rx = F.greatest("a_minx", "b_minx")
+    ry = F.greatest("a_miny", "b_miny")
+    return (la.join(rb, "cell")
+            .where((F.col("a_minx") <= F.col("b_maxx"))
+                   & (F.col("a_maxx") >= F.col("b_minx"))
+                   & (F.col("a_miny") <= F.col("b_maxy"))
+                   & (F.col("a_maxy") >= F.col("b_miny")))
+            .where(cell_encode_col(rx / sc, ry / sc, res) == F.col("cell"))
+            .where(segments_intersect_cols(
+                F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
+                F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2")))
+            .select("a_id", "b_id"))

@@ -1613,6 +1613,7 @@ def all_queries():
         "q_pip_join": q_pip_join,
         "q_range_join": q_range_join,
         "q_poly_join": q_poly_join,
+        "q_segment_join": q_segment_join,
         "q_knn": q_knn,
         "q_embedding_topk": q_embedding_topk,
         # rows-only (non-SQL-expressible kernels; every row carries a
@@ -2369,6 +2370,7 @@ def all_oracles():
         "q_pip_join": SQL_PIP_JOIN,
         "q_range_join": SQL_RANGE_JOIN,
         "q_poly_join": SQL_POLY_JOIN,
+        "q_segment_join": SQL_SEGMENT_JOIN,
         "q_knn": SQL_KNN,
         "q_embedding_topk": SQL_EMBEDDING_TOPK,
         "q_semantic_dedup": SQL_SEMANTIC_DEDUP,
@@ -3051,4 +3053,98 @@ WITH toks AS (
 )
 SELECT term, df, total_tf, doc_ids, tfs, positions
 FROM rows_ WHERE df >= 2 AND df <= 400 ORDER BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# Segment-segment intersection join (spark_joins.segment_join) —
+# exact integer CCW predicates (CLRS 33.1), zero Python in the plan.
+# ---------------------------------------------------------------------------
+
+_SEGMENTS_CUSTOMER = """
+  SELECT CAST(c_custkey AS BIGINT) AS a_id,
+         CAST(c_custkey * 7919 % 18000 - 9000 AS BIGINT) AS ax1,
+         CAST(c_custkey * 104729 % 18000 - 9000 AS BIGINT) AS ay1,
+         CAST(c_custkey * 7919 % 18000 - 9000
+              + (c_custkey * 31 % 2001) - 1000 AS BIGINT) AS ax2,
+         CAST(c_custkey * 104729 % 18000 - 9000
+              + (c_custkey * 37 % 2001) - 1000 AS BIGINT) AS ay2
+  FROM customer
+"""
+
+_SEGMENTS_SUPPLIER = """
+  SELECT CAST(s_suppkey AS BIGINT) AS b_id,
+         CAST(s_suppkey * 3571 % 18000 - 9000 AS BIGINT) AS bx1,
+         CAST(s_suppkey * 2861 % 18000 - 9000 AS BIGINT) AS by1,
+         CAST(s_suppkey * 3571 % 18000 - 9000
+              + (s_suppkey * 53 % 2401) - 1200 AS BIGINT) AS bx2,
+         CAST(s_suppkey * 2861 % 18000 - 9000
+              + (s_suppkey * 59 % 2401) - 1200 AS BIGINT) AS by2
+  FROM supplier
+"""
+
+
+def _segments_from_customer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    x1 = (k * 7919 % 18000 - 9000).cast("long")
+    y1 = (k * 104729 % 18000 - 9000).cast("long")
+    return c.select(k.cast("long").alias("a_id"), x1.alias("ax1"),
+                    y1.alias("ay1"),
+                    (x1 + (k * 31 % 2001) - 1000).cast("long").alias("ax2"),
+                    (y1 + (k * 37 % 2001) - 1000).cast("long").alias("ay2"))
+
+
+def _segments_from_supplier(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    x1 = (k * 3571 % 18000 - 9000).cast("long")
+    y1 = (k * 2861 % 18000 - 9000).cast("long")
+    return s.select(k.cast("long").alias("b_id"), x1.alias("bx1"),
+                    y1.alias("by1"),
+                    (x1 + (k * 53 % 2401) - 1200).cast("long").alias("bx2"),
+                    (y1 + (k * 59 % 2401) - 1200).cast("long").alias("by2"))
+
+
+def q_segment_join(spark, sf_dir):
+    """Which customer segments cross which supplier segments — grid
+    cell-cover candidates, reference-point dedup, exact integer CCW
+    refine; no Python stage anywhere in the plan."""
+    from ..operators.spark_joins import segment_join
+    a = _segments_from_customer(spark, sf_dir)
+    b = _segments_from_supplier(spark, sf_dir)
+    return segment_join(a, b, res=6).orderBy("a_id", "b_id")
+
+
+def _sql_seg_hit() -> str:
+    def cross3(ox, oy, ax, ay, bx, by):
+        return (f"(({ax}) - ({ox})) * (({by}) - ({oy})) "
+                f"- (({ay}) - ({oy})) * (({bx}) - ({ox}))")
+
+    d1 = cross3("bx1", "by1", "bx2", "by2", "ax1", "ay1")
+    d2 = cross3("bx1", "by1", "bx2", "by2", "ax2", "ay2")
+    d3 = cross3("ax1", "ay1", "ax2", "ay2", "bx1", "by1")
+    d4 = cross3("ax1", "ay1", "ax2", "ay2", "bx2", "by2")
+
+    def on_seg(px, py, qx, qy, rx, ry):
+        return (f"(least({px}, {qx}) <= {rx} AND {rx} <= greatest({px}, {qx})"
+                f" AND least({py}, {qy}) <= {ry}"
+                f" AND {ry} <= greatest({py}, {qy}))")
+
+    proper = (f"((({d1}) > 0 AND ({d2}) < 0) OR (({d1}) < 0 AND ({d2}) > 0))"
+              f" AND ((({d3}) > 0 AND ({d4}) < 0)"
+              f" OR (({d3}) < 0 AND ({d4}) > 0))")
+    touch = (f"(({d1}) = 0 AND {on_seg('bx1','by1','bx2','by2','ax1','ay1')})"
+             f" OR (({d2}) = 0 AND {on_seg('bx1','by1','bx2','by2','ax2','ay2')})"
+             f" OR (({d3}) = 0 AND {on_seg('ax1','ay1','ax2','ay2','bx1','by1')})"
+             f" OR (({d4}) = 0 AND {on_seg('ax1','ay1','ax2','ay2','bx2','by2')})")
+    return f"(({proper}) OR ({touch}))"
+
+
+SQL_SEGMENT_JOIN = f"""
+WITH a AS ({_SEGMENTS_CUSTOMER}), b AS ({_SEGMENTS_SUPPLIER})
+SELECT a_id, b_id
+FROM a, b
+WHERE {_sql_seg_hit()}
+ORDER BY a_id, b_id
 """

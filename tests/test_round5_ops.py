@@ -1839,3 +1839,81 @@ def test_build_postings_df_pruning(spark):
         build_postings(df, min_df=0)
     with _pytest.raises(ValueError):
         build_postings(df, min_df=3, max_df=2)
+
+
+# ---------------------------------------------------------------------------
+# Segment intersection join (spark_joins.segment_join)
+# ---------------------------------------------------------------------------
+
+def _py_seg_hit(a, b):
+    """Pure-Python CLRS twin: a/b = (x1, y1, x2, y2) ints."""
+    def cross(ox, oy, ax, ay, bx, by):
+        return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+    def on(px, py, qx, qy, rx, ry):
+        return (min(px, qx) <= rx <= max(px, qx)
+                and min(py, qy) <= ry <= max(py, qy))
+    d1 = cross(b[0], b[1], b[2], b[3], a[0], a[1])
+    d2 = cross(b[0], b[1], b[2], b[3], a[2], a[3])
+    d3 = cross(a[0], a[1], a[2], a[3], b[0], b[1])
+    d4 = cross(a[0], a[1], a[2], a[3], b[2], b[3])
+    if ((d1 > 0 > d2 or d1 < 0 < d2)
+            and (d3 > 0 > d4 or d3 < 0 < d4)):
+        return True
+    return ((d1 == 0 and on(b[0], b[1], b[2], b[3], a[0], a[1]))
+            or (d2 == 0 and on(b[0], b[1], b[2], b[3], a[2], a[3]))
+            or (d3 == 0 and on(a[0], a[1], a[2], a[3], b[0], b[1]))
+            or (d4 == 0 and on(a[0], a[1], a[2], a[3], b[2], b[3])))
+
+
+def test_segment_join_matches_bruteforce(spark):
+    """segment_join == brute-force CLRS over random integer segments
+    plus hand-built degenerate cases: proper crossing, endpoint
+    T-touch, collinear overlap, collinear disjoint, parallel miss,
+    shared endpoint."""
+    import numpy as _np
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.spark_joins import segment_join
+    rng = _np.random.default_rng(13)
+
+    def seg():
+        x, y = int(rng.integers(-8000, 8000)), int(rng.integers(-8000, 8000))
+        return (x, y, x + int(rng.integers(-1500, 1500)),
+                y + int(rng.integers(-1500, 1500)))
+
+    A = [seg() for _ in range(60)]
+    B = [seg() for _ in range(60)]
+    A += [(0, 0, 1000, 0),      # proper crossing with B +0
+          (0, 0, 1000, 0),      # T-touch: B endpoint on A interior
+          (0, 0, 1000, 0),      # collinear overlap
+          (0, 0, 1000, 0),      # collinear disjoint
+          (0, 0, 1000, 0),      # parallel miss
+          (0, 0, 1000, 0)]      # shared endpoint
+    B += [(500, -500, 500, 500),
+          (500, 0, 500, 800),
+          (800, 0, 1800, 0),
+          (1001, 0, 2000, 0),
+          (0, 1, 1000, 1),
+          (1000, 0, 1500, 900)]
+    la = spark.createDataFrame(_pd.DataFrame(
+        [(i, *a) for i, a in enumerate(A)],
+        columns=["a_id", "ax1", "ay1", "ax2", "ay2"]))
+    rb = spark.createDataFrame(_pd.DataFrame(
+        [(j, *b) for j, b in enumerate(B)],
+        columns=["b_id", "bx1", "by1", "bx2", "by2"]))
+    got = sorted((r["a_id"], r["b_id"]) for r in
+                 segment_join(la, rb, res=6).collect())
+    want = sorted((i, j) for i, a in enumerate(A)
+                  for j, b in enumerate(B) if _py_seg_hit(a, b))
+    assert got == want
+    hand = {(60 + k, 60 + k) for k in range(6)}
+    assert hand & set(got) == {(60, 60), (61, 61), (62, 62), (65, 65)}
+
+
+def test_segment_join_plan_fully_jvm(spark):
+    from geo_sim_processing_a_spark.plans.driver_queries import all_queries
+    df = all_queries()["q_segment_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "FlatMapGroupsInPandas"):
+        assert bad not in plan, plan
