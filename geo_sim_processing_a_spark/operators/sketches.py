@@ -426,3 +426,38 @@ def hist_quantiles_sql(registers_cte: str, qs: list[float],
     ), (SELECT unnest([{qlist}]) AS q)
   )
   WHERE cum >= rank AND cum - cnt < rank"""
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical HLL pyramid — sketch algebra composed with the tile
+# pyramid: distinct-count-per-cell at EVERY zoom level, each coarser
+# level built by merging the previous level's registers (max), never
+# rescanning the data.
+# ---------------------------------------------------------------------------
+
+def cell_hll_pyramid(df: DataFrame, key_col: str, cell_col: str = "cell",
+                     levels: int = 2, p: int = DEFAULT_P) -> DataFrame:
+    """Distinct-count estimates per cell at the native resolution
+    (level 0) and ``levels`` coarser parents: (cell, level, n_regs,
+    ind_sum, est).
+
+    The tile-server question "how many distinct pages in this tile at
+    every zoom" is exact-count-impossible at 100 TB (distinct does not
+    roll up), but HLL registers DO: level k+1's registers are
+    max-merges of level k's (<= m rows per cell), so the raw data
+    shuffles exactly once and every coarser level is a geometrically
+    shrinking register hash-agg — the cell_pyramid shape
+    (spark_joins.cell_pyramid) lifted from counts to sketches."""
+    if levels < 0:
+        raise ValueError(f"levels must be >= 0, got {levels}")
+    from .spark_joins import cell_parent_col
+    regs = hll_sketch(df, key_col, [cell_col], p)
+    out = (hll_estimate(regs, [cell_col], p)
+           .withColumn("level", F.lit(0)))
+    for k in range(1, levels + 1):
+        regs = (regs.groupBy(cell_parent_col(F.col(cell_col), 1)
+                             .alias(cell_col), "reg")
+                .agg(F.max("rho").alias("rho")))
+        out = out.unionByName(
+            hll_estimate(regs, [cell_col], p).withColumn("level", F.lit(k)))
+    return out.select(cell_col, "level", "n_regs", "ind_sum", "est")

@@ -1606,6 +1606,7 @@ def all_queries():
         "q_weighted_sample": q_weighted_sample,
         "q_hist_quantiles": q_hist_quantiles,
         "q_postings": q_postings,
+        "q_cell_distinct_pyramid": q_cell_distinct_pyramid,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2363,6 +2364,7 @@ def all_oracles():
         "q_weighted_sample": SQL_WEIGHTED_SAMPLE,
         "q_hist_quantiles": _sql_hist_quantiles(),
         "q_postings": SQL_POSTINGS,
+        "q_cell_distinct_pyramid": _sql_cell_distinct_pyramid(),
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3147,4 +3149,51 @@ SELECT a_id, b_id
 FROM a, b
 WHERE {_sql_seg_hit()}
 ORDER BY a_id, b_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical HLL pyramid (sketches.cell_hll_pyramid): distinct keys
+# per tile at every zoom — registers roll up by max, data scans once.
+# ---------------------------------------------------------------------------
+
+def q_cell_distinct_pyramid(spark, sf_dir):
+    """Distinct-key estimate per cell at res 12 plus two coarser
+    levels; keys are pid % 500 (forced collisions so distinct <
+    count).  Raw rows shuffle ONCE into level-0 registers; levels 1-2
+    are register max-merges bounded at m rows/cell."""
+    from ..operators.sketches import cell_hll_pyramid
+    from ..operators.spark_joins import cell_encode_col
+    pts = _points_from_customer(spark, sf_dir)
+    keyed = pts.select(
+        cell_encode_col(F.col("lon"), F.col("lat"), CELL_RES).alias("cell"),
+        (F.col("pid") % 500).cast("string").alias("k"))
+    return (cell_hll_pyramid(keyed, "k", levels=2)
+            .orderBy("level", "cell"))
+
+
+def _sql_cell_distinct_pyramid() -> str:
+    from ..operators.sketches import hll_estimate_sql, hll_sketch_sql
+    parent = _SQL_PARENT
+    est = {i: hll_estimate_sql(f"regs{i}", ["cell"]) for i in range(3)}
+    return f"""
+WITH cells AS ({_sql_morton_cell(CELL_RES)}),
+keyed AS (
+  SELECT cell, CAST(pid % 500 AS VARCHAR) AS k FROM cells
+),
+regs0 AS ({hll_sketch_sql('keyed', 'k', ['cell'])}),
+regs1 AS (
+  SELECT {parent} AS cell, reg, CAST(max(rho) AS INT) AS rho
+  FROM regs0 GROUP BY 1, reg
+),
+regs2 AS (
+  SELECT {parent} AS cell, reg, CAST(max(rho) AS INT) AS rho
+  FROM regs1 GROUP BY 1, reg
+)
+SELECT cell, 0 AS level, n_regs, ind_sum, est FROM ({est[0]})
+UNION ALL
+SELECT cell, 1 AS level, n_regs, ind_sum, est FROM ({est[1]})
+UNION ALL
+SELECT cell, 2 AS level, n_regs, ind_sum, est FROM ({est[2]})
+ORDER BY level, cell
 """

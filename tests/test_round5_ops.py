@@ -1917,3 +1917,45 @@ def test_segment_join_plan_fully_jvm(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "FlatMapGroupsInPandas"):
         assert bad not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical HLL pyramid (sketches.cell_hll_pyramid)
+# ---------------------------------------------------------------------------
+
+def test_cell_hll_pyramid_rollup_equals_rebuild(spark):
+    """Level-k registers built by max-merging level-(k-1) registers
+    are bit-identical to sketching the raw data directly at the parent
+    cell — the algebra that lets zoom levels avoid rescans."""
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    from geo_sim_processing_a_spark.operators import cells as C
+    from geo_sim_processing_a_spark.operators.sketches import (
+        cell_hll_pyramid, hll_estimate, hll_sketch)
+    from geo_sim_processing_a_spark.operators.spark_joins import (
+        cell_parent_col)
+    rng = _np.random.default_rng(17)
+    lon = rng.uniform(-170, 170, 2000)
+    lat = rng.uniform(-80, 80, 2000)
+    res = 8
+    pdf = _pd.DataFrame({
+        "cell": C.encode(lon, lat, res),
+        "k": [f"u{i % 301}" for i in range(2000)]})
+    df = spark.createDataFrame(pdf)
+    pyr = cell_hll_pyramid(df, "k", levels=1)
+    lvl1 = {r["cell"]: (r["n_regs"], r["ind_sum"], r["est"])
+            for r in pyr.where(_F.col("level") == 1).collect()}
+    direct = df.select(cell_parent_col(_F.col("cell"), 1).alias("cell"), "k")
+    want = {r["cell"]: (r["n_regs"], r["ind_sum"], r["est"])
+            for r in hll_estimate(
+                hll_sketch(direct, "k", ["cell"]), ["cell"]).collect()}
+    assert lvl1 == want
+    # level-0 estimates track the exact per-cell distincts
+    ex = {r["cell"]: r["d"] for r in
+          df.groupBy("cell").agg(
+              _F.countDistinct("k").alias("d")).collect()}
+    for r in pyr.where(_F.col("level") == 0).collect():
+        t = ex[r["cell"]]
+        assert abs(r["est"] - t) <= max(3, 0.25 * t), (r, t)
