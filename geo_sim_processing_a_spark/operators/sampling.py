@@ -187,7 +187,11 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
     b = md5_bucket(F.col(content_col), 13)          # 52 uniform bits
     u = (b + F.lit(1).cast("long")).cast("double") / F.lit(float(1 << 52))
     key7 = F.round(F.log(u) / w * F.lit(1e7)).cast("long")
-    ranked = (df.where(w.isNotNull() & (w > F.lit(0.0)))
+    # NULL content must drop WITH the NULL/nonpositive weights: a NULL
+    # rank key sorts last in Spark's DESC but FIRST in SQL engines'
+    # default DESC, so letting it through would silently diverge
+    ranked = (df.where(w.isNotNull() & (w > F.lit(0.0))
+                       & F.col(content_col).isNotNull())
               .withColumn("ws_key7", key7))
     if strata_cols:
         from pyspark.sql.window import Window

@@ -88,7 +88,10 @@ def hll_sketch(df: DataFrame, key_col: str,
     # rank of first set bit from the left of the rho_w-wide suffix:
     # rho = rho_w - bitlen(suffix) + 1; all-zero suffix -> rho_w + 1
     rho = (F.lit(rho_w + 1) - _smear_bitlen(suffix)).cast("int")
+    # NULL keys drop (a NULL register row would silently skew the
+    # estimate, and NULL-key hashing diverges between engines)
     return (df
+            .where(F.col(key_col).isNotNull())
             .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
             .groupBy(*group_cols, "reg")
             .agg(F.max("rho").alias("rho")))
@@ -228,6 +231,10 @@ def cms_sketch(df: DataFrame, key_col: str,
     group_cols = list(group_cols or [])
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     key = F.col(key_col)
+    # NULL keys drop BEFORE hashing: Spark's concat_ws skips NULL
+    # arguments while SQL || propagates them, so a NULL key would
+    # hash to a real bucket here and to NULL in an oracle
+    df = df.where(key.isNotNull())
     rows = F.explode(F.array(*[
         F.struct(F.lit(j).alias("row"),
                  _cms_bucket(key, j, width).alias("bucket"))
@@ -263,6 +270,7 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str,
     broadcasts; the sketch never re-shuffles."""
     group_cols = list(group_cols or [])
     key = F.col(key_col)
+    probes = probes.where(key.isNotNull())   # same NULL rule as the build
     probe_rows = (probes
                   .select(*group_cols, key_col, F.explode(F.array(*[
                       F.struct(F.lit(j).alias("row"),

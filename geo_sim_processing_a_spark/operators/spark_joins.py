@@ -332,6 +332,21 @@ def cell_cover_bbox_col(minx, miny, maxx, maxy, res: int):
                                lambda iy: cell_encode_ixiy_col(ix, iy, res))))
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral(df: DataFrame, cols: list, op: str) -> None:
+    """The exact-integer joins are only exact over integral columns —
+    a float column would silently put IEEE rounding on the decision
+    boundary, so refuse it loudly."""
+    types = dict(df.dtypes)
+    bad = {c: types[c] for c in cols if types.get(c) not in _INTEGRAL_TYPES}
+    if bad:
+        raise ValueError(
+            f"{op} requires integer coordinate columns (exact SAT/CCW "
+            f"arithmetic); cast or rescale first: {bad}")
+
+
 def _diamond_sep_on_axis(dx, dy, ux, uy, aw, ah, bw, bh):
     """True when axis (ux, uy) separates diamonds A and B whose
     centers differ by (dx, dy) — EXACT BIGINT arithmetic: a diamond's
@@ -381,6 +396,8 @@ def diamond_join(left: DataFrame, right: DataFrame, res: int = 6,
         separating-axis inequalities, whole-stage codegen.
     """
     sc = float(scale)
+    _require_integral(left, ["acx", "acy", "aw", "ah"], "diamond_join")
+    _require_integral(right, ["bcx", "bcy", "bw", "bh"], "diamond_join")
     la = left.select(
         "a_id", "acx", "acy", "aw", "ah",
         F.explode(cell_cover_bbox_col(
@@ -453,6 +470,8 @@ def segment_join(left: DataFrame, right: DataFrame, res: int = 6,
     prefilter -> reference-point dedup -> exact integer CCW refine
     (segments_intersect_cols)."""
     sc = float(scale)
+    _require_integral(left, ["ax1", "ay1", "ax2", "ay2"], "segment_join")
+    _require_integral(right, ["bx1", "by1", "bx2", "by2"], "segment_join")
 
     def covered(df, pfx, id_col):
         minx = F.least(F.col(f"{pfx}x1"), F.col(f"{pfx}x2"))

@@ -463,7 +463,11 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int, overlap: int = 0,
         raise ValueError(
             f"overlap must be in [0, chunk_tokens), got {overlap}")
     stride = chunk_tokens - overlap
-    toks = F.filter(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"),
+    # NULL text behaves like empty text (one empty chunk) instead of
+    # emitting NULL rows whose greatest()/sort semantics differ by
+    # engine
+    toks = F.filter(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                            WS_CLASS + "+"),
                     lambda t: t != "")
     n = F.size(toks)
     n_chunks = F.greatest(

@@ -1959,3 +1959,71 @@ def test_cell_hll_pyramid_rollup_equals_rebuild(spark):
     for r in pyr.where(_F.col("level") == 0).collect():
         t = ex[r["cell"]]
         assert abs(r["est"] - t) <= max(3, 0.25 * t), (r, t)
+
+
+# ---------------------------------------------------------------------------
+# Session-2 review fixes: NULL handling + dtype guards
+# ---------------------------------------------------------------------------
+
+def test_sketches_drop_null_keys(spark):
+    """NULL keys drop from both sketches (Spark's concat_ws SKIPS
+    NULLs while SQL || propagates them — letting NULLs through would
+    hash them to a real CMS bucket here and to NULL in any oracle)."""
+    import pandas as _pd
+    from pyspark.sql import functions as _F
+
+    from geo_sim_processing_a_spark.operators.sketches import (
+        cms_estimate, cms_sketch, hll_estimate, hll_sketch)
+    df = spark.createDataFrame(
+        _pd.DataFrame({"k": ["a", None, "b", None]}), "k string")
+    sk = hll_sketch(df, "k")
+    (row,) = hll_estimate(sk).collect()
+    assert row["n_regs"] == 2
+    cs = cms_sketch(df, "k")
+    assert cs.agg(_F.sum("cnt")).first()[0] == 4 * 2  # depth=4, 2 keys
+    probes = spark.createDataFrame(
+        _pd.DataFrame({"k": ["a", None]}), "k string")
+    got = {r["k"]: r["est"] for r in cms_estimate(cs, probes, "k").collect()}
+    assert got == {"a": 1}
+
+
+def test_chunk_documents_null_text(spark):
+    """NULL text behaves exactly like empty text."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(
+        _pd.DataFrame({"doc_id": [1], "text": [None]}),
+        "doc_id long, text string")
+    (r,) = chunk_documents(df, 8, 2).collect()
+    assert (r["n_chunks"], r["chunk_text"], r["chunk_n_tokens"]) == (1, "", 0)
+
+
+def test_weighted_sample_null_content_dropped(spark):
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.sampling import weighted_sample
+    df = spark.createDataFrame(
+        _pd.DataFrame({"doc_id": [1, 2], "text": [None, "x"],
+                       "w": [5.0, 1.0]}),
+        "doc_id long, text string, w double")
+    assert [r["doc_id"] for r in weighted_sample(df, "w", 5).collect()] == [2]
+
+
+def test_exact_joins_refuse_float_coords(spark):
+    import pandas as _pd
+    import pytest as _pytest
+    from geo_sim_processing_a_spark.operators.spark_joins import (
+        diamond_join, segment_join)
+    d = spark.createDataFrame(_pd.DataFrame(
+        {"a_id": [1], "acx": [0.5], "acy": [0.0],
+         "aw": [1.0], "ah": [1.0]}))
+    d_int = spark.createDataFrame(_pd.DataFrame(
+        {"b_id": [1], "bcx": [0], "bcy": [0], "bw": [1], "bh": [1]}))
+    with _pytest.raises(ValueError, match="integer coordinate"):
+        diamond_join(d, d_int)
+    s_f = spark.createDataFrame(_pd.DataFrame(
+        {"a_id": [1], "ax1": [0.0], "ay1": [0.0],
+         "ax2": [1.0], "ay2": [1.0]}))
+    s_i = spark.createDataFrame(_pd.DataFrame(
+        {"b_id": [1], "bx1": [0], "by1": [0], "bx2": [1], "by2": [1]}))
+    with _pytest.raises(ValueError, match="integer coordinate"):
+        segment_join(s_f, s_i)
