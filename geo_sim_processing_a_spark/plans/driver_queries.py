@@ -1607,6 +1607,9 @@ def all_queries():
         "q_hist_quantiles": q_hist_quantiles,
         "q_postings": q_postings,
         "q_cell_distinct_pyramid": q_cell_distinct_pyramid,
+        "q_phrase_search": q_phrase_search,
+        "q_grouping_sets": q_grouping_sets,
+        "q_pivot": q_pivot,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2365,6 +2368,9 @@ def all_oracles():
         "q_hist_quantiles": _sql_hist_quantiles(),
         "q_postings": SQL_POSTINGS,
         "q_cell_distinct_pyramid": _sql_cell_distinct_pyramid(),
+        "q_phrase_search": SQL_PHRASE_SEARCH,
+        "q_grouping_sets": SQL_GROUPING_SETS,
+        "q_pivot": SQL_PIVOT,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3196,4 +3202,110 @@ SELECT cell, 1 AS level, n_regs, ind_sum, est FROM ({est[1]})
 UNION ALL
 SELECT cell, 2 AS level, n_regs, ind_sum, est FROM ({est[2]})
 ORDER BY level, cell
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search (search.phrase_search)
+# ---------------------------------------------------------------------------
+
+PHRASE_TERMS = ["table", "part"]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Documents containing the exact phrase 'table part' with
+    occurrence counts — scan-stage term filter, one (doc, position)
+    equi-join per extra phrase token, one hash-agg."""
+    from ..operators.search import phrase_search
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(d, PHRASE_TERMS).orderBy("doc_id")
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(terms, 1) - 1 AS pos,
+         unnest(terms) AS term
+  FROM (SELECT doc_id,
+               string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS terms
+        FROM documents)
+), t0 AS (
+  SELECT doc_id, pos AS p0 FROM toks WHERE term = 'table'
+), t1 AS (
+  SELECT doc_id, pos - 1 AS p0 FROM toks WHERE term = 'part'
+)
+SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM t0 JOIN t1 USING (doc_id, p0)
+GROUP BY t0.doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational surface: GROUPING SETS and PIVOT
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark, sf_dir):
+    """Revenue over GROUPING SETS ((flag,status),(flag),(status),()) —
+    the generalized rollup; DECIMAL(28,8)-exact sums, NULL group keys
+    folded to sentinels so the hash compare is order-insensitive."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql("""
+        SELECT coalesce(l_returnflag, '*') AS flag,
+               coalesce(l_linestatus, '*') AS status,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))
+                        * CAST(1.0 - l_discount AS DECIMAL(28,8)))
+                    AS DECIMAL(28,8)) AS revenue,
+               count(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY flag, status
+    """)
+
+
+SQL_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, '*') AS flag,
+       coalesce(l_linestatus, '*') AS status,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))
+                * CAST(1.0 - l_discount AS DECIMAL(28,8)))
+            AS DECIMAL(28,8)) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+ORDER BY flag, status
+"""
+
+
+def q_pivot(spark, sf_dir):
+    """Revenue pivoted to one column per linestatus — Spark's pivot
+    relational operator with an explicit value list (no
+    distinct-discovery job); the oracle writes the equivalent
+    conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(28,8)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(28,8)"))
+    return (li.select("l_returnflag", "l_linestatus", rev.alias("rev"))
+            .groupBy("l_returnflag")
+            .pivot("l_linestatus", ["F", "O"])
+            .agg(F.coalesce(F.sum("rev"),
+                            F.lit(0).cast("decimal(28,8)")))
+            .select(F.col("l_returnflag"),
+                    F.col("F").cast("decimal(28,8)").alias("rev_f"),
+                    F.col("O").cast("decimal(28,8)").alias("rev_o"))
+            .orderBy("l_returnflag"))
+
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_extendedprice AS DECIMAL(28,8))
+                     * CAST(1.0 - l_discount AS DECIMAL(28,8)) END), 0)
+            AS DECIMAL(28,8)) AS rev_f,
+       CAST(coalesce(sum(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_extendedprice AS DECIMAL(28,8))
+                     * CAST(1.0 - l_discount AS DECIMAL(28,8)) END), 0)
+            AS DECIMAL(28,8)) AS rev_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """

@@ -2027,3 +2027,35 @@ def test_exact_joins_refuse_float_coords(spark):
         {"b_id": [1], "bx1": [0], "by1": [0], "bx2": [1], "by2": [1]}))
     with _pytest.raises(ValueError, match="integer coordinate"):
         segment_join(s_f, s_i)
+
+
+# ---------------------------------------------------------------------------
+# Phrase search (search.phrase_search)
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_semantics(spark):
+    """Counts exact consecutive occurrences, handles repeated-token
+    phrases and overlapping matches, misses non-adjacent terms."""
+    import pandas as _pd
+    import pytest as _pytest
+    from geo_sim_processing_a_spark.operators.search import phrase_search
+    df = spark.createDataFrame(_pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c a b",        # 'a b' twice
+                 "a x b",            # non-adjacent -> miss
+                 "b b b",            # 'b b' overlapping -> 2
+                 "a b"]}))
+    got = {r["doc_id"]: r["n_hits"] for r in
+           phrase_search(df, ["a", "b"]).collect()}
+    assert got == {1: 2, 4: 1}
+    got2 = {r["doc_id"]: r["n_hits"] for r in
+            phrase_search(df, ["b", "b"]).collect()}
+    assert got2 == {3: 2}
+    got3 = {r["doc_id"]: r["n_hits"] for r in
+            phrase_search(df, ["a", "b", "c"]).collect()}
+    assert got3 == {1: 1}
+    single = {r["doc_id"]: r["n_hits"] for r in
+              phrase_search(df, ["b"]).collect()}
+    assert single == {1: 2, 2: 1, 3: 3, 4: 1}
+    with _pytest.raises(ValueError):
+        phrase_search(df, [])
