@@ -118,6 +118,21 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return out.select(*cols)
 
 
+def _band_buckets(sigs: DataFrame, rows_per_band: int,
+                  bands: int) -> DataFrame:
+    """(doc_id, band, bh) band-bucket rows from a signature frame —
+    shared by the self-join (minhash_lsh_pairs) and the cross-corpus
+    join (minhash_lsh_join) so the banding scheme exists once."""
+    band_cols = [F.struct(F.lit(bi).alias("band"),
+                          F.xxhash64(F.concat_ws(
+                              ",", *[F.element_at("sig", bi * rows_per_band + r + 1)
+                                     for r in range(rows_per_band)])).alias("bh"))
+                 for bi in range(bands)]
+    return (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+            .select("doc_id", F.col("bb.band").alias("band"),
+                    F.col("bb.bh").alias("bh")))
+
+
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", n_hashes: int = 32,
                       bands: int = 8, shingle: int = 3,
@@ -165,13 +180,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     # consumer (the guard stats agg, or the final action when cap=None)
     # and cached from then on — eager=True would spend a whole extra job
 
-    band_cols = [F.struct(F.lit(bi).alias("band"),
-                          F.xxhash64(F.concat_ws(
-                              ",", *[F.element_at("sig", bi * rows_per_band + r + 1)
-                                     for r in range(rows_per_band)])).alias("bh"))
-                 for bi in range(bands)]
-    buckets = (sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
-               .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")))
+    buckets = _band_buckets(sigs, rows_per_band, bands)
     if hot_key_cap is not None:
         buckets = frequency_cap(buckets, ["band", "bh"], hot_key_cap, "minhash_lsh")
     cand = (buckets.alias("l").join(buckets.alias("r"), ["band", "bh"])
@@ -409,3 +418,61 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
                     .alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def minhash_lsh_join(left: DataFrame, right: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_hashes: int = 32, bands: int = 8, shingle: int = 3,
+                     threshold: float = 0.7,
+                     hot_key_cap: int | None = None) -> DataFrame:
+    """CROSS-corpus fuzzy-dedup join — the 'is this new crawl document
+    a near-duplicate of anything in the reference corpus' primitive
+    (the fuzzy sibling of bloom.incremental_dedup's exact path):
+    returns (left_id, right_id, jaccard) for pairs with exact
+    shingle-set Jaccard >= threshold, candidates from the banded
+    equi-join of BOTH sides' buckets on (band, bh).
+
+    Unlike the self-join, neither side is assumed broadcastable: the
+    band buckets of the two corpora hash-join on a compact
+    (band, bh) integer key, so a 10^12-doc reference corpus and a
+    daily crawl shuffle only bucket rows — raw text never moves and
+    the verify stage joins the per-doc shingle arrays computed once.
+    ``hot_key_cap`` caps each side's bucket occupancy independently
+    with a dropped-pairs report (operators/skew.py); recall within
+    buckets is the standard (1-t^r)^b banding envelope on each side.
+    """
+    from .skew import frequency_cap
+
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_join: bands={bands} must divide "
+            f"n_hashes={n_hashes} with rows_per_band >= 1")
+    rows_per_band = n_hashes // bands
+    ls = (minhash_signatures(_ensure_parallelism(left), id_col, text_col,
+                             n_hashes, shingle, keep_shingles=True)
+          .localCheckpoint(eager=False))
+    rs = (minhash_signatures(_ensure_parallelism(right), id_col, text_col,
+                             n_hashes, shingle, keep_shingles=True)
+          .localCheckpoint(eager=False))
+    lb = _band_buckets(ls, rows_per_band, bands)
+    rb = _band_buckets(rs, rows_per_band, bands)
+    if hot_key_cap is not None:
+        lb = frequency_cap(lb, ["band", "bh"], hot_key_cap,
+                           "minhash_lsh_join_left")
+        rb = frequency_cap(rb, ["band", "bh"], hot_key_cap,
+                           "minhash_lsh_join_right")
+    cand = (lb.alias("l").join(rb.alias("r"), ["band", "bh"])
+            .select(F.col("l.doc_id").alias("left_id"),
+                    F.col("r.doc_id").alias("right_id"))
+            .distinct())
+    pairs = (cand
+             .join(ls.select(F.col("doc_id").alias("left_id"),
+                             F.col("shingles").alias("sh_a")), "left_id")
+             .join(rs.select(F.col("doc_id").alias("right_id"),
+                             F.col("shingles").alias("sh_b")), "right_id"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+    return (pairs.withColumn("jaccard", inter.cast("double") / union)
+            .where(F.col("jaccard") >= threshold)
+            .select("left_id", "right_id",
+                    F.round("jaccard", 6).alias("jaccard")))

@@ -1642,6 +1642,7 @@ def all_queries():
         "q_asof_events": q_asof_events,
         "q_dedup_clusters": q_dedup_clusters,
         "q_connected_components": q_connected_components,
+        "q_minhash_cross_dedup": q_minhash_cross_dedup,
     }
 
 
@@ -2306,6 +2307,7 @@ GOLDEN_ORACLE_QUERIES = [
     "q_dedup_clusters",
     "q_bpe_merges",
     "q_bpe_tokenize",
+    "q_minhash_cross_dedup",
 ]
 
 
@@ -3309,3 +3311,31 @@ SELECT l_returnflag,
             AS DECIMAL(28,8)) AS rev_o
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus fuzzy dedup (dedup.minhash_lsh_join) — new-crawl vs
+# reference-corpus near-duplicate join; pinned golden oracle (banded
+# LSH is not ANSI-SQL-expressible; FIXTURES.md G6 protocol).
+# ---------------------------------------------------------------------------
+
+def q_minhash_cross_dedup(spark, sf_dir):
+    """Near-dup join of a synthetic 'new crawl' against the documents
+    corpus: every 7th document reappears with two appended tokens
+    (jaccard ~0.9 — must match), every 7th+3 reappears token-REVERSED
+    (shingles disjoint — must not match).  Band buckets of both sides
+    hash-join on (band, bh); exact shingle-set Jaccard verifies."""
+    from ..operators.dedup import minhash_lsh_join
+    d = _t(spark, sf_dir, "documents")
+    perturbed = (d.where(F.col("doc_id") % 7 == 0)
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         F.concat(F.col("text"),
+                                  F.lit(" extracross token")).alias("text")))
+    reversed_ = (d.where(F.col("doc_id") % 7 == 3)
+                 .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         F.array_join(F.reverse(F.split(
+                             F.trim(F.col("text")), " ")), " ").alias("text")))
+    new_crawl = perturbed.unionByName(reversed_)
+    return (minhash_lsh_join(d.select("doc_id", "text"), new_crawl,
+                             threshold=0.6)
+            .orderBy("left_id", "right_id"))

@@ -2059,3 +2059,34 @@ def test_phrase_search_semantics(spark):
     assert single == {1: 2, 2: 1, 3: 3, 4: 1}
     with _pytest.raises(ValueError):
         phrase_search(df, [])
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus MinHash LSH join (dedup.minhash_lsh_join)
+# ---------------------------------------------------------------------------
+
+def test_minhash_lsh_join_cross_corpus(spark):
+    """Planted near-dups across two corpora are found with exact
+    Jaccard; reversed (shingle-disjoint) rewrites and unrelated docs
+    are not; output pairs always have left from the left corpus."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.dedup import minhash_lsh_join
+    base = ["alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon " * 2,
+            "one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen " * 2]
+    left = spark.createDataFrame(_pd.DataFrame(
+        {"doc_id": [1, 2], "text": base}))
+    right = spark.createDataFrame(_pd.DataFrame({
+        "doc_id": [11, 12, 13],
+        "text": [base[0] + " tail token",                 # near-dup of 1
+                 " ".join(reversed(base[1].split())),     # reversed -> miss
+                 "totally different content here nothing shared at all "
+                 "with the originals in any shingle"]}))
+    got = {(r["left_id"], r["right_id"]): r["jaccard"]
+           for r in minhash_lsh_join(left, right, threshold=0.6).collect()}
+    assert set(got) == {(1, 11)}
+    assert got[(1, 11)] >= 0.8
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        minhash_lsh_join(left, right, n_hashes=32, bands=5)
