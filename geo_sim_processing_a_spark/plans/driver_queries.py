@@ -1610,6 +1610,7 @@ def all_queries():
         "q_phrase_search": q_phrase_search,
         "q_grouping_sets": q_grouping_sets,
         "q_pivot": q_pivot,
+        "q_gap_fill": q_gap_fill,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2373,6 +2374,7 @@ def all_oracles():
         "q_phrase_search": SQL_PHRASE_SEARCH,
         "q_grouping_sets": SQL_GROUPING_SETS,
         "q_pivot": SQL_PIVOT,
+        "q_gap_fill": SQL_GAP_FILL,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3339,3 +3341,51 @@ def q_minhash_cross_dedup(spark, sf_dir):
     return (minhash_lsh_join(d.select("doc_id", "text"), new_crawl,
                              threshold=0.6)
             .orderBy("left_id", "right_id"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (timeseries.gap_fill)
+# ---------------------------------------------------------------------------
+
+def q_gap_fill(spark, sf_dir):
+    """Hourly per-event-type value series densified: the raw events
+    hash-agg ONCE into (type, hour) buckets (DECIMAL-exact sums), the
+    spine explodes sequence(min, max, 1h) per type, absent hours
+    forward-fill from the latest earlier bucket and flag gap=true."""
+    from ..operators.timeseries import gap_fill
+    ev = _t(spark, sf_dir, "events")
+    buckets = (ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("tb"))
+        .agg(F.sum(F.col("value").cast("decimal(28,8)"))
+             .cast("decimal(28,8)").alias("v"),
+             F.count(F.lit(1)).alias("n")))
+    return (gap_fill(buckets, "tb", ["event_type"], ["v", "n"], 3600)
+            .orderBy("event_type", "tb"))
+
+
+SQL_GAP_FILL = """
+WITH buckets AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS tb,
+         CAST(sum(CAST(value AS DECIMAL(28,8))) AS DECIMAL(28,8)) AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, tb
+), spine AS (
+  SELECT event_type, CAST(unnest(generate_series(mn, mx, 3600)) AS BIGINT) AS tb
+  FROM (SELECT event_type, min(tb) AS mn, max(tb) AS mx
+        FROM buckets GROUP BY event_type)
+), joined AS (
+  SELECT spine.event_type, spine.tb, buckets.v AS v0, buckets.n AS n0,
+         buckets.tb IS NULL AS gap
+  FROM spine LEFT JOIN buckets USING (event_type, tb)
+)
+SELECT event_type, tb,
+       CAST(last_value(v0 IGNORE NULLS) OVER w AS DECIMAL(28,8)) AS v,
+       CAST(last_value(n0 IGNORE NULLS) OVER w AS BIGINT) AS n,
+       gap
+FROM joined
+WINDOW w AS (PARTITION BY event_type ORDER BY tb
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_type, tb
+"""

@@ -2090,3 +2090,34 @@ def test_minhash_lsh_join_cross_corpus(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         minhash_lsh_join(left, right, n_hashes=32, bands=5)
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill (timeseries.gap_fill)
+# ---------------------------------------------------------------------------
+
+def test_gap_fill_semantics(spark):
+    """Missing buckets appear with the previous value and gap=true;
+    present buckets keep their own values; the spine spans exactly
+    [min, max]; duplicate bucket rows raise."""
+    import pandas as _pd
+    import pytest as _pytest
+    from geo_sim_processing_a_spark.operators.timeseries import gap_fill
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"s": ["a", "a", "a", "b"],
+         "t": [0, 20, 50, 100],
+         "v": [1.5, 2.5, 9.0, 7.0]}))
+    rows = gap_fill(df, "t", ["s"], ["v"], 10).orderBy("s", "t").collect()
+    a = [(r["t"], r["v"], r["gap"]) for r in rows if r["s"] == "a"]
+    assert a == [(0, 1.5, False), (10, 1.5, True), (20, 2.5, False),
+                 (30, 2.5, True), (40, 2.5, True), (50, 9.0, False)]
+    b = [(r["t"], r["v"], r["gap"]) for r in rows if r["s"] == "b"]
+    assert b == [(100, 7.0, False)]
+    dup = spark.createDataFrame(_pd.DataFrame(
+        {"s": ["a", "a"], "t": [0, 0], "v": [1.0, 2.0]}))
+    with _pytest.raises(Exception, match="duplicate"):
+        gap_fill(dup, "t", ["s"], ["v"], 10).collect()
+    with _pytest.raises(ValueError):
+        gap_fill(df, "t", ["s"], ["v"], 0)
+    with _pytest.raises(ValueError):
+        gap_fill(df, "t", [], ["v"], 10)
