@@ -1611,6 +1611,7 @@ def all_queries():
         "q_grouping_sets": q_grouping_sets,
         "q_pivot": q_pivot,
         "q_gap_fill": q_gap_fill,
+        "q_json_extract": q_json_extract,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2375,6 +2376,7 @@ def all_oracles():
         "q_grouping_sets": SQL_GROUPING_SETS,
         "q_pivot": SQL_PIVOT,
         "q_gap_fill": SQL_GAP_FILL,
+        "q_json_extract": SQL_JSON_EXTRACT,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3388,4 +3390,41 @@ FROM joined
 WINDOW w AS (PARTITION BY event_type ORDER BY tb
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY event_type, tb
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON column surface: schema-on-read extraction from
+# the events props column (from_json with an explicit schema — never
+# schema inference, which would scan twice), then a plain aggregate.
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark, sf_dir):
+    """Parse events.props ('{"k": 69}') with an explicit schema inside
+    the scan stage and aggregate k per event type — the
+    semi-structured-column pattern at scale: no inference pass, no
+    UDF, malformed rows yield NULL k and are counted, not dropped."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("k").alias("n_parsed"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
 """

@@ -2121,3 +2121,23 @@ def test_gap_fill_semantics(spark):
         gap_fill(df, "t", ["s"], ["v"], 0)
     with _pytest.raises(ValueError):
         gap_fill(df, "t", [], ["v"], 10)
+
+
+def test_json_extract_malformed_rows_null_not_dropped(spark):
+    """Malformed JSON yields NULL k (counted in n, absent from
+    n_parsed) — never a dropped row or an exception."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.plans.driver_queries import (
+        q_json_extract)
+    import pyspark.sql.functions as _F
+    df = spark.createDataFrame(_pd.DataFrame(
+        {"event_type": ["x"] * 4,
+         "props": ['{"k": 3}', "not json", None, '{"other": 1}']}))
+    k = _F.from_json(_F.col("props"), "k BIGINT")["k"]
+    out = (df.select("event_type", k.alias("k"))
+           .groupBy("event_type")
+           .agg(_F.count(_F.lit(1)).alias("n"),
+                _F.count("k").alias("n_parsed"),
+                _F.sum("k").alias("sum_k")).collect())
+    (r,) = out
+    assert (r["n"], r["n_parsed"], r["sum_k"]) == (4, 1, 3)
