@@ -1612,6 +1612,8 @@ def all_queries():
         "q_pivot": q_pivot,
         "q_gap_fill": q_gap_fill,
         "q_json_extract": q_json_extract,
+        "q_moving_avg": q_moving_avg,
+        "q_set_ops": q_set_ops,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2377,6 +2379,8 @@ def all_oracles():
         "q_pivot": SQL_PIVOT,
         "q_gap_fill": SQL_GAP_FILL,
         "q_json_extract": SQL_JSON_EXTRACT,
+        "q_moving_avg": SQL_MOVING_AVG,
+        "q_set_ops": SQL_SET_OPS,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3427,4 +3431,65 @@ FROM (SELECT event_type,
              CAST(json_extract(props, '$.k') AS BIGINT) AS k
       FROM events)
 GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame moving aggregate + set-operation surface
+# ---------------------------------------------------------------------------
+
+def q_moving_avg(spark, sf_dir):
+    """Per-event-type trailing-1-hour moving sum/count over the event
+    stream — a RANGE BETWEEN frame keyed on the integer epoch second
+    (value-based, not row-based: simultaneous events share a frame).
+    DECIMAL-exact sums; the tie-safe output keys on (type, ts, id)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+    ts = F.unix_timestamp("ts")
+    base = ev.select("event_type", "event_id", ts.alias("sec"),
+                     F.col("value").cast("decimal(28,8)").alias("v"))
+    w = (Window.partitionBy("event_type").orderBy("sec")
+         .rangeBetween(-3600, 0))
+    return (base
+            .withColumn("mov_sum", F.sum("v").over(w).cast("decimal(28,8)"))
+            .withColumn("mov_n", F.count(F.lit(1)).over(w))
+            .select("event_type", "event_id", "sec", "mov_sum", "mov_n")
+            .orderBy("event_type", "sec", "event_id"))
+
+
+SQL_MOVING_AVG = """
+SELECT event_type, event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+       CAST(sum(CAST(value AS DECIMAL(28,8))) OVER w AS DECIMAL(28,8))
+         AS mov_sum,
+       CAST(count(*) OVER w AS BIGINT) AS mov_n
+FROM events
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY event_type, sec, event_id
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT surface: customers ordering in 1995 vs 1996
+    — (both years) intersect, (1995 only) except — tagged and
+    unioned.  Set semantics (DISTINCT) exactly as ANSI defines."""
+    o = _t(spark, sf_dir, "orders")
+    y = F.year("o_orderdate")
+    c95 = o.where(y == 1995).select("o_custkey")
+    c96 = o.where(y == 1996).select("o_custkey")
+    both = c95.intersect(c96).withColumn("tag", F.lit("both"))
+    only95 = (c95.subtract(c96)          # EXCEPT DISTINCT, ANSI
+              .withColumn("tag", F.lit("only_1995")))
+    return both.unionByName(only95).orderBy("tag", "o_custkey")
+
+
+SQL_SET_OPS = """
+WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     c96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)
+UNION ALL
+SELECT o_custkey, 'only_1995' AS tag FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+ORDER BY tag, o_custkey
 """
