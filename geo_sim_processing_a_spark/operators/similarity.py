@@ -227,3 +227,45 @@ def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
               .withColumn("cos", _cosine(F.col("va"), F.col("vb"))))
     return (scored.where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
+
+
+def embedding_dim_stats(emb: DataFrame, vec_col: str = "embedding",
+                        group_cols: list[str] | None = None,
+                        quant: float = 1e7) -> DataFrame:
+    """Per-dimension embedding statistics — the normalization
+    constants (mean/variance per dim, optionally per group) a training
+    pipeline computes before whitening or standardizing features:
+    (group_cols..., dim, n, sum7, sumsq, mean7, var14).
+
+    Engine-exactness (lm.py discipline): each float32 component widens
+    exactly to double, quantizes to the integer x7 = round(x * quant),
+    and ONLY integers are summed (sum7, sumsq) — so the hash-compared
+    accumulators are associative and partition-order-free where a
+    double sum is not.  mean7 (1e-7 units) and var14 (1e-14 units)
+    derive from the integer accumulators with one identically
+    parenthesized float expression each.
+
+    Scale shape: posexplode pipelines in the scan; ONE hash-agg to
+    (groups x dims) rows with map-side partials.  Overflow envelope:
+    |x| <= 1 at quant 1e7 gives sumsq <= 1e14 per row — BIGINT holds
+    ~9e18, so ~90k rows per (group, dim) at worst-case magnitude;
+    beyond that cast the sums to DECIMAL(38,0) (documented, same
+    shape)."""
+    group_cols = list(group_cols or [])
+    x7 = F.round(F.col("x").cast("double") * F.lit(float(quant))) \
+        .cast("long")
+    ex = (emb.select(*group_cols,
+                     F.posexplode(F.col(vec_col)).alias("dim", "x"))
+          .withColumn("x7", x7))
+    agg = (ex.groupBy(*group_cols, "dim")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x7").alias("sum7"),
+                F.sum(F.col("x7") * F.col("x7")).alias("sumsq")))
+    nd = F.col("n").cast("double")
+    s = F.col("sum7").cast("double")
+    mean7 = F.round(s / nd).cast("long")
+    var14 = F.round((F.col("sumsq").cast("double") - s * s / nd) / nd) \
+        .cast("long")
+    return (agg.withColumn("mean7", mean7).withColumn("var14", var14)
+            .select(*group_cols, "dim", "n", "sum7", "sumsq",
+                    "mean7", "var14"))

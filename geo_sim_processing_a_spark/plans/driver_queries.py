@@ -1614,6 +1614,7 @@ def all_queries():
         "q_json_extract": q_json_extract,
         "q_moving_avg": q_moving_avg,
         "q_set_ops": q_set_ops,
+        "q_embedding_stats": q_embedding_stats,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2381,6 +2382,7 @@ def all_oracles():
         "q_json_extract": SQL_JSON_EXTRACT,
         "q_moving_avg": SQL_MOVING_AVG,
         "q_set_ops": SQL_SET_OPS,
+        "q_embedding_stats": SQL_EMBEDDING_STATS,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3492,4 +3494,43 @@ SELECT o_custkey, 'both' AS tag FROM (SELECT * FROM c95 INTERSECT SELECT * FROM 
 UNION ALL
 SELECT o_custkey, 'only_1995' AS tag FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
 ORDER BY tag, o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding per-dimension stats (similarity.embedding_dim_stats)
+# ---------------------------------------------------------------------------
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-(label, dim) normalization constants over the embeddings
+    table: integer-quantized components, exact-integer sum/sumsq
+    accumulators (partition-order-free), float mean/var derived once
+    with fixed parenthesization."""
+    from ..operators.similarity import embedding_dim_stats
+    e = _t(spark, sf_dir, "embeddings")
+    return (embedding_dim_stats(e, "embedding", ["label"])
+            .orderBy("label", "dim"))
+
+
+SQL_EMBEDDING_STATS = """
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e7) AS BIGINT) AS x7
+  FROM embeddings
+), agg AS (
+  SELECT label, CAST(dim AS INT) AS dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x7) AS BIGINT) AS sum7,
+         CAST(sum(x7 * x7) AS BIGINT) AS sumsq
+  FROM ex GROUP BY label, dim
+)
+SELECT label, dim, n, sum7, sumsq,
+       CAST(round(CAST(sum7 AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+         AS mean7,
+       CAST(round((CAST(sumsq AS DOUBLE)
+                   - CAST(sum7 AS DOUBLE) * CAST(sum7 AS DOUBLE)
+                     / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)) AS BIGINT) AS var14
+FROM agg ORDER BY label, dim
 """

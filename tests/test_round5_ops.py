@@ -2141,3 +2141,32 @@ def test_json_extract_malformed_rows_null_not_dropped(spark):
                 _F.sum("k").alias("sum_k")).collect())
     (r,) = out
     assert (r["n"], r["n_parsed"], r["sum_k"]) == (4, 1, 3)
+
+
+def test_embedding_dim_stats_matches_numpy_and_partitioning(spark):
+    """Integer accumulators equal a NumPy reference on the same
+    quantized values, and are identical at 1 vs 16 partitions (the
+    associativity claim)."""
+    import numpy as _np
+    from geo_sim_processing_a_spark.operators.similarity import (
+        embedding_dim_stats)
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {(r["label"], r["dim"]): (r["n"], r["sum7"], r["sumsq"],
+                                    r["mean7"], r["var14"])
+           for r in embedding_dim_stats(df, "embedding", ["label"]).collect()}
+    pdf = df.toPandas()
+    for label in sorted(pdf.label.unique()):
+        mat = _np.array([_np.asarray(v, dtype=_np.float64)
+                         for v in pdf[pdf.label == label].embedding])
+        q = _np.round(mat * 1e7).astype(_np.int64)
+        for dim in (0, 17, 63):
+            col = q[:, dim]
+            n, s7, ssq = len(col), int(col.sum()), int((col * col).sum())
+            assert got[(label, dim)][:3] == (n, s7, ssq)
+            assert got[(label, dim)][3] == round(s7 / n)
+    a = sorted(got.items())
+    got16 = {(r["label"], r["dim"]): (r["n"], r["sum7"], r["sumsq"],
+                                      r["mean7"], r["var14"])
+             for r in embedding_dim_stats(
+                 df.repartition(16), "embedding", ["label"]).collect()}
+    assert a == sorted(got16.items())
