@@ -469,3 +469,32 @@ def cell_hll_pyramid(df: DataFrame, key_col: str, cell_col: str = "cell",
         out = out.unionByName(
             hll_estimate(regs, [cell_col], p).withColumn("level", F.lit(k)))
     return out.select(cell_col, "level", "n_regs", "ind_sum", "est")
+
+
+def cms_join_size(left_sketch: DataFrame, right_sketch: DataFrame,
+                  depth: int = 4) -> DataFrame:
+    """Join-cardinality estimate |A JOIN B ON key| from two Count-Min
+    sketches built with the SAME depth/width/key hashing (Cormode &
+    Muthukrishnan 2005 inner-product estimator): for each hash row j,
+    Sigma_b cntA[j][b] * cntB[j][b] upper-bounds the true join size;
+    the estimate is the MIN over rows.  Returns one row
+    (est long, rows array<long> of the per-row inner products).
+
+    This is the planner's question — 'how big is this join' — answered
+    from two bounded register tables without touching either input:
+    the inner product joins depth*width-row sketches on (row, bucket)
+    and folds with exact integer arithmetic, so the DuckDB twin
+    matches bit-for-bit.  Guarantee: est >= true join size, and
+    est <= true + e/width * |A|*|B| with prob 1 - e^-depth."""
+    j = (left_sketch.select("row", "bucket",
+                            F.col("cnt").alias("cnt_a"))
+         .join(right_sketch.select("row", "bucket",
+                                   F.col("cnt").alias("cnt_b")),
+               ["row", "bucket"])
+         .groupBy("row")
+         .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip")))
+    # depth is small: the fold over per-row inner products is a tiny
+    # all-rows aggregate (missing rows would mean an empty sketch side)
+    return (j.agg(F.min("ip").alias("est"),
+                  F.sort_array(F.collect_list("ip")).alias("rows"))
+            .select(F.col("est").cast("long"), "rows"))

@@ -1615,6 +1615,7 @@ def all_queries():
         "q_moving_avg": q_moving_avg,
         "q_set_ops": q_set_ops,
         "q_embedding_stats": q_embedding_stats,
+        "q_cms_join_size": q_cms_join_size,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2383,6 +2384,7 @@ def all_oracles():
         "q_moving_avg": SQL_MOVING_AVG,
         "q_set_ops": SQL_SET_OPS,
         "q_embedding_stats": SQL_EMBEDDING_STATS,
+        "q_cms_join_size": _sql_cms_join_size(),
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3533,4 +3535,61 @@ SELECT label, dim, n, sum7, sumsq,
                      / CAST(n AS DOUBLE))
                   / CAST(n AS DOUBLE)) AS BIGINT) AS var14
 FROM agg ORDER BY label, dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# CMS join-size estimation (sketches.cms_join_size)
+# ---------------------------------------------------------------------------
+
+def q_cms_join_size(spark, sf_dir):
+    """Estimate |orders JOIN lineitem ON orderkey| from two Count-Min
+    sketches without touching either table again — next to the exact
+    join size in the same row.  The estimate is the min over hash rows
+    of the bucket-wise counter inner product (upper bound by
+    construction; the CMS guarantee est >= exact is visible)."""
+    from ..operators.sketches import cms_join_size, cms_sketch
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k"))
+    est = cms_join_size(cms_sketch(o, "k"), cms_sketch(li, "k"))
+    exact = (o.join(li, "k")
+             .agg(F.count(F.lit(1)).alias("exact")))
+    # 1-row x 1-row combine via union + re-aggregate: any join on a
+    # constant key constant-folds back into the lint-forbidden
+    # BroadcastNestedLoopJoin, so don't join at all
+    a = est.select("est", "rows", F.lit(None).cast("long").alias("exact"))
+    b = exact.select(F.lit(None).cast("long").alias("est"),
+                     F.lit(None).cast("array<long>").alias("rows"),
+                     "exact")
+    return (a.unionByName(b)
+            .agg(F.max("est").alias("est"),
+                 F.flatten(F.collect_list("rows")).alias("rows"),
+                 F.max("exact").alias("exact")))
+
+
+def _sql_cms_join_size() -> str:
+    from ..operators.sketches import cms_bucket_sql
+    depth, width = 4, 1024
+    def sk(src, key):
+        counters = " UNION ALL ".join(
+            f"SELECT {j} AS row, {cms_bucket_sql(key, j, width)} AS bucket, "
+            f"1::BIGINT AS w FROM {src}" for j in range(depth))
+        return (f"SELECT row, bucket, CAST(sum(w) AS BIGINT) AS cnt "
+                f"FROM ({counters}) GROUP BY row, bucket")
+    return f"""
+WITH ok AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+lk AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+sa AS ({sk('ok', 'k')}),
+sb AS ({sk('lk', 'k')}),
+ip AS (
+  SELECT sa.row, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+  FROM sa JOIN sb USING (row, bucket) GROUP BY sa.row
+),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM ok JOIN lk USING (k))
+SELECT CAST(min(ip) AS BIGINT) AS est,
+       list_sort(list(ip)) AS rows,
+       (SELECT exact FROM ex) AS exact
+FROM ip
 """

@@ -2170,3 +2170,20 @@ def test_embedding_dim_stats_matches_numpy_and_partitioning(spark):
              for r in embedding_dim_stats(
                  df.repartition(16), "embedding", ["label"]).collect()}
     assert a == sorted(got16.items())
+
+
+def test_cms_join_size_upper_bound_and_accuracy(spark):
+    """The inner-product estimate upper-bounds the exact join size
+    and is close when keys fit the width."""
+    import pandas as _pd
+    from geo_sim_processing_a_spark.operators.sketches import (
+        cms_join_size, cms_sketch)
+    a = spark.createDataFrame(_pd.DataFrame(
+        {"k": [f"k{i % 50}" for i in range(500)]}))
+    b = spark.createDataFrame(_pd.DataFrame(
+        {"k": [f"k{i % 80}" for i in range(400)]}))
+    exact = a.join(b, "k").count()
+    (row,) = cms_join_size(cms_sketch(a, "k"), cms_sketch(b, "k")).collect()
+    assert row["est"] >= exact
+    assert row["est"] <= exact * 1.05 + 100
+    assert len(row["rows"]) == 4 and all(r >= exact for r in row["rows"])
