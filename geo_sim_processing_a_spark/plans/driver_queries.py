@@ -1616,6 +1616,7 @@ def all_queries():
         "q_set_ops": q_set_ops,
         "q_embedding_stats": q_embedding_stats,
         "q_cms_join_size": q_cms_join_size,
+        "q_retention": q_retention,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2385,6 +2386,7 @@ def all_oracles():
         "q_set_ops": SQL_SET_OPS,
         "q_embedding_stats": SQL_EMBEDDING_STATS,
         "q_cms_join_size": _sql_cms_join_size(),
+        "q_retention": SQL_RETENTION,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3592,4 +3594,44 @@ SELECT CAST(min(ip) AS BIGINT) AS est,
        list_sort(list(ip)) AS rows,
        (SELECT exact FROM ex) AS exact
 FROM ip
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix — the canonical product-analytics rollup.
+# ---------------------------------------------------------------------------
+
+def q_retention(spark, sf_dir):
+    """(cohort_day, day_offset, n_users): users grouped by first-seen
+    day, counted on each later active day.  Two hash-aggs (first-seen
+    per user; distinct user-day pairs) + one join on user_id — the
+    shape that scales: no window over raw events, the join key is the
+    user id, and the matrix is bounded by days^2."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    active = (ev.select(F.col("user_id"), day.alias("day"))
+              .distinct())
+    first = (active.groupBy("user_id")
+             .agg(F.min("day").alias("cohort_day")))
+    return (active.join(first, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff(F.col("day"), F.col("cohort_day"))
+                     .cast("long").alias("day_offset"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy("cohort_day", "day_offset"))
+
+
+SQL_RETENTION = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM active GROUP BY user_id
+)
+SELECT cohort_day,
+       CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
 """
