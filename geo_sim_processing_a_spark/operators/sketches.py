@@ -471,8 +471,8 @@ def cell_hll_pyramid(df: DataFrame, key_col: str, cell_col: str = "cell",
     return out.select(cell_col, "level", "n_regs", "ind_sum", "est")
 
 
-def cms_join_size(left_sketch: DataFrame, right_sketch: DataFrame,
-                  depth: int = 4) -> DataFrame:
+def cms_join_size(left_sketch: DataFrame,
+                  right_sketch: DataFrame) -> DataFrame:
     """Join-cardinality estimate |A JOIN B ON key| from two Count-Min
     sketches built with the SAME depth/width/key hashing (Cormode &
     Muthukrishnan 2005 inner-product estimator): for each hash row j,

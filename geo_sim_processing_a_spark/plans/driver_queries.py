@@ -1617,6 +1617,7 @@ def all_queries():
         "q_embedding_stats": q_embedding_stats,
         "q_cms_join_size": q_cms_join_size,
         "q_retention": q_retention,
+        "q_hll_overlap": q_hll_overlap,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2387,6 +2388,7 @@ def all_oracles():
         "q_embedding_stats": SQL_EMBEDDING_STATS,
         "q_cms_join_size": _sql_cms_join_size(),
         "q_retention": SQL_RETENTION,
+        "q_hll_overlap": _sql_hll_overlap(),
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3634,4 +3636,80 @@ SELECT cohort_day,
 FROM active JOIN first USING (user_id)
 GROUP BY cohort_day, day_offset
 ORDER BY cohort_day, day_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: audience overlap via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+def q_hll_overlap(spark, sf_dir):
+    """Distinct-user overlap between click and view events estimated
+    from HLL registers alone: est(A), est(B), est(A|B) via register
+    max-merge, overlap = estA + estB - estAB — next to the exact
+    intersection.  Intersection is NOT a register operation; this
+    inclusion-exclusion composition is the standard (and only) sketch
+    answer, with error governed by the union's standard error."""
+    from ..operators.sketches import hll_estimate, hll_merge, hll_sketch
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("user_id").cast("string").alias("k")
+    a = ev.where(F.col("event_type") == "click").select(k)
+    b = ev.where(F.col("event_type") == "view").select(k)
+    ska, skb = hll_sketch(a, "k"), hll_sketch(b, "k")
+    est_a = hll_estimate(ska).select(F.col("est").alias("est_a"))
+    est_b = hll_estimate(skb).select(F.col("est").alias("est_b"))
+    est_u = (hll_estimate(hll_merge(ska, skb))
+             .select(F.col("est").alias("est_union")))
+    exact = (a.intersect(b)
+             .agg(F.count(F.lit(1)).alias("exact_overlap")))
+
+    def tag(df):
+        out = []
+        for c in ("est_a", "est_b", "est_union", "exact_overlap"):
+            out.append(F.col(c) if c in df.columns
+                       else F.lit(None).cast("long").alias(c))
+        return df.select(*out)
+
+    merged = (tag(est_a).unionByName(tag(est_b))
+              .unionByName(tag(est_u)).unionByName(tag(exact))
+              .agg(F.max("est_a").alias("est_a"),
+                   F.max("est_b").alias("est_b"),
+                   F.max("est_union").alias("est_union"),
+                   F.max("exact_overlap").alias("exact_overlap")))
+    return merged.select(
+        "est_a", "est_b", "est_union",
+        (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        .alias("est_overlap"),
+        "exact_overlap")
+
+
+def _sql_hll_overlap() -> str:
+    from ..operators.sketches import hll_estimate_sql, hll_sketch_sql
+    ska = hll_sketch_sql(
+        "(SELECT CAST(user_id AS VARCHAR) AS k FROM events "
+        "WHERE event_type = 'click')", "k", [])
+    skb = hll_sketch_sql(
+        "(SELECT CAST(user_id AS VARCHAR) AS k FROM events "
+        "WHERE event_type = 'view')", "k", [])
+    return f"""
+WITH ra AS ({ska}),
+rb AS ({skb}),
+ru AS (
+  SELECT reg, CAST(max(rho) AS INT) AS rho
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY reg
+),
+ea AS ({hll_estimate_sql('ra', [])}),
+eb AS ({hll_estimate_sql('rb', [])}),
+eu AS ({hll_estimate_sql('ru', [])}),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_overlap FROM (
+    SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    WHERE event_type = 'click'
+    INTERSECT
+    SELECT CAST(user_id AS VARCHAR) AS k FROM events
+    WHERE event_type = 'view')
+)
+SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
+       ea.est + eb.est - eu.est AS est_overlap, ex.exact_overlap
+FROM ea, eb, eu, ex
 """
