@@ -341,3 +341,64 @@ def test_hll_incremental_maintenance_on_stream(spark, tmp_path):
                  .countDistinct("k").alias("c")).collect()}
     for g, t in exact.items():
         assert abs(est[g] - t) / t < 0.25
+
+
+def test_windowed_hll_registers_on_stream(spark, tmp_path):
+    """Watermarked per-window HLL registers via the NATIVE streaming
+    aggregation (groupBy(window, reg).max(rho) — max is a supported
+    streaming agg), append mode: the emitted register rows for each
+    closed window are bit-identical to the batch sketch of that
+    window's rows, so per-window distinct estimates come from the
+    stream without any raw-data rescan."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geo_sim_processing_a_spark.operators.sketches import (
+        hll_estimate, hll_sketch)
+
+    src = str(tmp_path / "whll_in")
+    rows = pd.DataFrame({
+        "ts": pd.to_datetime([f"2024-01-01 00:{m:02d}:00" for m in
+                              [1, 2, 3, 11, 12, 13, 14, 21, 22]]),
+        "k": ["a", "b", "a", "c", "d", "c", "e", "f", "f"]})
+    docs = spark.createDataFrame(rows)
+    docs.repartition(2).write.parquet(src)
+
+    stream = (spark.readStream.schema("ts timestamp, k string")
+              .parquet(src))
+    from geo_sim_processing_a_spark.operators.sampling import md5_bucket
+    # inline the register projection (hll_sketch aggregates eagerly;
+    # here the aggregation must be the streaming one)
+    from geo_sim_processing_a_spark.operators.sketches import (
+        HASH_BITS, DEFAULT_P, _smear_bitlen)
+    rho_w = HASH_BITS - DEFAULT_P
+    h = md5_bucket(F.col("k"), 15)
+    reg = F.shiftright(h, rho_w).cast("int")
+    suffix = h.bitwiseAND(F.lit((1 << rho_w) - 1).cast("long"))
+    rho = (F.lit(rho_w + 1) - _smear_bitlen(suffix)).cast("int")
+    agg = (stream
+           .withWatermark("ts", "1 minute")
+           .select(F.window("ts", "10 minutes").alias("w"),
+                   reg.alias("reg"), rho.alias("rho"))
+           .groupBy("w", "reg")
+           .agg(F.max("rho").alias("rho")))
+    q = (agg.writeStream.format("memory").queryName("whll")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql(
+        "select cast(w.start as string) as ws, reg, rho from whll")
+    got_rows = {(r["ws"], r["reg"], r["rho"]) for r in got.collect()}
+
+    batch = spark.createDataFrame(rows)
+    want_rows = set()
+    for start, mins in (("2024-01-01 00:00:00", (1, 2, 3)),
+                        ("2024-01-01 00:10:00", (11, 12, 13, 14))):
+        sub = batch.where(F.date_format("ts", "mm").cast("int")
+                          .isin(list(mins)))
+        for r in hll_sketch(sub, "k").collect():
+            want_rows.add((start, r["reg"], r["rho"]))
+    # append mode emits only windows the final watermark (max event
+    # time 00:22 - 1 min = 00:21) has closed: 00:00 and 00:10; the
+    # 00:20 window stays open and must be absent
+    assert got_rows == want_rows
+    assert not any(ws.startswith("2024-01-01 00:20") for ws, _, _ in got_rows)
