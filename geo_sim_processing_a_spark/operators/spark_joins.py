@@ -500,3 +500,85 @@ def segment_join(left: DataFrame, right: DataFrame, res: int = 6,
                 F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
                 F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2")))
             .select("a_id", "b_id"))
+
+
+def _hull_extreme_points(px, py):
+    """Extreme points (strict convex-hull vertices) of a point set —
+    Andrew monotone chain with STRICT turns, so collinear boundary
+    points and interior points drop; input deduplicated.  Returns the
+    (k, 2) int array of extreme points in lexicographic order (a set,
+    not a ring — order-free so any engine can compare)."""
+    import numpy as np
+    pts = np.unique(np.column_stack([np.asarray(px, np.int64),
+                                     np.asarray(py, np.int64)]), axis=0)
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                # strict left turn keeps; collinear/right drops
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) > 0:
+                    break
+                out.pop()
+            out.append((int(p[0]), int(p[1])))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = lower[:-1] + upper[:-1]
+    ring = sorted(set(ring))
+    return np.array(ring, dtype=np.int64).reshape(-1, 2)
+
+
+def convex_hull(points: DataFrame, group_cols: list[str] | None = None,
+                x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Distributed convex hull per group — the associative geometric
+    aggregate: hull(A ∪ B) = hull(hull(A) ∪ hull(B)), so stage 1
+    reduces each partition's points to its partial hull (map-side,
+    like a sketch register table) and stage 2 merges the tiny
+    partials.
+    Returns the EXTREME points (strict vertices; collinear boundary
+    and duplicate points drop) as rows (group_cols..., x, y) —
+    a set, not a ring, so the result is order-free and an integer
+    brute-force oracle (a point is non-extreme iff some triangle of
+    other points covers it) can verify it exactly.
+
+    Integer coordinates required (exact CCW tests — same rule as the
+    SAT/CCW joins)."""
+    import pandas as pd
+
+    group_cols = list(group_cols or [])
+    _require_integral(points, [x_col, y_col], "convex_hull")
+    key_cols = group_cols + ["_part"]
+    staged = points.withColumn("_part", F.spark_partition_id())
+
+    def hull_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = _hull_extreme_points(pdf[x_col].to_numpy(),
+                                 pdf[y_col].to_numpy())
+        out = pdf.iloc[:1][group_cols].reset_index(drop=True)
+        out = out.loc[out.index.repeat(len(h))].reset_index(drop=True)
+        out[x_col] = h[:, 0]
+        out[y_col] = h[:, 1]
+        return out
+
+    schema_fields = []
+    for f in points.schema.fields:
+        if f.name in group_cols:
+            schema_fields.append(f"{f.name} {f.dataType.simpleString()}")
+    schema = ", ".join(schema_fields + [f"{x_col} long", f"{y_col} long"])
+    partial = (staged.groupBy(*key_cols)
+               .applyInPandas(lambda pdf: hull_pdf(pdf), schema))
+    if group_cols:
+        return (partial.groupBy(*group_cols)
+                .applyInPandas(lambda pdf: hull_pdf(pdf), schema)
+                .select(*group_cols, x_col, y_col))
+    return (partial.withColumn("_g", F.lit(1))
+            .groupBy("_g")
+            .applyInPandas(lambda pdf: hull_pdf(pdf.drop(columns=["_g"])),
+                           schema)
+            .select(x_col, y_col))

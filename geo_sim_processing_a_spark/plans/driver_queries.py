@@ -1618,6 +1618,7 @@ def all_queries():
         "q_cms_join_size": q_cms_join_size,
         "q_retention": q_retention,
         "q_hll_overlap": q_hll_overlap,
+        "q_convex_hull": q_convex_hull,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2389,6 +2390,7 @@ def all_oracles():
         "q_cms_join_size": _sql_cms_join_size(),
         "q_retention": SQL_RETENTION,
         "q_hll_overlap": _sql_hll_overlap(),
+        "q_convex_hull": SQL_CONVEX_HULL,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3712,4 +3714,71 @@ ex AS (
 SELECT ea.est AS est_a, eb.est AS est_b, eu.est AS est_union,
        ea.est + eb.est - eu.est AS est_overlap, ex.exact_overlap
 FROM ea, eb, eu, ex
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed convex hull (spark_joins.convex_hull)
+# ---------------------------------------------------------------------------
+
+def q_convex_hull(spark, sf_dir):
+    """Extreme points of the 25 nation diamond centers, computed
+    hull-of-hulls (each partition pre-reduces to its partial hull —
+    the associative-aggregate shape).  The oracle is the integer
+    brute force: a point is non-extreme iff some triangle of three
+    OTHER points covers it (all three cross products one sign,
+    boundary inclusive)."""
+    from ..operators.spark_joins import convex_hull
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    # quadratic synth: a purely linear one puts all 25 points on a few
+    # parallel lattice lines (degenerate hull)
+    pts = n.select(
+        ((k * k * 433 + k * 7919) % 18000 - 9000).cast("long").alias("x"),
+        ((k * k * 389 + k * 104729) % 18000 - 9000).cast("long").alias("y"))
+    return convex_hull(pts).orderBy("x", "y")
+
+
+SQL_CONVEX_HULL = """
+WITH pts AS (
+  SELECT DISTINCT
+    CAST((n_nationkey*n_nationkey*433 + n_nationkey*7919) % 18000 - 9000
+         AS BIGINT) AS x,
+    CAST((n_nationkey*n_nationkey*389 + n_nationkey*104729) % 18000 - 9000
+         AS BIGINT) AS y
+  FROM nation
+),
+-- p is covered by triangle (a,b,c) of OTHER points iff p is in
+-- conv{a,b,c}: same-sign cross products, where the all-zero case
+-- (identity d1+d2+d3 = 2*area(abc): zero-area triangles can only
+-- produce all-zero, i.e. p collinear with a,b,c) additionally
+-- requires p inside the collinear points' bbox - without that, a
+-- point on the same lattice line but OUTSIDE the segment would be
+-- wrongly covered
+covered AS (
+  SELECT DISTINCT p.x, p.y
+  FROM pts p, pts a, pts b, pts c
+  WHERE (a.x, a.y) <> (p.x, p.y) AND (b.x, b.y) <> (p.x, p.y)
+    AND (c.x, c.y) <> (p.x, p.y)
+    AND ((a.x, a.y) < (b.x, b.y)) AND ((b.x, b.y) < (c.x, c.y))
+    AND (
+      (((b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) >= 0
+        AND (c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x) >= 0
+        AND (a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x) >= 0)
+       OR
+       ((b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) <= 0
+        AND (c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x) <= 0
+        AND (a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x) <= 0))
+      AND NOT (
+        (b.x-a.x)*(p.y-a.y) - (b.y-a.y)*(p.x-a.x) = 0
+        AND (c.x-b.x)*(p.y-b.y) - (c.y-b.y)*(p.x-b.x) = 0
+        AND (a.x-c.x)*(p.y-c.y) - (a.y-c.y)*(p.x-c.x) = 0
+        AND NOT (p.x BETWEEN least(a.x, b.x, c.x) AND greatest(a.x, b.x, c.x)
+                 AND p.y BETWEEN least(a.y, b.y, c.y)
+                             AND greatest(a.y, b.y, c.y)))
+    )
+)
+SELECT x, y FROM pts
+EXCEPT SELECT x, y FROM covered
+ORDER BY x, y
 """

@@ -2187,3 +2187,71 @@ def test_cms_join_size_upper_bound_and_accuracy(spark):
     assert row["est"] >= exact
     assert row["est"] <= exact * 1.05 + 100
     assert len(row["rows"]) == 4 and all(r >= exact for r in row["rows"])
+
+
+# ---------------------------------------------------------------------------
+# Distributed convex hull (spark_joins.convex_hull)
+# ---------------------------------------------------------------------------
+
+def _py_extreme(pts):
+    """Brute-force extreme points: p is non-extreme iff covered by a
+    triangle of others (degenerate all-zero case requires bbox
+    containment — p on the same line but outside the segment is NOT
+    covered)."""
+    import itertools
+    pts = sorted(set(pts))
+    out = []
+    for p in pts:
+        others = [q for q in pts if q != p]
+        cov = False
+        for a, b, c in itertools.combinations(others, 3):
+            d1 = (b[0]-a[0])*(p[1]-a[1]) - (b[1]-a[1])*(p[0]-a[0])
+            d2 = (c[0]-b[0])*(p[1]-b[1]) - (c[1]-b[1])*(p[0]-b[0])
+            d3 = (a[0]-c[0])*(p[1]-c[1]) - (a[1]-c[1])*(p[0]-c[0])
+            same = ((d1 >= 0 and d2 >= 0 and d3 >= 0)
+                    or (d1 <= 0 and d2 <= 0 and d3 <= 0))
+            if not same:
+                continue
+            if d1 == 0 and d2 == 0 and d3 == 0:
+                xs = [a[0], b[0], c[0]]
+                ys = [a[1], b[1], c[1]]
+                if not (min(xs) <= p[0] <= max(xs)
+                        and min(ys) <= p[1] <= max(ys)):
+                    continue
+            cov = True
+            break
+        if not cov:
+            out.append(p)
+    return out
+
+
+def test_convex_hull_matches_bruteforce_and_partitioning(spark):
+    """Extreme points equal the brute-force definition on random +
+    collinear + duplicate points, identically at 2 and 16 partitions
+    (hull-of-hulls associativity); float coords refused."""
+    import numpy as _np
+    import pandas as _pd
+    import pytest as _pytest
+    from geo_sim_processing_a_spark.operators.spark_joins import convex_hull
+    rng = _np.random.default_rng(23)
+    pts = [(int(rng.integers(-100, 100)), int(rng.integers(-100, 100)))
+           for _ in range(60)]
+    pts += [(x, 0) for x in range(-150, 160, 30)]   # collinear run
+    pts += pts[:5]                                   # duplicates
+    pdf = _pd.DataFrame(pts, columns=["x", "y"])
+    want = _py_extreme(pts)
+    for parts in (2, 16):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = sorted((r["x"], r["y"]) for r in convex_hull(df).collect())
+        assert got == want, parts
+    gdf = spark.createDataFrame(pdf.assign(g=["a" if x < 0 else "b"
+                                              for x, _ in pts]))
+    per = convex_hull(gdf, ["g"]).collect()
+    for g in ("a", "b"):
+        want_g = _py_extreme([p for p in pts
+                              if (p[0] < 0) == (g == "a")])
+        got_g = sorted((r["x"], r["y"]) for r in per if r["g"] == g)
+        assert got_g == want_g, g
+    with _pytest.raises(ValueError, match="integer"):
+        convex_hull(spark.createDataFrame(
+            _pd.DataFrame({"x": [0.5], "y": [1.0]})))
