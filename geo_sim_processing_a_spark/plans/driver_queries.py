@@ -1619,6 +1619,8 @@ def all_queries():
         "q_retention": q_retention,
         "q_hll_overlap": q_hll_overlap,
         "q_convex_hull": q_convex_hull,
+        "q10_returned_items": q10_returned_items,
+        "q_correlated_subquery": q_correlated_subquery,
         "q_text_features": q_text_features,
         "q_cell_encode": q_cell_encode,
         "q_cell_stats": q_cell_stats,
@@ -2391,6 +2393,8 @@ def all_oracles():
         "q_retention": SQL_RETENTION,
         "q_hll_overlap": _sql_hll_overlap(),
         "q_convex_hull": SQL_CONVEX_HULL,
+        "q10_returned_items": SQL_Q10,
+        "q_correlated_subquery": SQL_CORRELATED,
         "q_text_features": _sql_text_features(),
         "q_cell_encode": SQL_CELL_ENCODE,
         "q_cell_stats": SQL_CELL_STATS,
@@ -3781,4 +3785,86 @@ covered AS (
 SELECT x, y FROM pts
 EXCEPT SELECT x, y FROM covered
 ORDER BY x, y
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classic relational additions: TPC-H Q10 shape + a correlated scalar
+# subquery (Catalyst decorrelation surface)
+# ---------------------------------------------------------------------------
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer —
+    4-way join (customer x orders x lineitem(filtered) x broadcast
+    nation), DECIMAL-exact revenue, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(28,8)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(28,8)"))
+    return (li.where(F.col("l_returnflag") == "R")
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("decimal(28,8)").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))
+                * CAST(1.0 - l_discount AS DECIMAL(28,8)))
+            AS DECIMAL(28,8)) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_correlated_subquery(spark, sf_dir):
+    """Parts whose cheapest sale is below 30% of the part's average
+    sale price — TWO correlated scalar subqueries Catalyst
+    decorrelates into aggregates + joins (never a per-row loop).  The
+    threshold is the exact cross-multiplication
+    min*10*n < 3*sum over DECIMAL(28,8), so no float (or decimal
+    division scale rule) ever sits on the decision boundary."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_cs")
+    return spark.sql("""
+        SELECT l_partkey, CAST(min_price AS DECIMAL(28,8)) AS min_price
+        FROM (
+          SELECT l_partkey,
+                 min(CAST(l_extendedprice AS DECIMAL(28,8))) AS min_price
+          FROM li_cs GROUP BY l_partkey
+        ) m
+        WHERE min_price * 10 *
+              (SELECT count(*) FROM li_cs i
+               WHERE i.l_partkey = m.l_partkey)
+              < 3 * (SELECT sum(CAST(l_extendedprice AS DECIMAL(28,8)))
+                     FROM li_cs i WHERE i.l_partkey = m.l_partkey)
+        ORDER BY l_partkey
+    """)
+
+
+SQL_CORRELATED = """
+SELECT l_partkey, CAST(min_price AS DECIMAL(28,8)) AS min_price
+FROM (
+  SELECT l_partkey,
+         min(CAST(l_extendedprice AS DECIMAL(28,8))) AS min_price
+  FROM lineitem GROUP BY l_partkey
+) m
+WHERE min_price * 10 *
+      (SELECT count(*) FROM lineitem i WHERE i.l_partkey = m.l_partkey)
+      < 3 * (SELECT sum(CAST(l_extendedprice AS DECIMAL(28,8)))
+             FROM lineitem i WHERE i.l_partkey = m.l_partkey)
+ORDER BY l_partkey
 """
