@@ -233,7 +233,10 @@ def main():
                  "q_hll_distinct", "q_cms_freq", "q_hist_quantiles",
                  "q_chunk_docs", "q_weighted_sample", "q_postings",
                  "q_poly_join", "q_segment_join",
-                 "q_cell_distinct_pyramid"]:
+                 "q_cell_distinct_pyramid",
+                 # session-2 batch 2/3 (analytics + cross-corpus dedup)
+                 "q_minhash_cross_dedup", "q_gap_fill", "q_moving_avg",
+                 "q_retention"]:
         # best-of-2: the round-5 adjudication showed single-shot lines
         # are still inside JVM-JIT/codegen warmup (q_minhash measured
         # 5.8 -> 2.1 -> 1.64 s across reps); rep 2 is the comparable
