@@ -121,14 +121,21 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
     per_doc = (toks.groupBy("term", "_id")
                .agg(F.sort_array(F.collect_list("pos")).alias("positions"),
                     F.count(F.lit(1)).alias("tf")))
-    rows = (per_doc.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df"),
-                 F.sum("tf").alias("total_tf"),
-                 F.sort_array(F.collect_list(
-                     F.struct("_id", "tf", "positions"))).alias("_p")))
-    pruned = rows.where(F.col("df") >= F.lit(min_df))
+    # TWO-PHASE build: prune by df BEFORE any collect_list — otherwise
+    # a stop word materializes O(n_docs) of aggregation state that
+    # max_df only discards afterwards.  The df table is a cheap count
+    # agg over per_doc; the semi-join keeps only in-range terms, so
+    # the collect stage's per-group state is bounded by max_df.
+    df_tbl = (per_doc.groupBy("term")
+              .agg(F.count(F.lit(1)).alias("df"),
+                   F.sum("tf").alias("total_tf")))
+    kept = df_tbl.where(F.col("df") >= F.lit(min_df))
     if max_df is not None:
-        pruned = pruned.where(F.col("df") <= F.lit(max_df))
+        kept = kept.where(F.col("df") <= F.lit(max_df))
+    pruned = (per_doc.join(kept, "term")
+              .groupBy("term", "df", "total_tf")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("_id", "tf", "positions"))).alias("_p")))
     return pruned.select(
         "term", "df", "total_tf",
         F.transform("_p", lambda x: x["_id"]).alias("doc_ids"),
