@@ -332,6 +332,29 @@ def cell_cover_bbox_col(minx, miny, maxx, maxy, res: int):
                                lambda iy: cell_encode_ixiy_col(ix, iy, res))))
 
 
+def pick_res(minx: float, miny: float, maxx: float, maxy: float,
+             target_cells: int = 256, max_res: int = 15) -> int:
+    """Adaptive grid resolution for the exact-integer joins (VERDICT r5
+    #6): the COARSEST res whose grid lays >= ``target_cells`` cells
+    over the data extent, so the cell equi-join always has O(100-1k)
+    distinct keys regardless of whether the data spans the globe or a
+    city block.  A res hardcoded for one extent collapses to a handful
+    of join keys on another (res 6 over a +-9 degree extent gave ~30
+    occupied cells and near-zero join parallelism — the round-5
+    scale-killer).  Any res yields IDENTICAL join output (bbox covers +
+    the reference-point rule are res-independent); res only tunes the
+    candidate volume / parallelism trade."""
+    import math
+    w = max(float(maxx) - float(minx), 1e-12)
+    h = max(float(maxy) - float(miny), 1e-12)
+    for res in range(max_res + 1):
+        nx = max(1, math.ceil(w / (360.0 / (1 << res))))
+        ny = max(1, math.ceil(h / (180.0 / (1 << res))))
+        if nx * ny >= target_cells:
+            return res
+    return max_res
+
+
 _INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
@@ -395,9 +418,16 @@ def diamond_join(left: DataFrame, right: DataFrame, res: int = 6,
       - the exact refine is diamond_sat_intersects: four integer
         separating-axis inequalities, whole-stage codegen.
     """
+    from .dedup import _ensure_parallelism
     sc = float(scale)
     _require_integral(left, ["acx", "acy", "aw", "ah"], "diamond_join")
     _require_integral(right, ["bcx", "bcy", "bw", "bh"], "diamond_join")
+    # small scans arrive as ONE split; the refine predicate then runs
+    # single-task however many candidate rows the cell join fans out
+    # (round-5: 18+ s wall vs ~1 CPU busy).  No-op at scale, where the
+    # inputs carry more splits than cores.
+    left = _ensure_parallelism(left)
+    right = _ensure_parallelism(right)
     la = left.select(
         "a_id", "acx", "acy", "aw", "ah",
         F.explode(cell_cover_bbox_col(
@@ -469,9 +499,13 @@ def segment_join(left: DataFrame, right: DataFrame, res: int = 6,
     cover of each segment -> equi-join on cell -> integer bbox
     prefilter -> reference-point dedup -> exact integer CCW refine
     (segments_intersect_cols)."""
+    from .dedup import _ensure_parallelism
     sc = float(scale)
     _require_integral(left, ["ax1", "ay1", "ax2", "ay2"], "segment_join")
     _require_integral(right, ["bx1", "by1", "bx2", "by2"], "segment_join")
+    # see diamond_join: probe-side parallelism floor for small scans
+    left = _ensure_parallelism(left)
+    right = _ensure_parallelism(right)
 
     def covered(df, pfx, id_col):
         minx = F.least(F.col(f"{pfx}x1"), F.col(f"{pfx}x2"))

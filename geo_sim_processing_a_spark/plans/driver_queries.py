@@ -2975,15 +2975,38 @@ def _diamonds_from_supplier(spark, sf_dir):
                     (F.lit(300) + (k % 13) * 180).cast("long").alias("bh"))
 
 
+def _joined_extent(spark, frames, scale: float = 1000.0):
+    """Union bbox of several (df, minx_col, miny_col, maxx_col,
+    maxy_col) geometry frames in DEGREES — a 4-scalar driver agg (the
+    adjudicated bounded-scalar idiom, cf. derive_epsilon) that feeds
+    pick_res so the join grid follows the data extent instead of a
+    hardcoded resolution."""
+    parts = [df.select(mnx.alias("mnx"), mny.alias("mny"),
+                       mxx.alias("mxx"), mxy.alias("mxy"))
+             for df, mnx, mny, mxx, mxy in frames]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    row = u.agg(F.min("mnx"), F.min("mny"),
+                F.max("mxx"), F.max("mxy")).collect()[0]
+    return tuple(float(v) / scale for v in row)
+
+
 def q_poly_join(spark, sf_dir):
     """Diamond-diamond intersects join — grid cell-cover candidates,
     reference-point dedup, exact integer SAT refine; every stage is
     JVM Column arithmetic (no Python worker in the plan, gated in
-    tests)."""
-    from ..operators.spark_joins import diamond_join
+    tests).  Resolution is extent-adaptive (pick_res): identical output
+    at any res, but the cell equi-join keeps O(100+) distinct keys."""
+    from ..operators.spark_joins import diamond_join, pick_res
     a = _diamonds_from_nation(spark, sf_dir)
     b = _diamonds_from_supplier(spark, sf_dir)
-    return diamond_join(a, b, res=6).orderBy("a_id", "b_id")
+    ext = _joined_extent(spark, [
+        (a, F.col("acx") - F.col("aw"), F.col("acy") - F.col("ah"),
+         F.col("acx") + F.col("aw"), F.col("acy") + F.col("ah")),
+        (b, F.col("bcx") - F.col("bw"), F.col("bcy") - F.col("bh"),
+         F.col("bcx") + F.col("bw"), F.col("bcy") + F.col("bh"))])
+    return diamond_join(a, b, res=pick_res(*ext)).orderBy("a_id", "b_id")
 
 
 def _sql_sat_hit() -> str:
@@ -3141,11 +3164,19 @@ def _segments_from_supplier(spark, sf_dir):
 def q_segment_join(spark, sf_dir):
     """Which customer segments cross which supplier segments — grid
     cell-cover candidates, reference-point dedup, exact integer CCW
-    refine; no Python stage anywhere in the plan."""
-    from ..operators.spark_joins import segment_join
+    refine; no Python stage anywhere in the plan.  Resolution is
+    extent-adaptive (pick_res — the round-5 scale-killer fix: res 6
+    over this +-9 degree extent left ~30 occupied cells, so per-cell
+    candidates grew quadratically and the refine ran near-serial)."""
+    from ..operators.spark_joins import pick_res, segment_join
     a = _segments_from_customer(spark, sf_dir)
     b = _segments_from_supplier(spark, sf_dir)
-    return segment_join(a, b, res=6).orderBy("a_id", "b_id")
+    ext = _joined_extent(spark, [
+        (a, F.least("ax1", "ax2"), F.least("ay1", "ay2"),
+         F.greatest("ax1", "ax2"), F.greatest("ay1", "ay2")),
+        (b, F.least("bx1", "bx2"), F.least("by1", "by2"),
+         F.greatest("bx1", "bx2"), F.greatest("by1", "by2"))])
+    return segment_join(a, b, res=pick_res(*ext)).orderBy("a_id", "b_id")
 
 
 def _sql_seg_hit() -> str:

@@ -1910,6 +1910,48 @@ def test_segment_join_matches_bruteforce(spark):
     assert hand & set(got) == {(60, 60), (61, 61), (62, 62), (65, 65)}
 
 
+def test_pick_res_follows_extent():
+    """pick_res targets O(100+) occupied cells across wildly different
+    extents (VERDICT r5 #6) — a hardcoded res cannot do both ends."""
+    from geo_sim_processing_a_spark.operators.spark_joins import pick_res
+    import math
+
+    def occupied(res, w, h):
+        return (max(1, math.ceil(w / (360.0 / (1 << res))))
+                * max(1, math.ceil(h / (180.0 / (1 << res)))))
+
+    # global extent: coarse grid suffices
+    r_globe = pick_res(-180, -90, 180, 90)
+    assert occupied(r_globe, 360, 180) >= 256
+    # the sf0.1 segment-join extent (+-10 degrees): needs res ~8
+    r_mid = pick_res(-10.2, -10.2, 9.95, 9.945)
+    assert r_mid > r_globe
+    assert occupied(r_mid, 20.15, 20.145) >= 256
+    # city-block extent: much finer still
+    r_city = pick_res(13.30, 52.45, 13.50, 52.55)
+    assert r_city > r_mid
+    assert occupied(r_city, 0.2, 0.1) >= 256
+    # coarser target -> coarser res; never exceeds max_res
+    assert pick_res(-10, -10, 10, 10, target_cells=16) <= r_mid
+    assert pick_res(0, 0, 1e-9, 1e-9) == 15
+
+
+def test_segment_join_adaptive_res_output_identical(spark):
+    """The extent-adaptive q_segment_join emits EXACTLY the pairs the
+    round-5 hardcoded res=6 call produced (res only tunes candidate
+    volume; bbox covers + the reference-point rule are res-exact)."""
+    from geo_sim_processing_a_spark.operators.spark_joins import segment_join
+    from geo_sim_processing_a_spark.plans.driver_queries import (
+        _segments_from_customer, _segments_from_supplier, all_queries)
+    sf = "/root/testdata/sf0.001"
+    a = _segments_from_customer(spark, sf)
+    b = _segments_from_supplier(spark, sf)
+    old = sorted(map(tuple, segment_join(a, b, res=6).collect()))
+    new = sorted(map(tuple, all_queries()["q_segment_join"](spark, sf)
+                     .collect()))
+    assert new == old and len(new) > 0
+
+
 def test_segment_join_plan_fully_jvm(spark):
     from geo_sim_processing_a_spark.plans.driver_queries import all_queries
     df = all_queries()["q_segment_join"](spark, "/root/testdata/sf0.001")
