@@ -38,13 +38,21 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
 
     Returns the surviving rows with ``n_tokens``, ``top_share`` and
     ``split`` columns added."""
+    reps = dedup_reps(docs, id_col, text_col)
+    return _quality_and_split(reps, id_col, text_col, min_tokens,
+                              max_top_share, ngram_n)
+
+
+def dedup_reps(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Exact-dedup representative rows: one partial-aggregated
+    groupBy(md5).min_by — map-side combine, never a window sort over
+    every row (plan-gated in tests/test_plans.py)."""
     rep_struct = F.struct(*[F.col(c) for c in docs.columns])
-    reps = (docs
+    return (docs
             .groupBy(F.md5(F.col(text_col).cast("binary")).alias("_text_md5"))
             .agg(F.min_by(rep_struct, F.col(id_col)).alias("_rep"))
             .select("_rep.*"))
-    return _quality_and_split(reps, id_col, text_col, min_tokens,
-                              max_top_share, ngram_n)
 
 
 def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
@@ -54,8 +62,14 @@ def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
     and web front ends): token floor + repetition ceiling computed on
     ``text_col``, then the deterministic content-addressed split keyed
     on ``split_col`` (defaults to ``text_col``)."""
-    reps = reps.withColumn(
+    # materialize ONCE: the survivor frame feeds BOTH the gram stats
+    # subtree and the join's probe side; as a plan tree the whole
+    # upstream (dedup agg / LSH clustering / web-synth chain) would
+    # otherwise execute twice (r6 plan audit: q_curation_web replayed
+    # the documents scan 64x through stacked re-references)
+    reps = (reps.withColumn(
         "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long"))
+        .localCheckpoint(eager=False))
     rep = repetition_stats(reps, n=ngram_n, id_col=id_col,
                            text_col=text_col).select("doc_id", "top_share")
     out = (reps.join(rep, reps[id_col] == rep["doc_id"])
@@ -94,6 +108,10 @@ def curate_web_pages(pages: DataFrame, id_col: str = "doc_id",
     from .pii import redact_pii
     from .urls import domain_cap, normalize_urls
 
+    # materialize the raw pages ONCE: four plan branches reference them
+    # (url normalize, boilerplate frequency, line strip keyed + base) —
+    # as a tree each branch would re-run the whole upstream synth/scan
+    pages = pages.localCheckpoint(eager=False)
     u = (normalize_urls(pages.select(id_col, url_col), url_col=url_col)
          .select(id_col, "domain"))                                # 1
     if boiler_keys is None:

@@ -204,7 +204,11 @@ def domain_cap(docs: DataFrame, cap: int, domain_col: str = "domain",
     # into the uncapped pass-through (review r5).  \x00 cannot appear
     # in a real registrable domain.
     dkey = F.coalesce(F.col(domain_col), F.lit("\x00")).alias("_dk")
-    keyed = docs.withColumn("_dk", dkey)
+    # materialize ONCE: three plan branches reference the keyed input
+    # (counts, cold pass-through, hot window) and Spark plans are trees
+    # — without the checkpoint the whole upstream chain runs 3x (r6:
+    # this tripled the synth+regex chain in q_domain_cap/q_curation_web)
+    keyed = docs.withColumn("_dk", dkey).localCheckpoint(eager=False)
     counts = keyed.groupBy("_dk").agg(F.count("*").alias("_n"))
     hot = counts.where(F.col("_n") > cap).select("_dk")
     cold = keyed.join(F.broadcast(hot), "_dk", "left_anti")
