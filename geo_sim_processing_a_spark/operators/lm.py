@@ -70,7 +70,14 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
     Returns (doc_id, n_bigrams, ce) — lower ce = more fluent under the
     corpus model (CCNet "head").
     """
-    toks = _tokens_with_pos(docs, id_col, text_col)
+    from .dedup import _ensure_parallelism
+
+    # parallelism floor (single-split scans would tokenize on one
+    # task) + materialize the token stream ONCE: three plan branches
+    # consume it (vocab count, vocab table, bigram lag), and as a plan
+    # tree each would re-run the tokenize/explode
+    toks = (_tokens_with_pos(_ensure_parallelism(docs), id_col, text_col)
+            .localCheckpoint(eager=False))
     vocab = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
              .where(F.col("c") >= min_count)
              .select("term", F.lit(1).alias("_in")))
@@ -103,18 +110,34 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
 
     denom_add = float(k) * (n_vocab + 1)
     # integer-quantized log-prob (units of 1e-7): exact under any
-    # summation order; |logp| < 25 so m * logp7 stays far inside long
-    logp7 = F.round(F.log((F.col("c_vw") + F.lit(float(k)))
-                          / (F.col("c_v") + F.lit(denom_add)))
-                    * F.lit(1e7), 0).cast("long")
+    # summation order; |logp| < 25 so m * logp7 stays far inside long.
+    # Rounding mimics C round() (half away from zero on the BINARY
+    # value, -floor(-y + 0.5) for y <= 0) rather than F.round's
+    # BigDecimal-on-decimal-string HALF_UP: the DuckDB twin rounds the
+    # binary double, and the two disagree on tie-adjacent values —
+    # the r5 driver hash mismatch (the mimic is empirically exact on
+    # 400k adversarial samples incl. exact .5 ties; 0.5 is a multiple
+    # of ulp at every magnitude here, so floor(-y + 0.5) is exact).
+    y = F.log((F.col("c_vw") + F.lit(float(k)))
+              / (F.col("c_v") + F.lit(denom_add))) * F.lit(1e7)
+    logp7 = (-F.floor(-y + F.lit(0.5))).cast("long")
     scored = (per_doc_vw
               .join(bi, ["v", "w"])
               .join(ctx, "v")
               .withColumn("logp7", logp7))
+    # ce: identical operand-by-operand to the DuckDB twin's
+    # round(-sum(m*logp7) / (1e7*sum(m)), 6) — exact integer sums cast
+    # to double, one IEEE divide, then the same binary half-up mimic
+    # (DuckDB round(x, p) is std::round(x*10^p)/10^p on doubles).
+    # n_bigrams is emitted as DOUBLE to match the twin's pandas dtype:
+    # DuckDB sum(BIGINT) is HUGEINT, which lands as float64 — the
+    # driver's canon distinguishes 500.0 from 500 (r5 lesson).
+    x = (-F.sum(F.col("m") * F.col("logp7"))).cast("double") \
+        / (F.lit(1e7) * F.sum("m"))
+    ce = F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return (scored.groupBy("doc_id")
-            .agg(F.sum("m").alias("n_bigrams"),
-                 F.round(-F.sum(F.col("m") * F.col("logp7"))
-                         / (F.lit(1e7) * F.sum("m")), 6).alias("ce")))
+            .agg(F.sum("m").cast("double").alias("n_bigrams"),
+                 ce.alias("ce")))
 
 
 def perplexity_buckets(scores: DataFrame, head_ce: float,

@@ -44,16 +44,20 @@ def bm25_search(docs: DataFrame, query_terms: list[str], k: int = 20,
     score7 = the integer-quantized score in 1e-7 units (divide by 1e7
     for the conventional float score).  Duplicate query terms are
     collapsed; documents matching no term are absent."""
+    from .dedup import _ensure_parallelism
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
-    toks = (docs.select(
+    toks = (_ensure_parallelism(docs).select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
         .alias("term"))
         .where(F.col("term") != ""))
-    # document length over the full stream; one hash-agg on _id
-    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
+    # document length over the full stream; one hash-agg on _id —
+    # materialized once (the corpus-scalar collect and the scoring
+    # join both read it; one row per doc, tiny)
+    dl = (toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
+          .localCheckpoint(eager=False))
     # bounded 1-row collect for the two corpus scalars (tfidf-N idiom)
     n_docs, total_tokens = dl.agg(
         F.count(F.lit(1)), F.sum("dl")).first()
@@ -113,14 +117,18 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"min_df must be >= 1, got {min_df}")
     if max_df is not None and max_df < min_df:
         raise ValueError(f"max_df {max_df} < min_df {min_df}")
-    toks = (docs.select(
+    from .dedup import _ensure_parallelism
+    toks = (_ensure_parallelism(docs).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
         .alias("pos", "term"))
         .where(F.col("term") != ""))
+    # materialized once — the df-prune table and the final collect
+    # both read it (this IS the index build's persisted intermediate)
     per_doc = (toks.groupBy("term", "_id")
                .agg(F.sort_array(F.collect_list("pos")).alias("positions"),
-                    F.count(F.lit(1)).alias("tf")))
+                    F.count(F.lit(1)).alias("tf"))
+               .localCheckpoint(eager=False))
     # TWO-PHASE build: prune by df BEFORE any collect_list — otherwise
     # a stop word materializes O(n_docs) of aggregation state that
     # max_df only discards afterwards.  The df table is a cheap count
@@ -162,14 +170,19 @@ def phrase_search(docs: DataFrame, phrase: list[str],
     table you would persist once (build_postings keeps the same
     positions); here it runs straight off the corpus so the oracle
     can rebuild it."""
+    from .dedup import _ensure_parallelism
     if not phrase:
         raise ValueError("phrase must be non-empty")
     terms = list(phrase)
+    docs = _ensure_parallelism(docs)
+    # filtered to the phrase's terms, then materialized once — every
+    # per-term join branch reads it instead of re-scanning the corpus
     toks = (docs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
         .alias("pos", "term"))
-        .where(F.col("term").isin(sorted(set(terms)))))
+        .where(F.col("term").isin(sorted(set(terms))))
+        .localCheckpoint(eager=False))
     base = (toks.where(F.col("term") == terms[0])
             .select("_id", F.col("pos").alias("p0")))
     for i, t in enumerate(terms[1:], start=1):

@@ -44,27 +44,40 @@ def _clean_tokens(text_col: str):
                     lambda x: x != "")
 
 
-def _token_ngrams(toks, n: int):
-    """Space-joined n-grams of a token-array column (word_ngrams'
-    transform/slice/concat_ws shape, over an already-clean array)."""
+def _token_gram_slices(toks, n: int):
+    """Array of n-token SLICES of a token-array column — the gram as a
+    subarray, never a concatenated string: two windows are duplicates
+    iff their token sequences are equal, and (tokens contain no
+    whitespace) token-sequence equality == joined-string equality, so
+    hashing the slice directly skips the O(n·k·len) concat_ws char
+    copying the string form paid TWICE (both counting passes rebuilt
+    every gram string; r6 measurement)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return F.when(F.size(toks) >= n, grams).otherwise(F.slice(toks, 1, 0))
+        lambda i: F.slice(toks, i, n))
+    empty = F.transform(F.slice(toks, 1, 0), lambda t: F.array(t))
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
 
 
 def _dup_positions(docs: DataFrame, k: int, min_occurrences: int,
                    id_col: str, text_col: str) -> DataFrame:
     """(doc_id, pos) of every token position whose k-gram window occurs
     >= min_occurrences times corpus-wide.  pos is the 0-based token
-    index of the window start."""
-    wins = (docs.select(
+    index of the window start.
+
+    The shuffle key is the 12-byte (xxhash64, murmur3) double hash of
+    the token slice — same equivalence classes as the gram string
+    (see _token_gram_slices), ~96 bits against collisions at 10^13
+    windows; the DuckDB oracle still groups the gram STRING itself, so
+    it remains the standing collision check."""
+    from .dedup import _ensure_parallelism
+    wins = (_ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(_token_ngrams(_clean_tokens(text_col), k))
+        F.posexplode(_token_gram_slices(_clean_tokens(text_col), k))
         .alias("pos", "gram"))
         .select("doc_id", "pos",
                 F.xxhash64("gram").alias("gh"),
-                F.length("gram").alias("gl")))
+                F.hash("gram").alias("gl")))
     hot = (wins.groupBy("gh", "gl").agg(F.count(F.lit(1)).alias("c"))
            .where(F.col("c") >= min_occurrences)
            .select("gh", "gl"))
@@ -85,17 +98,26 @@ def duplicate_spans(docs: DataFrame, k: int = 8, min_occurrences: int = 2,
     dup = _dup_positions(docs, k, min_occurrences, id_col, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")
     # gaps-and-islands: window starts at pos p and p' merge when
-    # p' <= p + k (their covered token ranges touch or overlap)
+    # p' <= p + k (their covered token ranges touch or overlap).
+    # span_id is emitted as DOUBLE: the DuckDB twin's sum() OVER is
+    # HUGEINT, which lands in pandas as float64, and the driver's
+    # canon distinguishes 2.0 from 2 — the actual r5 hash-mismatch
+    # cause (values are small exact integers either way)
     spans = (dup
              .withColumn("new_span",
                          F.when(F.col("pos") > F.lag("pos").over(w) + k, 1)
                          .when(F.lag("pos").over(w).isNull(), 1)
                          .otherwise(0))
              .withColumn("span_id", F.sum("new_span").over(
-                 w.rowsBetween(Window.unboundedPreceding, 0))))
+                 w.rowsBetween(Window.unboundedPreceding, 0))
+                 .cast("double")))
+    # BIGINT outputs: posexplode yields int32 positions, but every
+    # integer column a query exposes must be int64 — the driver's
+    # value hash is dtype-sensitive and the DuckDB twin produces
+    # BIGINT (the r5 q_dup_spans hash mismatch)
     return (spans.groupBy("doc_id", "span_id")
-            .agg(F.min("pos").alias("start_pos"),
-                 (F.max("pos") + F.lit(k - 1)).alias("end_pos"))
+            .agg(F.min("pos").cast("long").alias("start_pos"),
+                 (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_pos"))
             .withColumn("n_tokens",
                         F.col("end_pos") - F.col("start_pos") + 1))
 
@@ -114,7 +136,8 @@ def strip_duplicate_spans(docs: DataFrame, k: int = 8,
     sequence explode, the token stream anti-joins them, and the
     surviving tokens concat back in position order — explode, two
     doc_id-keyed shuffles, no UDF."""
-    toks = docs.select(
+    from .dedup import _ensure_parallelism
+    toks = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_clean_tokens(text_col)).alias("pos", "term"))
     covered = (duplicate_spans(docs, k, min_occurrences, id_col, text_col)

@@ -219,7 +219,9 @@ def ngram_topk(docs: DataFrame, n: int = 3, k: int = 50,
     shuffle is ONE partial+final hash-agg on the gram, and the top-k is
     TakeOrdered (per-partition partial top-k, never a full sort).
     Deterministic tie-break: count desc, gram asc."""
-    g = docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    from .dedup import _ensure_parallelism
+    g = (_ensure_parallelism(docs)
+         .select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram")))
     return (g.groupBy("gram").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("gram")).limit(k))
 
@@ -242,9 +244,11 @@ def ngram_contamination(docs: DataFrame, probes: DataFrame, n: int = 5,
                            .alias("gram"))
                    .distinct()
                    .withColumn("_hit", F.lit(1)))
-    doc_grams = docs.select(F.col(id_col).alias("doc_id"),
-                            F.explode(word_ngrams(F.col(text_col), n))
-                            .alias("gram"))
+    from .dedup import _ensure_parallelism
+    doc_grams = (_ensure_parallelism(docs)
+                 .select(F.col(id_col).alias("doc_id"),
+                         F.explode(word_ngrams(F.col(text_col), n))
+                         .alias("gram")))
     return (doc_grams
             .join(F.broadcast(probe_grams), "gram", "left")
             .groupBy("doc_id")
@@ -283,10 +287,15 @@ def jaccard_contamination(docs: DataFrame, probes: DataFrame,
                         .alias("gram"))
           .distinct())
     pg_n = pg.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_probe"))
-    dg = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(word_ngrams(F.col(text_col), n))
-                      .alias("gram"))
-          .distinct())
+    from .dedup import _ensure_parallelism
+    # parallelism floor + materialize the distinct-gram table once:
+    # both the per-doc size agg and the intersection join consume it
+    dg = (_ensure_parallelism(docs)
+          .select(F.col(id_col).alias("doc_id"),
+                  F.explode(word_ngrams(F.col(text_col), n))
+                  .alias("gram"))
+          .distinct()
+          .localCheckpoint(eager=False))
     dg_n = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc"))
     inter = (dg.join(F.broadcast(pg), "gram")
              .groupBy("doc_id", "probe_id")
@@ -311,8 +320,10 @@ def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 
     Two-level hash-agg — (doc, gram) counts then per-doc max/sum — both
     partial-aggregated map-side; no UDF anywhere."""
-    g = docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    from .dedup import _ensure_parallelism
+    g = (_ensure_parallelism(docs)
+         .select(F.col(id_col).alias("doc_id"),
+                 F.explode(word_ngrams(F.col(text_col), n)).alias("gram")))
     per_gram = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     return (per_gram.groupBy("doc_id")
             .agg(F.sum("c").alias("n_grams"),
@@ -355,12 +366,15 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     (same bounded-driver-scalar idiom as the epsilon derivation)."""
     from pyspark.sql.window import Window
 
+    from .dedup import _ensure_parallelism
     n_docs = docs.count()
-    toks = docs.select(
+    toks = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
         .alias("term")).where(F.col("term") != "")
-    td = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once: the df table and the scoring join both read it
+    td = (toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=False))
     df_tbl = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (td.join(df_tbl, "term")
               .withColumn("score",
