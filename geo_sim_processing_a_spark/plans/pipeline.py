@@ -318,10 +318,28 @@ def simplify_tiles(geoms_with_cells: DataFrame, diameter_tol: float = 0.004,
     has_salt = "salt" in geoms_with_cells.columns
     spark = geoms_with_cells.sparkSession
     if n_buckets is None:
-        # several waves of tasks: per-tile kernel cost is heterogeneous,
-        # so more-tasks-than-cores evens out stragglers (measured ~40%
-        # idle core-time with 1 task per core)
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
+        # SIZE-ADAPTIVE bucket count (guide §2: partitioning must not
+        # be a constant tuned for one scale).  Big inputs get several
+        # waves of tasks (per-tile kernel cost is heterogeneous, so
+        # more-tasks-than-cores evens out stragglers — measured ~40%
+        # idle core-time with 1 task per core at capacity size), but a
+        # fixed P*4 at SMALL inputs pays ~0.4 CPU-s of per-task
+        # JVM+Python overhead for sub-ms buckets (r6: the transport-
+        # only stage cost 63 CPU-s at 128 buckets vs 23 at 32 for the
+        # same 59k rows).  The optimizer's sizeInBytes estimate is
+        # free (no extra job; exact for cached inputs) and sets the
+        # wave count: ~4 MB of geometry per bucket, floored at one
+        # full wave, capped at 4 waves.
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        try:
+            size = int(str(geoms_with_cells._jdf.queryExecution()
+                           .optimizedPlan().stats().sizeInBytes()))
+        except Exception:  # noqa: BLE001 - stats are best-effort
+            size = 0
+        if 0 < size < (1 << 50):  # a real estimate, not the unknown cap
+            n_buckets = max(p, min(p * 4, -(-size // (4 << 20))))
+        else:
+            n_buckets = p * 4
 
     # ONE shuffle: hash-partition by (cell, salt) — every tile lands
     # wholly in one partition — then run the kernel with mapInPandas,
