@@ -1293,7 +1293,12 @@ def q_chordal_axis(spark, sf_dir):
     from ..operators.skeleton import LAYER_SKELETON, chordal_axis_frame
 
     pages = _pages_from_documents(spark, sf_dir)
-    polys = pages_to_geoms(pages).where(F.col("kind") == 2)
+    # repartition breaks the synth->kernel mapInPandas CHAIN (two
+    # Python workers per core otherwise — the pipeline.py fusion
+    # lesson); only the kind==2 subset shuffles, and the kernel stage
+    # gets its own full-parallel wave
+    polys = (pages_to_geoms(pages).where(F.col("kind") == 2)
+             .repartition(spark.sparkContext.defaultParallelism))
     frame = chordal_axis_frame(polys, correction=True)
     # polyline length JVM-side: sum of hypot over consecutive vertices
     idx = F.sequence(F.lit(1), F.greatest(F.size("xs") - 1, F.lit(0)))
@@ -1320,7 +1325,9 @@ def q_chordal_triangles(spark, sf_dir):
     from ..operators.skeleton import LAYER_TRIANGLE, chordal_axis_frame
 
     pages = _pages_from_documents(spark, sf_dir)
-    polys = pages_to_geoms(pages).where(F.col("kind") == 2)
+    # chain-break repartition: see q_chordal_axis
+    polys = (pages_to_geoms(pages).where(F.col("kind") == 2)
+             .repartition(spark.sparkContext.defaultParallelism))
     frame = chordal_axis_frame(polys, correction=True)
     tri = (frame.where(F.col("layer") == LAYER_TRIANGLE)
            .withColumn("row_chk", _geom_chk("part_id", "xs", "ys")))

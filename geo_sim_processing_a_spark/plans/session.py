@@ -35,6 +35,11 @@ def get_spark(app: str = "geo_sim_spark", cpus: int | None = None,
         .master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin the session TZ: date_trunc/unix_timestamp in the
+        # timeseries oracles assume the DuckDB twin's TZ-naive epoch
+        # semantics — host-TZ-independent only with an explicit UTC
+        # session zone (ADVICE r5)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -52,16 +52,19 @@ def test_pip_join_broadcasts_polygons(spark):
 
 def test_pip_join_single_exchange_after_broadcast(spark):
     """PIP join dedups by construction (one cell per point): exactly
-    ONE shuffle Exchange (the groupBy(cell) into the refine kernel) and
-    no post-refine distinct (round-3 VERDICT item #2)."""
+    ONE hash-partitioned Exchange (the groupBy(cell) into the refine
+    kernel) and no post-refine distinct (round-3 VERDICT item #2).
+    Since r6 a round-robin parallelism-floor exchange may precede the
+    scan (single-split inputs; no-op at scale) — it is not a
+    key-shuffle and stays excluded from the count."""
     from geo_sim_processing_a_spark.plans.driver_queries import (
         _boxes_from_nation, _points_from_orders)
     from geo_sim_processing_a_spark.operators.spark_joins import pip_join
     df = pip_join(_points_from_orders(spark, SF_DIR), _boxes_from_nation(spark, SF_DIR))
     plan = plan_of(df)
-    # BroadcastExchange feeds the join; shuffle exchanges are the rest
+    assert plan.count("Exchange hashpartitioning") == 1, plan
     n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
-    assert n_shuffles == 1, plan
+    assert n_shuffles <= 2, plan
 
 
 def test_whole_stage_codegen_on_relational(spark):

@@ -24,8 +24,14 @@ def canon_rows(cols, rows):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                v = f"{v:.6f}"
+            # numerics uniformly at 6 decimals: DuckDB HUGEINT columns
+            # fetch as Python int while the Spark twin may emit the
+            # value as double (e.g. span_id/n_bigrams, aligned to the
+            # driver canon's float64) — 24 and 24.0 are the same value.
+            # Dtype/bit-level discipline lives in tools/verify_strict.py.
+            if isinstance(v, float) or (isinstance(v, int)
+                                        and not isinstance(v, bool)):
+                v = f"{float(v):.6f}"
                 if v == "-0.000000":
                     v = "0.000000"
             vals.append(str(v))
