@@ -123,12 +123,12 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
         F.posexplode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
         .alias("pos", "term"))
         .where(F.col("term") != ""))
-    # materialized once — the df-prune table and the final collect
-    # both read it (this IS the index build's persisted intermediate)
+    # no checkpoint: per_doc's top is an Exchange, so the df-prune
+    # branch and the final collect share it via in-plan ReusedExchange
+    # (A/B: checkpoint was neutral-to-slower)
     per_doc = (toks.groupBy("term", "_id")
                .agg(F.sort_array(F.collect_list("pos")).alias("positions"),
-                    F.count(F.lit(1)).alias("tf"))
-               .localCheckpoint(eager=False))
+                    F.count(F.lit(1)).alias("tf")))
     # TWO-PHASE build: prune by df BEFORE any collect_list — otherwise
     # a stop word materializes O(n_docs) of aggregation state that
     # max_df only discards afterwards.  The df table is a cheap count

@@ -288,14 +288,14 @@ def jaccard_contamination(docs: DataFrame, probes: DataFrame,
           .distinct())
     pg_n = pg.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_probe"))
     from .dedup import _ensure_parallelism
-    # parallelism floor + materialize the distinct-gram table once:
-    # both the per-doc size agg and the intersection join consume it
+    # parallelism floor; dg's top is the distinct Exchange, so the
+    # per-doc size agg and the intersection join share it via in-plan
+    # ReusedExchange — no checkpoint needed
     dg = (_ensure_parallelism(docs)
           .select(F.col(id_col).alias("doc_id"),
                   F.explode(word_ngrams(F.col(text_col), n))
                   .alias("gram"))
-          .distinct()
-          .localCheckpoint(eager=False))
+          .distinct())
     dg_n = dg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_doc"))
     inter = (dg.join(F.broadcast(pg), "gram")
              .groupBy("doc_id", "probe_id")
@@ -372,9 +372,9 @@ def tfidf_keywords(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
         .alias("term")).where(F.col("term") != "")
-    # materialized once: the df table and the scoring join both read it
-    td = (toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-          .localCheckpoint(eager=False))
+    # td's top is an Exchange: the df table and the scoring join share
+    # it via in-plan ReusedExchange — no checkpoint needed
+    td = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_tbl = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (td.join(df_tbl, "term")
               .withColumn("score",

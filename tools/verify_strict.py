@@ -115,7 +115,14 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
             continue
-        ok, detail = compare(sdf, odf)
+        try:
+            ok, detail = compare(sdf, odf)
+        except TypeError as e:
+            # array-typed output columns cannot be pandas-sorted — the
+            # driver's canonicalizer has the same limitation (the r5
+            # q_postings err); report, don't crash the sweep
+            print(f"SKIP  {name}: canon-incompatible columns ({e})")
+            continue
         if ok:
             print(f"OK    {name}: {len(sdf)} rows bit-exact"
                   + (f"  [{detail}]" if detail else ""))
