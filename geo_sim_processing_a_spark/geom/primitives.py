@@ -59,11 +59,22 @@ def vertex_angles(coords: np.ndarray, is_closed: bool) -> np.ndarray:
 # areas / lengths / centroids
 # ---------------------------------------------------------------------------
 
+def _rot1(a: np.ndarray) -> np.ndarray:
+    """a rotated left by one — value-identical to np.roll(a, -1) but
+    without roll's normalize/concatenate machinery (hot path: the
+    kernels call the area/centroid helpers tens of thousands of times
+    per tile batch)."""
+    out = np.empty_like(a)
+    out[:-1] = a[1:]
+    out[-1] = a[0]
+    return out
+
+
 def signed_area(coords: np.ndarray) -> float:
     """Signed shoelace area of a ring; auto-closes (QgsPolygon closes an
     open ring, see comment at reduce_bend_algorithm.py:763)."""
     x, y = coords[:, 0], coords[:, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    return 0.5 * float(np.dot(x, _rot1(y)) - np.dot(_rot1(x), y))
 
 
 def ring_area(coords: np.ndarray) -> float:
@@ -86,7 +97,7 @@ def ring_centroid(coords: np.ndarray) -> tuple[float, float]:
     """Area-weighted polygon centroid (GEOS Centroid for a simple ring).
     Falls back to the vertex mean for degenerate (zero-area) rings."""
     x, y = coords[:, 0], coords[:, 1]
-    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    x2, y2 = _rot1(x), _rot1(y)
     cross = x * y2 - x2 * y
     a = cross.sum() / 2.0
     if a == 0.0:

@@ -48,7 +48,10 @@ def brute_topk(vectors: DataFrame, queries: DataFrame, k: int,
     """Exact cosine top-k of each query against all vectors.  The query
     side is broadcast (small); ranking is a window per query; ties by
     vec_id.  All JVM-side."""
-    joined = vectors.crossJoin(F.broadcast(queries))
+    from .dedup import _ensure_parallelism
+    # parallelism floor: a single-split vector scan would score every
+    # (vector, query) pair on one task (r6: 47 s serial at sf1.0)
+    joined = _ensure_parallelism(vectors).crossJoin(F.broadcast(queries))
     scored = joined.withColumn(
         "cos", _cosine(F.col(vec_col), F.col(qvec_col)))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos"), F.col(id_col))
@@ -135,6 +138,9 @@ def ivf_build_assignments(vectors: DataFrame, dim: int, n_lists: int = 16,
     #4).  TakeOrdered keeps only sample_n rows per partition, so this
     is ONE pass with no count() job and no full sort — works unchanged
     on filtered/derived inputs where a count() would be a full scan."""
+    from .dedup import _ensure_parallelism
+    vectors = _ensure_parallelism(vectors)  # single-split scans would
+    # run the assignment kernel (and the re-rank feed) on one task
     sample = np.array(
         [r[0] for r in vectors
          .orderBy(F.xxhash64(F.col(id_col)), id_col).limit(sample_n)
@@ -200,11 +206,14 @@ def lsh_self_near_dup(vectors: DataFrame, dim: int, threshold: float = 0.95,
     still be recalled as ``id_a`` through their other probes."""
     from .skew import frequency_cap
 
+    from .dedup import _ensure_parallelism
     bucket = lsh_bucket_udf(dim, n_planes)
     # local-checkpointed: the bucket UDF would otherwise re-run over
     # the full vector table for the guard's stats pass AND both join
-    # sides (see dedup.minhash_lsh_pairs for the trade-off note)
-    b = (vectors.withColumn("bucket", bucket(F.col(vec_col)))
+    # sides (see dedup.minhash_lsh_pairs for the trade-off note);
+    # parallelism floor first — single-split scans would bucket serially
+    b = (_ensure_parallelism(vectors)
+         .withColumn("bucket", bucket(F.col(vec_col)))
          .localCheckpoint(eager=False))
     # probe buckets: own + each 1-bit flip (multi-probe LSH)
     probes = F.array(F.col("bucket"),

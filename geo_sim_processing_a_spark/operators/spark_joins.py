@@ -337,6 +337,27 @@ def cell_cover_bbox_col(minx, miny, maxx, maxy, res: int):
                                lambda iy: cell_encode_ixiy_col(ix, iy, res))))
 
 
+def pick_res_for_spans(minx: float, miny: float, maxx: float, maxy: float,
+                       span: float, target_cells: int = 256,
+                       max_res: int = 15) -> int:
+    """Resolution for joins of EXTENDED geometries (segments/boxes of
+    typical axis span ``span`` degrees): bbox-cover candidate volume is
+    ~ n_a*n_b*(1 + span/c)^4 * c^2 / extent^2, minimized at cell size
+    c ~ span (cover ~4 cells/feature) — finer cells grow covers
+    quadratically, coarser cells grow per-cell occupancy.  Density
+    never moves this optimum; only the span does.  The extent-based
+    pick_res() still applies as a parallelism FLOOR (enough occupied
+    cells for the equi-join), and the result is capped at max_res.
+    Output is res-invariant, as for pick_res."""
+    import math
+    res_floor = pick_res(minx, miny, maxx, maxy, target_cells, max_res)
+    if span <= 0:
+        return res_floor
+    # lat cells are 180/2^res high (the tighter axis): aim c_lat ~ span
+    res_span = int(round(math.log2(max(180.0 / span, 1.0))))
+    return max(res_floor, min(res_span, max_res))
+
+
 def pick_res(minx: float, miny: float, maxx: float, maxy: float,
              target_cells: int = 256, max_res: int = 15) -> int:
     """Adaptive grid resolution for the exact-integer joins (VERDICT r5
@@ -512,29 +533,42 @@ def segment_join(left: DataFrame, right: DataFrame, res: int = 6,
     left = _ensure_parallelism(left)
     right = _ensure_parallelism(right)
 
+    # Join key = the RAW GRID INDEX PAIR (ix, iy), not the Morton cell:
+    # the cover is two plain sequence-explodes and the reference-point
+    # check two clamped floors.  The earlier Morton form inlined the
+    # 5-stage bit spread several times per candidate row — a generated
+    # method so large it degraded per-candidate cost ~10x at sf1.0
+    # volumes.  (ix, iy) <-> cell is a bijection at fixed res, so the
+    # candidate set, the dedup rule and the output are IDENTICAL.
     def covered(df, pfx, id_col):
         minx = F.least(F.col(f"{pfx}x1"), F.col(f"{pfx}x2"))
         maxx = F.greatest(F.col(f"{pfx}x1"), F.col(f"{pfx}x2"))
         miny = F.least(F.col(f"{pfx}y1"), F.col(f"{pfx}y2"))
         maxy = F.greatest(F.col(f"{pfx}y1"), F.col(f"{pfx}y2"))
-        return df.select(
+        return (df.select(
             id_col, f"{pfx}x1", f"{pfx}y1", f"{pfx}x2", f"{pfx}y2",
             minx.alias(f"{pfx}_minx"), maxx.alias(f"{pfx}_maxx"),
-            miny.alias(f"{pfx}_miny"), maxy.alias(f"{pfx}_maxy"),
-            F.explode(cell_cover_bbox_col(
-                minx / sc, miny / sc, maxx / sc, maxy / sc, res))
-            .alias("cell"))
+            miny.alias(f"{pfx}_miny"), maxy.alias(f"{pfx}_maxy"))
+            .withColumn("ix", F.explode(F.sequence(
+                _grid_index_col(minx / sc, -180.0, 360.0, res),
+                _grid_index_col(maxx / sc, -180.0, 360.0, res))))
+            .withColumn("iy", F.explode(F.sequence(
+                _grid_index_col(miny / sc, -90.0, 180.0, res),
+                _grid_index_col(maxy / sc, -90.0, 180.0, res)))))
 
     la = covered(left, "a", "a_id")
     rb = covered(right, "b", "b_id")
     rx = F.greatest("a_minx", "b_minx")
     ry = F.greatest("a_miny", "b_miny")
-    return (la.join(rb, "cell")
+    return (la.join(rb, ["ix", "iy"])
             .where((F.col("a_minx") <= F.col("b_maxx"))
                    & (F.col("a_maxx") >= F.col("b_minx"))
                    & (F.col("a_miny") <= F.col("b_maxy"))
                    & (F.col("a_maxy") >= F.col("b_miny")))
-            .where(cell_encode_col(rx / sc, ry / sc, res) == F.col("cell"))
+            .where((_grid_index_col(rx / sc, -180.0, 360.0, res)
+                    == F.col("ix"))
+                   & (_grid_index_col(ry / sc, -90.0, 180.0, res)
+                      == F.col("iy")))
             .where(segments_intersect_cols(
                 F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
                 F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2")))

@@ -2994,9 +2994,11 @@ def _joined_extent(spark, frames, scale: float = 1000.0):
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    row = u.agg(F.min("mnx"), F.min("mny"),
-                F.max("mxx"), F.max("mxy")).collect()[0]
-    return tuple(float(v) / scale for v in row)
+    row = u.agg(F.min("mnx"), F.min("mny"), F.max("mxx"), F.max("mxy"),
+                F.avg(F.greatest(F.col("mxx") - F.col("mnx"),
+                                 F.col("mxy") - F.col("mny")))).collect()[0]
+    out = tuple(float(v) / scale for v in row[:4])
+    return out + (float(row[4]) / scale,)  # (.., mean per-feature span)
 
 
 def q_poly_join(spark, sf_dir):
@@ -3005,15 +3007,16 @@ def q_poly_join(spark, sf_dir):
     JVM Column arithmetic (no Python worker in the plan, gated in
     tests).  Resolution is extent-adaptive (pick_res): identical output
     at any res, but the cell equi-join keeps O(100+) distinct keys."""
-    from ..operators.spark_joins import diamond_join, pick_res
+    from ..operators.spark_joins import diamond_join, pick_res_for_spans
     a = _diamonds_from_nation(spark, sf_dir)
     b = _diamonds_from_supplier(spark, sf_dir)
-    ext = _joined_extent(spark, [
+    *ext, span = _joined_extent(spark, [
         (a, F.col("acx") - F.col("aw"), F.col("acy") - F.col("ah"),
          F.col("acx") + F.col("aw"), F.col("acy") + F.col("ah")),
         (b, F.col("bcx") - F.col("bw"), F.col("bcy") - F.col("bh"),
          F.col("bcx") + F.col("bw"), F.col("bcy") + F.col("bh"))])
-    return diamond_join(a, b, res=pick_res(*ext)).orderBy("a_id", "b_id")
+    return (diamond_join(a, b, res=pick_res_for_spans(*ext, span))
+            .orderBy("a_id", "b_id"))
 
 
 def _sql_sat_hit() -> str:
@@ -3175,15 +3178,16 @@ def q_segment_join(spark, sf_dir):
     extent-adaptive (pick_res — the round-5 scale-killer fix: res 6
     over this +-9 degree extent left ~30 occupied cells, so per-cell
     candidates grew quadratically and the refine ran near-serial)."""
-    from ..operators.spark_joins import pick_res, segment_join
+    from ..operators.spark_joins import pick_res_for_spans, segment_join
     a = _segments_from_customer(spark, sf_dir)
     b = _segments_from_supplier(spark, sf_dir)
-    ext = _joined_extent(spark, [
+    *ext, span = _joined_extent(spark, [
         (a, F.least("ax1", "ax2"), F.least("ay1", "ay2"),
          F.greatest("ax1", "ax2"), F.greatest("ay1", "ay2")),
         (b, F.least("bx1", "bx2"), F.least("by1", "by2"),
          F.greatest("bx1", "bx2"), F.greatest("by1", "by2"))])
-    return segment_join(a, b, res=pick_res(*ext)).orderBy("a_id", "b_id")
+    return (segment_join(a, b, res=pick_res_for_spans(*ext, span))
+            .orderBy("a_id", "b_id"))
 
 
 def _sql_seg_hit() -> str:
