@@ -47,8 +47,12 @@ def hashed_token_buckets(docs: DataFrame, id_col: str = "doc_id",
     md5-prefix hash to ``n_buckets`` feature buckets (portable across
     engines).  ``nibbles`` hex chars give 16^nibbles raw buckets before
     the modulo — keep 16^nibbles >= n_buckets."""
+    from .dedup import _ensure_parallelism
     if 16 ** nibbles < n_buckets:
         raise ValueError(f"16^{nibbles} < {n_buckets}: raise nibbles")
+    # parallelism floor: per-token md5 bucketing on a single-split scan
+    # would run serially (and this frame feeds two plan branches)
+    docs = _ensure_parallelism(docs)
     toks = docs.select(
         F.col(id_col), *[F.col(c) for c in keep_cols],
         F.explode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))

@@ -471,12 +471,14 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int, overlap: int = 0,
     bounded by n/stride per doc.  All arithmetic is integer, so the
     DuckDB twin (driver_queries._sql_chunk_docs) matches hash-exactly.
     """
+    from .dedup import _ensure_parallelism
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(
             f"overlap must be in [0, chunk_tokens), got {overlap}")
     stride = chunk_tokens - overlap
+    docs = _ensure_parallelism(docs)  # scan-stage chunk build: floor
     # NULL text behaves like empty text (one empty chunk) instead of
     # emitting NULL rows whose greatest()/sort semantics differ by
     # engine
