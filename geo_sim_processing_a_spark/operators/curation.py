@@ -70,6 +70,11 @@ def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
     reps = (reps.withColumn(
         "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long"))
         .localCheckpoint(eager=False))
+    # keep the default parallelism floor: the survivor frame is
+    # corpus-sized for the exact/fuzzy paths (AQE may have coalesced
+    # the checkpoint to a few partitions) — r6 A/B: flooring costs
+    # q_curation_web ~0.5 s of fan-out but saves q_curation_fuzzy ~1 s
+    # at sf0.1 and ~4 s at sf1.0
     rep = repetition_stats(reps, n=ngram_n, id_col=id_col,
                            text_col=text_col).select("doc_id", "top_share")
     out = (reps.join(rep, reps[id_col] == rep["doc_id"])
@@ -110,7 +115,10 @@ def curate_web_pages(pages: DataFrame, id_col: str = "doc_id",
 
     # materialize the raw pages ONCE: four plan branches reference them
     # (url normalize, boilerplate frequency, line strip keyed + base) —
-    # as a tree each branch would re-run the whole upstream synth/scan
+    # as a tree each branch would re-run the whole upstream synth/scan.
+    # No repartition HERE: a floor after the synth chain would compute
+    # the synth serially and then pay a fat shuffle — callers floor the
+    # RAW input instead (curate_web_corpus does).
     pages = pages.localCheckpoint(eager=False)
     u = (normalize_urls(pages.select(id_col, url_col), url_col=url_col)
          .select(id_col, "domain"))                                # 1
@@ -154,10 +162,16 @@ def curate_web_corpus(docs: DataFrame, id_col: str = "doc_id",
     so the ENTIRE composition is hash-verified end-to-end
     (q_curation_web at sf0.001/0.01/0.1)."""
     from .boilerplate import synth_pages_with_boilerplate
+    from .dedup import _ensure_parallelism_if_big
     from .pii import synth_pii_text
     from .urls import synth_messy_urls
 
-    d = docs.select(id_col, text_col, source_col)
+    # size-conditional floor on the RAW scan: for big inputs the
+    # regex-heavy synth chain must parallelize before the pages
+    # checkpoint pins the partitioning; for small inputs the floor's
+    # task fan-out costs more than the serial synth (A/B in
+    # _ensure_parallelism_if_big's docstring)
+    d = _ensure_parallelism_if_big(docs.select(id_col, text_col, source_col))
     raw = synth_pages_with_boilerplate(
         synth_pii_text(synth_messy_urls(d, id_col=id_col,
                                         source_col=source_col),

@@ -70,6 +70,26 @@ def _ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def _ensure_parallelism_if_big(df: DataFrame, min_bytes: int = 2 << 20,
+                               target: int | None = None) -> DataFrame:
+    """Conditional parallelism floor for JVM-scalar chains: for SMALL
+    inputs the task fan-out a repartition multiplies across every
+    downstream stage costs more than the serial scan work it saves
+    (r6 A/B on curate_web_corpus: floor 3.9 s vs no-floor 2.7 s at
+    sf0.1, but no-floor 10 s vs floor 6-7 s at sf1.0).  The
+    optimizer's sizeInBytes estimate (free) arbitrates; Python-kernel
+    stages should keep the unconditional _ensure_parallelism — their
+    per-row cost dwarfs task overhead at any size."""
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 - stats are best-effort
+        size = 1 << 60
+    if size < min_bytes:
+        return df
+    return _ensure_parallelism(df, target)
+
+
 def _perm_params(n_hashes: int):
     """Deterministic (a, b) permutation params via splitmix64
     (functions/hashing.py — the single shared definition)."""

@@ -104,9 +104,14 @@ def kmeans_clusters(vectors: DataFrame, k: int, iters: int = 2,
     integer Lloyd updates; returns (vec_id, cluster).  With unit-norm
     embeddings the quantized squared-Euclidean argmin equals the
     cosine argmax up to the 1/scale grid."""
-    emb = vectors.select(F.col(id_col).alias("vec_id"),
-                         quantize_embedding(F.col(vec_col), scale).alias("q"))
-    # one narrow scan feeds every iteration: avoid re-reading + re-quantizing
+    from .dedup import _ensure_parallelism
+    emb = (_ensure_parallelism(vectors)
+           .select(F.col(id_col).alias("vec_id"),
+                   quantize_embedding(F.col(vec_col), scale).alias("q")))
+    # one narrow scan feeds every iteration: avoid re-reading +
+    # re-quantizing.  The parallelism floor must come FIRST — the
+    # checkpoint pins the partitioning, so a single-split scan would
+    # otherwise run every Lloyd iteration on one task.
     emb = emb.localCheckpoint(eager=False)
     seeds = emb.orderBy("vec_id").limit(k)
     cents = seeds.select(
@@ -135,8 +140,9 @@ def semantic_dedup(vectors: DataFrame, k: int, iters: int = 2,
     BIGINT (dot ≤ dim·pair_scale²·max|x|² — 2.6e18 at dim 64,
     pair_scale 1e3, |x| ≤ ~0.5 — under the 9.2e18 limit; scale 1e6
     would overflow)."""
+    from .dedup import _ensure_parallelism
     clusters = kmeans_clusters(vectors, k, iters, scale, id_col, vec_col)
-    q3 = vectors.select(
+    q3 = _ensure_parallelism(vectors).select(
         F.col(id_col).alias("vec_id"),
         quantize_embedding(F.col(vec_col), pair_scale).alias("q3"))
     side = (clusters.join(q3, "vec_id")

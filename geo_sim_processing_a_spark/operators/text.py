@@ -313,7 +313,8 @@ def jaccard_contamination(docs: DataFrame, probes: DataFrame,
 
 
 def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     ensure_parallelism: bool = True) -> DataFrame:
     """Per-doc repetition signal (Gopher-style quality rule): the share
     of the document's n-grams taken by its single most frequent n-gram.
     Degenerate/boilerplate text scores high; natural text low.
@@ -321,9 +322,14 @@ def repetition_stats(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     Two-level hash-agg — (doc, gram) counts then per-doc max/sum — both
     partial-aggregated map-side; no UDF anywhere."""
     from .dedup import _ensure_parallelism
-    g = (_ensure_parallelism(docs)
-         .select(F.col(id_col).alias("doc_id"),
-                 F.explode(word_ngrams(F.col(text_col), n)).alias("gram")))
+    # callers whose input is already a small materialized survivor
+    # frame (the curation compositions) pass ensure_parallelism=False:
+    # re-flooring a few hundred checkpointed rows only multiplies task
+    # fan-out (r6 A/B)
+    if ensure_parallelism:
+        docs = _ensure_parallelism(docs)
+    g = docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
     per_gram = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     return (per_gram.groupBy("doc_id")
             .agg(F.sum("c").alias("n_grams"),

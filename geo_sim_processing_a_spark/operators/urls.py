@@ -207,7 +207,9 @@ def domain_cap(docs: DataFrame, cap: int, domain_col: str = "domain",
     # materialize ONCE: three plan branches reference the keyed input
     # (counts, cold pass-through, hot window) and Spark plans are trees
     # — without the checkpoint the whole upstream chain runs 3x (r6:
-    # this tripled the synth+regex chain in q_domain_cap/q_curation_web)
+    # this tripled the synth+regex chain in q_domain_cap/q_curation_web).
+    # No repartition here — a floor after the caller's chain would
+    # compute it serially and then shuffle it; callers floor raw scans.
     keyed = docs.withColumn("_dk", dkey).localCheckpoint(eager=False)
     counts = keyed.groupBy("_dk").agg(F.count("*").alias("_n"))
     hot = counts.where(F.col("_n") > cap).select("_dk")
