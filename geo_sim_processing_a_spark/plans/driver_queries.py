@@ -1000,7 +1000,11 @@ def q_cell_pyramid(spark, sf_dir):
     two coarser parent levels — hierarchical reaggregation (level k+1
     aggregates level k's output, the raw rows shuffle exactly once)."""
     from ..operators.spark_joins import cell_pyramid
+    # n emitted as double: the twin's sum(n) is a DuckDB HUGEINT, which
+    # lands in the driver's canon frame as float64 (the r5 red class —
+    # 2 vs 2.0 diverges under a raw-value hash); values are identical
     return (cell_pyramid(q_cell_encode(spark, sf_dir), levels=2)
+            .select("cell", F.col("n").cast("double").alias("n"), "level")
             .orderBy("level", "cell"))
 
 
@@ -3321,9 +3325,16 @@ def q_grouping_sets(spark, sf_dir):
     return spark.sql("""
         SELECT coalesce(l_returnflag, '*') AS flag,
                coalesce(l_linestatus, '*') AS status,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))
+               -- sum stays DECIMAL-exact; emitted as double via
+               -- double(unscaled)/double(1e8) — bit-mimics how the
+               -- twin's DECIMAL(28,8) lands as float64 in the driver's
+               -- canon frame (duckdb converts int128/10^scale with two
+               -- roundings; a correctly-rounded CAST(dec AS DOUBLE)
+               -- diverges by 1 ulp once the unscaled value > 2^53)
+               CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))
                         * CAST(1.0 - l_discount AS DECIMAL(28,8)))
-                    AS DECIMAL(28,8)) AS revenue,
+                    AS DECIMAL(30,8)) * 100000000 AS DECIMAL(38,0))
+                    AS DOUBLE) / CAST(100000000 AS DOUBLE) AS revenue,
                count(*) AS n
         FROM li_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -3346,6 +3357,16 @@ ORDER BY flag, status
 """
 
 
+def _dec_to_duck_double(col):
+    """DECIMAL(p,8) -> double exactly as duckdb's .df() converts it:
+    double(unscaled int128) / double(10^8) — two IEEE roundings.  A
+    correctly-rounded CAST(dec AS DOUBLE) diverges by 1 ulp once the
+    unscaled value exceeds 2^53 (the big revenue sums)."""
+    return ((col.cast("decimal(30,8)") * F.lit(100000000))
+            .cast("decimal(38,0)").cast("double")
+            / F.lit(100000000).cast("double"))
+
+
 def q_pivot(spark, sf_dir):
     """Revenue pivoted to one column per linestatus — Spark's pivot
     relational operator with an explicit value list (no
@@ -3360,8 +3381,14 @@ def q_pivot(spark, sf_dir):
             .agg(F.coalesce(F.sum("rev"),
                             F.lit(0).cast("decimal(28,8)")))
             .select(F.col("l_returnflag"),
-                    F.col("F").cast("decimal(28,8)").alias("rev_f"),
-                    F.col("O").cast("decimal(28,8)").alias("rev_o"))
+                    # DECIMAL-exact sums; emitted as double via
+                    # double(unscaled)/double(1e8), bit-mimicking the
+                    # twin's duckdb DECIMAL->float64 landing (see
+                    # q_grouping_sets)
+                    _dec_to_duck_double(
+                        F.col("F").cast("decimal(28,8)")).alias("rev_f"),
+                    _dec_to_duck_double(
+                        F.col("O").cast("decimal(28,8)")).alias("rev_o"))
             .orderBy("l_returnflag"))
 
 
@@ -3424,7 +3451,10 @@ def q_gap_fill(spark, sf_dir):
         .agg(F.sum(F.col("value").cast("decimal(28,8)"))
              .cast("decimal(28,8)").alias("v"),
              F.count(F.lit(1)).alias("n")))
+    # v emitted as double (the twin's DECIMAL lands as float64 in the
+    # driver's canon frame); forward-fill and sums stay DECIMAL-exact
     return (gap_fill(buckets, "tb", ["event_type"], ["v", "n"], 3600)
+            .withColumn("v", F.col("v").cast("double"))
             .orderBy("event_type", "tb"))
 
 
@@ -3511,7 +3541,11 @@ def q_moving_avg(spark, sf_dir):
     return (base
             .withColumn("mov_sum", F.sum("v").over(w).cast("decimal(28,8)"))
             .withColumn("mov_n", F.count(F.lit(1)).over(w))
-            .select("event_type", "event_id", "sec", "mov_sum", "mov_n")
+            # mov_sum emitted as double: matches the dtype the twin's
+            # DECIMAL lands as in the driver's canon frame
+            .select("event_type", "event_id", "sec",
+                    F.col("mov_sum").cast("double").alias("mov_sum"),
+                    "mov_n")
             .orderBy("event_type", "sec", "event_id"))
 
 
@@ -3856,7 +3890,12 @@ def q10_returned_items(spark, sf_dir):
             .agg(F.sum(rev).cast("decimal(28,8)").alias("revenue"),
                  F.count(F.lit(1)).alias("n_items"))
             .orderBy(F.desc("revenue"), "c_custkey")
-            .limit(20))
+            .limit(20)
+            # top-20 decided on the exact DECIMAL; the final double cast
+            # only aligns the emitted dtype with the driver's canon frame
+            .select("c_custkey", "c_name", "n_name",
+                    F.col("revenue").cast("double").alias("revenue"),
+                    "n_items"))
 
 
 SQL_Q10 = """
@@ -3884,7 +3923,12 @@ def q_correlated_subquery(spark, sf_dir):
     division scale rule) ever sits on the decision boundary."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_cs")
     return spark.sql("""
-        SELECT l_partkey, CAST(min_price AS DECIMAL(28,8)) AS min_price
+        SELECT l_partkey,
+               -- decision boundary stays integer-exact below; the final
+               -- DOUBLE cast aligns the emitted dtype with the driver's
+               -- canon frame (duckdb DECIMAL -> float64)
+               CAST(CAST(min_price AS DECIMAL(28,8)) AS DOUBLE)
+                 AS min_price
         FROM (
           SELECT l_partkey,
                  min(CAST(l_extendedprice AS DECIMAL(28,8))) AS min_price

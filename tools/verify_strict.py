@@ -98,7 +98,8 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if name_filter and not any(f in name
+                                   for f in name_filter.split(",")):
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only")
