@@ -70,6 +70,18 @@ def _ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def _is_big(df: DataFrame, min_bytes: int = 2 << 20) -> bool:
+    """Free size arbiter for the conditional tuning helpers below: the
+    optimizer's sizeInBytes estimate (no job).  Unknown size counts as
+    big — at scale the floors/checkpoints are the safe default."""
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 - stats are best-effort
+        size = 1 << 60
+    return size >= min_bytes
+
+
 def _ensure_parallelism_if_big(df: DataFrame, min_bytes: int = 2 << 20,
                                target: int | None = None) -> DataFrame:
     """Conditional parallelism floor for JVM-scalar chains: for SMALL
@@ -80,12 +92,7 @@ def _ensure_parallelism_if_big(df: DataFrame, min_bytes: int = 2 << 20,
     optimizer's sizeInBytes estimate (free) arbitrates; Python-kernel
     stages should keep the unconditional _ensure_parallelism — their
     per-row cost dwarfs task overhead at any size."""
-    try:
-        size = int(str(df._jdf.queryExecution().optimizedPlan()
-                       .stats().sizeInBytes()))
-    except Exception:  # noqa: BLE001 - stats are best-effort
-        size = 1 << 60
-    if size < min_bytes:
+    if not _is_big(df, min_bytes):
         return df
     return _ensure_parallelism(df, target)
 

@@ -44,11 +44,16 @@ def bm25_search(docs: DataFrame, query_terms: list[str], k: int = 20,
     score7 = the integer-quantized score in 1e-7 units (divide by 1e7
     for the conventional float score).  Duplicate query terms are
     collapsed; documents matching no term are absent."""
-    from .dedup import _ensure_parallelism
+    from .dedup import _ensure_parallelism, _is_big
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted(set(query_terms))
-    toks = (_ensure_parallelism(docs).select(
+    # size-conditional floor + checkpoint (the lm.py A/B: both hurt a
+    # small corpus — the floor shuffles raw text, the checkpoint blocks
+    # column pruning — and both win once the corpus outgrows task
+    # overhead)
+    big = _is_big(docs)
+    toks = ((_ensure_parallelism(docs) if big else docs).select(
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
         .alias("term"))
@@ -56,8 +61,9 @@ def bm25_search(docs: DataFrame, query_terms: list[str], k: int = 20,
     # document length over the full stream; one hash-agg on _id —
     # materialized once (the corpus-scalar collect and the scoring
     # join both read it; one row per doc, tiny)
-    dl = (toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
-          .localCheckpoint(eager=False))
+    dl = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("dl"))
+    if big:
+        dl = dl.localCheckpoint(eager=False)
     # bounded 1-row collect for the two corpus scalars (tfidf-N idiom)
     n_docs, total_tokens = dl.agg(
         F.count(F.lit(1)), F.sum("dl")).first()
@@ -117,8 +123,10 @@ def build_postings(docs: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"min_df must be >= 1, got {min_df}")
     if max_df is not None and max_df < min_df:
         raise ValueError(f"max_df {max_df} < min_df {min_df}")
-    from .dedup import _ensure_parallelism
-    toks = (_ensure_parallelism(docs).select(
+    from .dedup import _ensure_parallelism_if_big
+    # size-conditional floor (see bm25_search): a small corpus pays
+    # more for the fan-out shuffle than the serial posexplode costs
+    toks = (_ensure_parallelism_if_big(docs).select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), WS_CLASS + "+"))
         .alias("pos", "term"))
