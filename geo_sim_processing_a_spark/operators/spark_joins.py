@@ -71,11 +71,15 @@ def pip_join(points: DataFrame, polys: DataFrame, res: int = 8) -> DataFrame:
     (pid, poly_id, lon, lat).  Polygon side broadcast.  Multi-ring
     polygons (ring_offsets: exterior first, holes after) use even-odd
     semantics — points inside a hole do NOT match."""
-    from .dedup import _ensure_parallelism
+    from .dedup import _ensure_parallelism_if_big
     enc = encode_cell_udf(res)
-    # parallelism floor: a single-split point scan would run the cell
-    # encode UDF (and the downstream refine feed) on one task
-    pts = _ensure_parallelism(points).withColumn("cell", enc("lon", "lat"))
+    # size-conditional parallelism floor: a single-split point scan of
+    # a BIG table would run the cell-encode UDF (and the downstream
+    # refine feed) on one task; for a small one the fan-out exchange
+    # costs more than the light encode it parallelizes (count-sink A/B
+    # at sf0.1: 1.31 s floored vs 0.81 s not)
+    pts = (_ensure_parallelism_if_big(points)
+           .withColumn("cell", enc("lon", "lat")))
     has_offsets = "ring_offsets" in polys.columns
 
     if has_offsets:
@@ -194,13 +198,14 @@ def knn_join(points: DataFrame, k: int, res: int = 6,
     otherwise run on as few tasks as there are cells.  Keep 1 at scale
     where cells outnumber cores — salting multiplies the candidate
     shuffle bytes by the salt count."""
-    from .dedup import _ensure_parallelism
+    from .dedup import _ensure_parallelism_if_big
     cell_w = 360.0 / (1 << res)
     cell_h = 180.0 / (1 << res)
     exact_radius2 = min(cell_w, cell_h) ** 2
     enc = encode_cell_udf(res)
-    # parallelism floor: see pip_join
-    pts = _ensure_parallelism(points).withColumn("cell", enc("lon", "lat"))
+    # size-conditional parallelism floor: see pip_join
+    pts = (_ensure_parallelism_if_big(points)
+           .withColumn("cell", enc("lon", "lat")))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def nbrs_udf(cell: pd.Series) -> pd.Series:

@@ -477,14 +477,17 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int, overlap: int = 0,
     bounded by n/stride per doc.  All arithmetic is integer, so the
     DuckDB twin (driver_queries._sql_chunk_docs) matches hash-exactly.
     """
-    from .dedup import _ensure_parallelism
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(
             f"overlap must be in [0, chunk_tokens), got {overlap}")
     stride = chunk_tokens - overlap
-    docs = _ensure_parallelism(docs)  # scan-stage chunk build: floor
+    # size-conditional floor: the scan-stage chunk build of a big
+    # corpus wants one task per core; a small one pays more for the
+    # fan-out than the serial build costs (lm.py A/B pattern)
+    from .dedup import _ensure_parallelism_if_big
+    docs = _ensure_parallelism_if_big(docs)
     # NULL text behaves like empty text (one empty chunk) instead of
     # emitting NULL rows whose greatest()/sort semantics differ by
     # engine
