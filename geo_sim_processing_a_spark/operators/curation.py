@@ -62,19 +62,26 @@ def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
     and web front ends): token floor + repetition ceiling computed on
     ``text_col``, then the deterministic content-addressed split keyed
     on ``split_col`` (defaults to ``text_col``)."""
-    # materialize ONCE: the survivor frame feeds BOTH the gram stats
-    # subtree and the join's probe side; as a plan tree the whole
-    # upstream (dedup agg / LSH clustering / web-synth chain) would
-    # otherwise execute twice (r6 plan audit: q_curation_web replayed
-    # the documents scan 64x through stacked re-references)
-    reps = (reps.withColumn(
+    from .dedup import _is_big
+
+    # materialize ONCE when the frame is worth it: the survivor frame
+    # feeds BOTH the gram stats subtree and the join's probe side; as a
+    # plan tree the whole upstream (dedup agg / LSH clustering /
+    # web-synth chain) would otherwise execute twice (r6 plan audit:
+    # q_curation_web replayed the documents scan 64x through stacked
+    # re-references).  Size-conditional like the lm/search checkpoints:
+    # the checkpoint blocks count-sink column pruning, so for a SMALL
+    # exact-path frame (Exchange-topped dedup agg — ReusedExchange
+    # already shares the shuffle) it costs more than the replay it
+    # saves (r6 interleaved A/B, count sink, min of 3: exact 1.42 s
+    # no-ckpt vs 1.59 ckpt; fuzzy 1.19 ckpt vs 1.49 no-ckpt — the
+    # fuzzy/web inputs sit behind joins whose stats estimates are big,
+    # so they keep the cut; the exact path re-crosses the threshold at
+    # ~10x corpus size where the replay cost dominates again)
+    reps = reps.withColumn(
         "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long"))
-        .localCheckpoint(eager=False))
-    # keep the default parallelism floor: the survivor frame is
-    # corpus-sized for the exact/fuzzy paths (AQE may have coalesced
-    # the checkpoint to a few partitions) — r6 A/B: flooring costs
-    # q_curation_web ~0.5 s of fan-out but saves q_curation_fuzzy ~1 s
-    # at sf0.1 and ~4 s at sf1.0
+    if _is_big(reps):
+        reps = reps.localCheckpoint(eager=False)
     rep = repetition_stats(reps, n=ngram_n, id_col=id_col,
                            text_col=text_col).select("doc_id", "top_share")
     out = (reps.join(rep, reps[id_col] == rep["doc_id"])
