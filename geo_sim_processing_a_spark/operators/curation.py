@@ -39,8 +39,13 @@ def curate_corpus(docs: DataFrame, id_col: str = "doc_id",
     Returns the surviving rows with ``n_tokens``, ``top_share`` and
     ``split`` columns added."""
     reps = dedup_reps(docs, id_col, text_col)
+    # materialize=False is structural, not size-tuned: dedup_reps is
+    # Exchange-topped, so AQE ReusedExchange already shares the dedup
+    # shuffle between the two consumers in _quality_and_split and a
+    # checkpoint only buys blocked column pruning (A/B at sf0.1 AND a
+    # 10x corpus: no-cut 1.42/3.83 s vs cut 1.59/4.26 s, count sink)
     return _quality_and_split(reps, id_col, text_col, min_tokens,
-                              max_top_share, ngram_n)
+                              max_top_share, ngram_n, materialize=False)
 
 
 def dedup_reps(docs: DataFrame, id_col: str = "doc_id",
@@ -57,7 +62,8 @@ def dedup_reps(docs: DataFrame, id_col: str = "doc_id",
 
 def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
                        min_tokens: int, max_top_share: float,
-                       ngram_n: int, split_col: str = None) -> DataFrame:
+                       ngram_n: int, split_col: str = None,
+                       materialize: bool | None = None) -> DataFrame:
     """Steps 2-3 of the curation contract (shared by the exact, fuzzy
     and web front ends): token floor + repetition ceiling computed on
     ``text_col``, then the deterministic content-addressed split keyed
@@ -76,11 +82,16 @@ def _quality_and_split(reps: DataFrame, id_col: str, text_col: str,
     # saves (r6 interleaved A/B, count sink, min of 3: exact 1.42 s
     # no-ckpt vs 1.59 ckpt; fuzzy 1.19 ckpt vs 1.49 no-ckpt — the
     # fuzzy/web inputs sit behind joins whose stats estimates are big,
-    # so they keep the cut; the exact path re-crosses the threshold at
-    # ~10x corpus size where the replay cost dominates again)
+    # so they keep the cut).  ``materialize``: None = auto via _is_big;
+    # callers whose input is Exchange-topped (exact path) pass False —
+    # there ReusedExchange already shares the expensive subtree and the
+    # cut is structurally never worth it (A/B at two sizes in
+    # curate_corpus)
     reps = reps.withColumn(
         "n_tokens", F.size(F.split(F.col(text_col), " ")).cast("long"))
-    if _is_big(reps):
+    if materialize is None:
+        materialize = _is_big(reps)
+    if materialize:
         reps = reps.localCheckpoint(eager=False)
     rep = repetition_stats(reps, n=ngram_n, id_col=id_col,
                            text_col=text_col).select("doc_id", "top_share")
